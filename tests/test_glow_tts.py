@@ -1,0 +1,165 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_tts.configs.glow_tts_config import GlowTTSConfig
+from tpu_tts.layers.glow import GlowDecoder, squeeze, unsqueeze
+from tpu_tts.models.glow_tts import GlowTTS, GlowTTSNet
+
+
+def _small_config(**kw):
+    cfg = GlowTTSConfig(
+        num_chars=32,
+        out_channels=80,
+        hidden_channels_enc=48,
+        hidden_channels_dec=48,
+        hidden_channels_dp=32,
+        num_flow_blocks_dec=2,
+        num_block_layers=2,
+        encoder_params={
+            "kernel_size": 3,
+            "dropout_p": 0.1,
+            "num_layers": 2,
+            "num_heads": 2,
+            "hidden_channels_ffn": 64,
+        },
+        data_dep_init_steps=0,
+    )
+    cfg.update(kw)
+    return cfg
+
+
+def _batch(num_chars=32, B=2, T_en=11, T_de=30):
+    rng = np.random.default_rng(0)
+    return {
+        "text_input": jnp.asarray(rng.integers(1, num_chars, (B, T_en)), dtype=jnp.int32),
+        "text_lengths": jnp.array([T_en, T_en - 3], dtype=jnp.int32),
+        "mel_input": jnp.asarray(rng.standard_normal((B, T_de, 80)), dtype=jnp.float32),
+        "mel_lengths": jnp.array([T_de, T_de - 6], dtype=jnp.int32),
+    }
+
+
+def test_squeeze_unsqueeze_roundtrip():
+    x = jnp.arange(2 * 12 * 4, dtype=jnp.float32).reshape(2, 12, 4)
+    mask = jnp.ones((2, 12, 1))
+    xs, ms = squeeze(x, mask, 2)
+    assert xs.shape == (2, 6, 8)
+    xu, mu = unsqueeze(xs, ms, 2)
+    np.testing.assert_allclose(np.asarray(xu), np.asarray(x))
+
+
+def test_glow_decoder_invertible():
+    dec = GlowDecoder(
+        in_channels=80, hidden_channels=64, kernel_size=5, dilation_rate=1,
+        num_flow_blocks=2, num_coupling_layers=2,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 80))
+    mask = jnp.ones((2, 20, 1))
+    params = dec.init(jax.random.PRNGKey(1), x, mask)
+    z, logdet = dec.apply(params, x, mask)
+    assert z.shape == x.shape
+    assert logdet.shape == (2,)
+    x_rec, _ = dec.apply(params, z, mask, reverse=True)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-3)
+
+
+def test_glow_tts_forward_shapes():
+    cfg = _small_config()
+    model = GlowTTS(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = _batch()
+    loss, losses = model.loss_fn(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert set(losses) == {"loss", "log_mle", "loss_dur"}
+
+
+def test_glow_tts_all_params_update():
+    """Reference pattern (test_vits.py:401): N steps on one batch, then assert
+    (nearly) every parameter changed. Zero-init projections block some grads
+    at step 0 only, so train a few steps first."""
+    import optax
+
+    cfg = _small_config()
+    model = GlowTTS(cfg)
+    params0 = model.init_params(jax.random.PRNGKey(0))
+    batch = _batch()
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params0)
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        grads = jax.grad(lambda p: model.loss_fn(p, batch, rng)[0])(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state
+
+    params = params0
+    for i in range(3):
+        params, opt_state = step(params, opt_state, jax.random.PRNGKey(i))
+    flat0 = jax.tree_util.tree_leaves_with_path(params0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(params))
+    unchanged = [
+        "/".join(str(k.key) for k in path)
+        for path, p0 in flat0
+        if np.allclose(np.asarray(p0), np.asarray(flat1[tuple(path)]))
+    ]
+    assert len(unchanged) / len(flat0) < 0.1, f"unchanged params: {unchanged}"
+
+
+def test_glow_tts_train_decreases_loss():
+    import optax
+
+    cfg = _small_config()
+    model = GlowTTS(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = _batch()
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        (loss, _), grads = jax.value_and_grad(lambda p: model.loss_fn(p, batch, rng), has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(8):
+        params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_glow_tts_inference():
+    cfg = _small_config()
+    model = GlowTTS(cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).integers(1, 32, (1, 12))
+    out = model.inference(x)
+    mel = np.asarray(out["model_outputs"])
+    assert mel.ndim == 3 and mel.shape[0] == 1 and mel.shape[2] == 80
+    assert mel.shape[1] % 128 == 0  # bucketed
+    assert np.isfinite(mel).all()
+    y_len = int(out["y_lengths"][0])
+    assert 0 < y_len <= mel.shape[1]
+
+
+def test_glow_tts_multispeaker():
+    cfg = _small_config(use_speaker_embedding=True, num_speakers=4)
+    model = GlowTTS(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = _batch()
+    batch["speaker_ids"] = jnp.array([0, 3], dtype=jnp.int32)
+    loss, _ = model.loss_fn(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    out = model.inference(np.ones((1, 8), dtype=np.int32), aux_input={"speaker_ids": jnp.array([2])})
+    assert np.isfinite(np.asarray(out["model_outputs"])).all()
+
+
+def test_glow_tts_d_vector():
+    cfg = _small_config(use_d_vector_file=True, d_vector_dim=16)
+    model = GlowTTS(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = _batch()
+    batch["d_vectors"] = jnp.asarray(np.random.default_rng(1).standard_normal((2, 16)), dtype=jnp.float32)
+    loss, _ = model.loss_fn(params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))

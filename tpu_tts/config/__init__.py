@@ -36,7 +36,7 @@ def _ensure_registry_populated() -> None:
     import importlib
 
     for mod in (
-        "tpu_tts.models.configs",
+        "tpu_tts.configs",
         "tpu_tts.vocoder.configs",
         "tpu_tts.encoder.configs",
         "tpu_tts.vc.configs",

@@ -1,0 +1,193 @@
+"""Common neural building blocks (flax.linen, channels-last `[B, T, C]`).
+
+TPU-first design notes: all tensors are channels-last so the feature dim maps
+to TPU lanes; 1×1 convs are `nn.Dense` (pure MXU matmuls); masking is explicit
+multiplicative `[B, T, 1]` masks; weight-norm is implemented as (v, g)
+reparameterized convs matching torch's `weight_norm` for checkpoint ingest.
+
+Covers the roles of /root/reference/TTS/tts/layers/generic/{normalization.py,
+wavenet.py} and glow_tts/glow.py:11 (ResidualConv1dLayerNormBlock).
+"""
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class Conv1d(nn.Module):
+    """1D conv on `[B, T, C]` with 'SAME'-style symmetric padding and optional
+    dilation — matches torch Conv1d(padding=k//2*d) semantics for odd k."""
+
+    features: int
+    kernel_size: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kernel_size == 1:
+            return nn.Dense(self.features, use_bias=self.use_bias, name="conv")(x)
+        pad = (self.kernel_size // 2) * self.dilation
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,),
+            kernel_dilation=(self.dilation,),
+            padding=[(pad, pad)],
+            use_bias=self.use_bias,
+            name="conv",
+        )(x)
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized conv: kernel = g · v/‖v‖ (torch weight_norm parity).
+
+    `g` is initialized to ‖v‖ so the initial effective kernel equals `v`.
+    `zero_init=True` makes the layer an identity-0 map (coupling `end` convs).
+    """
+
+    features: int
+    kernel_size: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kshape = (self.kernel_size, in_ch, self.features)
+        if self.zero_init:
+            v = self.param("v", nn.initializers.zeros, kshape)
+        else:
+            v = self.param("v", nn.initializers.he_normal(in_axis=(0, 1), out_axis=2), kshape)
+        g = self.param(
+            "g",
+            lambda _key: jnp.sqrt(jnp.sum(jax.lax.stop_gradient(v) ** 2, axis=(0, 1)) + 1e-12),
+        )
+        norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True) + 1e-12)
+        kernel = v / norm * g[None, None, :]
+        pad = (self.kernel_size // 2) * self.dilation
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
+class LayerNorm(nn.Module):
+    """Channel layer norm (over last dim), matching reference LayerNorm
+    (generic/normalization.py) in the `[B, T, C]` layout."""
+
+    channels: int
+    eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
+        beta = self.param("beta", nn.initializers.zeros, (self.channels,))
+        return x * gamma + beta
+
+
+class ResidualConv1dLayerNormBlock(nn.Module):
+    """[k-conv → LN → relu → dropout] × N with 0-init residual projection
+    (ref glow.py:11). x/x_mask: `[B, T, C]` / `[B, T, 1]`."""
+
+    hidden_channels: int
+    out_channels: int
+    kernel_size: int
+    num_layers: int
+    dropout_p: float
+
+    @nn.compact
+    def __call__(self, x, x_mask, train: bool = False):
+        x_res = x
+        for i in range(self.num_layers):
+            x = Conv1d(self.hidden_channels, self.kernel_size, name=f"conv_{i}")(x * x_mask)
+            x = LayerNorm(self.hidden_channels, name=f"norm_{i}")(x * x_mask)
+            x = nn.Dropout(self.dropout_p, deterministic=not train)(nn.relu(x))
+        proj = nn.Dense(
+            self.out_channels,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="proj",
+        )
+        x = x_res + proj(x)
+        return x * x_mask
+
+
+class WN(nn.Module):
+    """Gated WaveNet stack with weight norm and optional conditioning
+    (ref generic/wavenet.py:16). x: `[B, T, C]`, g: `[B, 1 or T, C_g]`."""
+
+    hidden_channels: int
+    kernel_size: int
+    dilation_rate: int
+    num_layers: int
+    c_in_channels: int = 0
+    dropout_p: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, x_mask=None, g=None, train: bool = False):
+        if x_mask is None:
+            x_mask = 1.0
+        output = jnp.zeros_like(x)
+        if g is not None:
+            g_all = WNConv1d(2 * self.hidden_channels * self.num_layers, 1, name="cond_layer")(g)
+        drop = nn.Dropout(self.dropout_p, deterministic=not train)
+        for i in range(self.num_layers):
+            dilation = self.dilation_rate**i
+            x_in = WNConv1d(2 * self.hidden_channels, self.kernel_size, dilation=dilation, name=f"in_{i}")(x)
+            x_in = drop(x_in)
+            if g is not None:
+                off = i * 2 * self.hidden_channels
+                g_l = g_all[..., off : off + 2 * self.hidden_channels]
+            else:
+                g_l = 0.0
+            z = x_in + g_l
+            acts = jnp.tanh(z[..., : self.hidden_channels]) * jax.nn.sigmoid(z[..., self.hidden_channels :])
+            res_skip_ch = 2 * self.hidden_channels if i < self.num_layers - 1 else self.hidden_channels
+            res_skip = WNConv1d(res_skip_ch, 1, name=f"res_skip_{i}")(acts)
+            if i < self.num_layers - 1:
+                x = (x + res_skip[..., : self.hidden_channels]) * x_mask
+                output = output + res_skip[..., self.hidden_channels :]
+            else:
+                output = output + res_skip
+        return output * x_mask
+
+
+class DurationPredictor(nn.Module):
+    """[2 × (k-conv → relu → LN → dropout)] → 1×1 conv
+    (ref glow_tts/duration_predictor.py:7). Returns `[B, T, 1]` log durations."""
+
+    hidden_channels: int
+    kernel_size: int
+    dropout_p: float
+    cond_channels: int = 0
+    language_emb_dim: int = 0
+
+    @nn.compact
+    def __call__(self, x, x_mask, g=None, lang_emb=None, train: bool = False):
+        if g is not None:
+            x = x + nn.Dense(x.shape[-1], name="cond")(g)
+        if lang_emb is not None:
+            x = x + nn.Dense(x.shape[-1], name="cond_lang")(lang_emb)
+        drop = nn.Dropout(self.dropout_p, deterministic=not train)
+        x = Conv1d(self.hidden_channels, self.kernel_size, name="conv_1")(x * x_mask)
+        x = LayerNorm(self.hidden_channels, name="norm_1")(nn.relu(x))
+        x = drop(x)
+        x = Conv1d(self.hidden_channels, self.kernel_size, name="conv_2")(x * x_mask)
+        x = LayerNorm(self.hidden_channels, name="norm_2")(nn.relu(x))
+        x = drop(x)
+        x = nn.Dense(1, name="proj")(x * x_mask)
+        return x * x_mask

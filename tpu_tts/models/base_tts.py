@@ -1,0 +1,144 @@
+"""Base class for acoustic models — the trainer-facing contract.
+
+JAX re-design of /root/reference/TTS/model.py:11 (`BaseTrainerModel`) and
+/root/reference/TTS/tts/models/base_tts.py:24 (`BaseTTS`): the model object is
+a *host-side orchestrator* holding a pure flax module (`self.net`), while every
+compute-path method (`loss_fn`, `inference_fn`) is a pure function of
+(params, batch, rng) suitable for `jax.value_and_grad` under `pjit`.
+
+Contract consumed by tpu_tts.train.Trainer (SURVEY.md §1.2):
+- `init_params(rng)`, `loss_fn(params, batch, rng, optimizer_idx)` (pure)
+- `get_optimizer() / get_lr() / get_scheduler()`
+- `get_data_loader(...)`, `format_batch(batch)` (host), on-device featurization
+  inside `loss_fn` itself (the jit boundary replaces `format_batch_on_device`)
+- `inference(...)`, `load_checkpoint(...)`, `init_from_config(...)`
+- logging hooks `train_log/eval_log/test_run`
+"""
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BaseTTSModel:
+    """Orchestrator base: config + audio processor + tokenizer + managers."""
+
+    def __init__(self, config, ap=None, tokenizer=None, speaker_manager=None, language_manager=None):
+        self.config = config
+        self.ap = ap
+        self.tokenizer = tokenizer
+        self.speaker_manager = speaker_manager
+        self.language_manager = language_manager
+        self.net = None  # flax module, set by subclass
+        self.params = None  # current parameter pytree (host-side convenience)
+
+    # ------------------------------------------------------------------ setup
+    @property
+    def num_speakers(self) -> int:
+        if self.speaker_manager is not None:
+            return self.speaker_manager.num_speakers
+        return getattr(self.config, "num_speakers", 0) or 0
+
+    def get_aux_input(self, **kwargs) -> Dict:
+        return {"speaker_id": None, "style_wav": None, "d_vector": None, "language_id": None}
+
+    # ------------------------------------------------------------- pure fns
+    def init_params(self, rng: jax.Array):
+        raise NotImplementedError
+
+    def loss_fn(self, params, batch: Dict, rng: jax.Array, optimizer_idx: int = 0) -> Tuple[jnp.ndarray, Dict]:
+        """Pure loss: returns (scalar loss, dict of scalar logs). Subclasses
+        implement; must be jit/grad-safe (static shapes, no host calls)."""
+        raise NotImplementedError
+
+    def num_optimizers(self) -> int:
+        return 1
+
+    # --------------------------------------------------------------- trainer
+    def get_optimizer(self):
+        from tpu_tts.train.optimizers import get_optimizer
+
+        return get_optimizer(
+            self.config.optimizer, self.config.optimizer_params or {}, self.config.lr, self.config
+        )
+
+    def get_lr(self):
+        return self.config.lr
+
+    def get_scheduler(self):
+        from tpu_tts.train.optimizers import get_scheduler
+
+        return get_scheduler(self.config.lr_scheduler, self.config.lr_scheduler_params or {}, self.config.lr)
+
+    def get_criterion(self):
+        return None
+
+    def get_sampler(self, config, dataset, num_gpus=1):
+        return None
+
+    def get_data_loader(self, config, assets, is_eval, samples, verbose, num_gpus, rank=0):
+        from tpu_tts.data.dataset import TTSDataset, TTSDataLoader
+
+        dataset = TTSDataset(
+            outputs_per_step=getattr(config, "r", 1),
+            compute_linear_spec=getattr(config, "compute_linear_spec", False),
+            compute_f0=getattr(config, "compute_f0", False),
+            compute_energy=getattr(config, "compute_energy", False),
+            samples=samples,
+            ap=self.ap,
+            return_wav=getattr(config, "return_wav", False),
+            batch_group_size=0 if is_eval else config.batch_group_size * config.batch_size,
+            min_text_len=config.min_text_len,
+            max_text_len=config.max_text_len,
+            min_audio_len=config.min_audio_len,
+            max_audio_len=config.max_audio_len,
+            phoneme_cache_path=config.phoneme_cache_path,
+            precompute_num_workers=config.precompute_num_workers,
+            use_noise_augment=False if is_eval else config.use_noise_augment,
+            speaker_id_mapping=(self.speaker_manager.name_to_id if self.speaker_manager else None),
+            d_vector_mapping=(
+                self.speaker_manager.embeddings_by_names()
+                if self.speaker_manager and getattr(self.config, "use_d_vector_file", False)
+                else None
+            ),
+            language_id_mapping=(self.language_manager.name_to_id if self.language_manager else None),
+            tokenizer=self.tokenizer,
+            start_by_longest=config.start_by_longest,
+        )
+        dataset.preprocess_samples()
+        return TTSDataLoader(
+            dataset,
+            batch_size=config.eval_batch_size if is_eval else config.batch_size,
+            shuffle=not is_eval and config.shuffle,
+            drop_last=not is_eval,
+            seed=getattr(config, "training_seed", 0),
+        )
+
+    def format_batch(self, batch: Dict) -> Dict:
+        """Host-side batch formatting; arrays stay numpy until the jit call."""
+        return batch
+
+    # --------------------------------------------------------------- logging
+    def train_log(self, batch, outputs, logger, assets, steps):
+        pass
+
+    def eval_log(self, batch, outputs, logger, assets, steps):
+        pass
+
+    def test_run(self, params, assets) -> Tuple[Dict, Dict]:
+        return {}, {}
+
+    # ------------------------------------------------------------ checkpoint
+    def load_checkpoint(self, config, checkpoint_path, eval=True, strict=True, cache=False):
+        from tpu_tts.train.checkpoint import load_checkpoint as _load
+
+        state = _load(checkpoint_path)
+        self.params = state["model"]
+        return state
+
+    @staticmethod
+    def init_from_config(config, samples=None):
+        raise NotImplementedError
