@@ -1,0 +1,33 @@
+"""Platform / distributed initialization helpers.
+
+`TPU_TTS_PLATFORM=cpu|tpu|axon` pins the JAX backend *programmatically* —
+needed because some environments register a TPU plugin in `sitecustomize`
+and re-pin `jax_platforms` after env vars are read, so `JAX_PLATFORMS=cpu`
+alone is not honored. Call `maybe_force_platform()` before any jax use in
+CLI entry points.
+"""
+
+import os
+
+
+def maybe_force_platform() -> None:
+    plat = os.environ.get("TPU_TTS_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None) -> None:
+    """Multi-host init (the moral replacement for the reference's
+    `trainer.distribute` + TTS/utils/distribute.py:13 NCCL setup)."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)

@@ -1,0 +1,89 @@
+"""Optimizers & LR schedules (optax).
+
+Replaces the reference's torch optimizers (`RAdam` TTS/utils/radam.py:9,
+`NoamLR` from the trainer package) with optax equivalents. `get_optimizer`
+returns an `optax.GradientTransformation` with grad clipping and NaN-step
+protection already composed in.
+"""
+
+from typing import Any, Callable, Dict, Optional, Union
+
+import optax
+
+
+def noam_schedule(base_lr: float, warmup_steps: int = 4000) -> Callable[[int], float]:
+    """NoamLR: lr · warmup^0.5 · min(step·warmup^-1.5, step^-0.5)."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        s = jnp.maximum(step + 1, 1).astype(jnp.float32)
+        return base_lr * (warmup_steps**0.5) * jnp.minimum(s * warmup_steps**-1.5, s**-0.5)
+
+    return schedule
+
+
+def exponential_decay_schedule(base_lr: float, gamma: float, last_epoch_steps: int = 1) -> Callable[[int], float]:
+    return optax.exponential_decay(base_lr, transition_steps=last_epoch_steps, decay_rate=gamma)
+
+
+def get_scheduler(name: Optional[str], params: Dict, base_lr: float) -> Union[float, Callable]:
+    if name is None:
+        return base_lr
+    name = name.lower().replace("lr", "")
+    if name in ("noam", "noamlr"):
+        return noam_schedule(base_lr, params.get("warmup_steps", 4000))
+    if name in ("exponential", "exponentialdecay", "exponential_decay"):
+        return exponential_decay_schedule(base_lr, params.get("gamma", 0.5), params.get("decay_steps", 10000))
+    if name in ("steplr", "step"):
+        return optax.exponential_decay(
+            base_lr,
+            transition_steps=params.get("step_size", 10000),
+            decay_rate=params.get("gamma", 0.5),
+            staircase=True,
+        )
+    if name in ("cosine", "cosinedecay"):
+        return optax.cosine_decay_schedule(base_lr, params.get("decay_steps", 100000))
+    raise ValueError(f" [!] Unknown lr scheduler {name}")
+
+
+def get_optimizer(
+    name: str,
+    params: Dict[str, Any],
+    lr: Union[float, Callable],
+    config=None,
+    schedule: Optional[Union[float, Callable]] = None,
+) -> optax.GradientTransformation:
+    """Build an optax optimizer by (reference) name with clip + NaN guard."""
+    name = (name or "adam").lower()
+    params = dict(params or {})
+    betas = params.pop("betas", (0.9, 0.999))
+    weight_decay = params.pop("weight_decay", 0.0)
+    eps = params.pop("eps", 1e-8)
+    lr_arg = schedule if schedule is not None else lr
+    if name in ("radam",):
+        tx = optax.radam(lr_arg, b1=betas[0], b2=betas[1], eps=eps)
+        if weight_decay:
+            tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
+    elif name in ("adam",):
+        tx = optax.adam(lr_arg, b1=betas[0], b2=betas[1], eps=eps)
+    elif name in ("adamw",):
+        tx = optax.adamw(lr_arg, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+    elif name in ("sgd",):
+        tx = optax.sgd(lr_arg, momentum=params.pop("momentum", 0.0))
+    elif name in ("rmsprop",):
+        tx = optax.rmsprop(lr_arg, decay=params.pop("alpha", 0.9), eps=eps)
+    else:
+        raise ValueError(f" [!] Unknown optimizer {name}")
+
+    grad_clip = getattr(config, "grad_clip", 0.0) if config is not None else 0.0
+    if isinstance(grad_clip, (list, tuple)):
+        grad_clip = max(grad_clip)
+    chain = []
+    if grad_clip and grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(float(grad_clip)))
+    chain.append(tx)
+    tx = optax.chain(*chain)
+    # skip non-finite updates (reference `check_update` NaN-grad skip,
+    # TTS/utils/training.py:5)
+    return optax.apply_if_finite(tx, max_consecutive_errors=1000000)

@@ -1,0 +1,350 @@
+"""The TPU trainer: mesh data-parallel train loop with the reference's
+trainer contract (SURVEY.md §1.2 — the reference gets this from the external
+Coqui `trainer` package; here it is native).
+
+TPU-first design:
+- One `jax.sharding.Mesh` over all local devices with a `data` axis. Batches
+  are sharded on their leading axis; params/optimizer state are replicated.
+  XLA inserts the gradient psum — no DDP/NCCL analogue needed.
+- The per-optimizer train step is one jitted pure function
+  `(params, opt_state, batch, rng, step) → (params, opt_state, loss, logs)`.
+  Shape-bucketed batches (TTSDataset) keep the jit cache small.
+- Multi-optimizer (GAN) support: `model.num_optimizers()` steps run in
+  sequence per batch, mirroring `train_step(optimizer_idx)` (ref gan.py:68).
+- NaN-guard via `optax.apply_if_finite` (reference `check_update` semantics).
+- Checkpoints: orbax pytrees + config.json; `--continue_path` restores
+  params/opt-state/step; `--restore_path` loads weights only.
+"""
+
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_tts.config.base import Coqpit
+from tpu_tts.train import checkpoint as ckpt_io
+from tpu_tts.train.optimizers import get_optimizer, get_scheduler
+from tpu_tts.utils.generic_utils import KeepAverage, count_parameters
+
+
+@dataclass
+class TrainerArgs(Coqpit):
+    """CLI-facing trainer args (reference `TrainerArgs` surface)."""
+
+    continue_path: str = ""
+    restore_path: str = ""
+    best_path: str = ""
+    use_ddp: bool = False  # accepted for compat; parallelism is mesh-based
+    grad_accum_steps: int = 1
+    rank: int = 0
+    group_id: str = ""
+    skip_train_epoch: bool = False
+    start_with_eval: bool = False
+    small_run: Optional[int] = None
+
+
+def _is_array_like(v) -> bool:
+    return isinstance(v, (np.ndarray, jnp.ndarray)) or (hasattr(v, "shape") and hasattr(v, "dtype"))
+
+
+class ConsoleLogger:
+    def train_step_stats(self, step, stats):
+        msg = " | ".join(f"{k}: {v:.5f}" if isinstance(v, float) else f"{k}: {v}" for k, v in stats.items())
+        print(f"   --> STEP: {step} | {msg}", flush=True)
+
+
+class Trainer:
+    def __init__(
+        self,
+        args: TrainerArgs,
+        config,
+        output_path: str,
+        model=None,
+        train_samples: Optional[List] = None,
+        eval_samples: Optional[List] = None,
+        assets: Optional[Dict] = None,
+        training_assets: Optional[Dict] = None,
+        parse_command_line_args: bool = False,
+    ):
+        if parse_command_line_args:
+            rest = args.parse_args(sys.argv[1:], arg_prefix="coqpit")  # trainer args
+            config.parse_args(rest, arg_prefix="coqpit")
+        self.args = args
+        self.config = config
+        self.output_path = output_path
+        os.makedirs(output_path, exist_ok=True)
+        self.model = model
+        self.train_samples = train_samples
+        self.eval_samples = eval_samples
+        self.assets = assets or training_assets or {}
+        self.total_steps_done = 0
+        self.epochs_done = 0
+        self.best_loss = float("inf")
+        self.keep_avg_train = KeepAverage()
+        self.keep_avg_eval = KeepAverage()
+        self.c_logger = ConsoleLogger()
+        self.dashboard_logger = self._init_dashboard_logger()
+
+        # ---- mesh / sharding -------------------------------------------------
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = np.array(jax.devices())
+        self.mesh = Mesh(devices, ("data",))
+        self.repl_sharding = NamedSharding(self.mesh, P())
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+        self.n_devices = len(devices)
+
+        # ---- params ----------------------------------------------------------
+        rng = jax.random.PRNGKey(getattr(config, "training_seed", 54321) or 54321)
+        self.rng, init_rng = jax.random.split(rng)
+        if self.model.params is None:
+            self.model.init_params(init_rng)
+        self.params = jax.device_put(self.model.params, self.repl_sharding)
+        n_params = count_parameters(self.params)
+        print(f"\n > Model has {n_params} parameters", flush=True)
+
+        # ---- optimizers ------------------------------------------------------
+        self.num_optimizers = self.model.num_optimizers()
+        self.optimizers = self._build_optimizers()
+        self.opt_states = [
+            jax.device_put(opt.init(self._opt_params(i)), self.repl_sharding)
+            for i, opt in enumerate(self.optimizers)
+        ]
+        self._jit_steps: Dict[Any, Callable] = {}
+
+        # ---- restore ---------------------------------------------------------
+        if args.continue_path:
+            self._restore(args.continue_path, full_state=True)
+        elif args.restore_path:
+            self._restore(args.restore_path, full_state=False)
+
+    # ------------------------------------------------------------------ setup
+    def _init_dashboard_logger(self):
+        if getattr(self.config, "dashboard_logger", "tensorboard") == "tensorboard":
+            try:
+                from tensorboardX import SummaryWriter
+
+                return SummaryWriter(os.path.join(self.output_path, "logs"))
+            except ImportError:
+                return None
+        return None
+
+    def _opt_params(self, optimizer_idx: int):
+        """Parameter subtree trained by optimizer `optimizer_idx`."""
+        if self.num_optimizers == 1:
+            return self.params
+        return self.model.param_partition(self.params, optimizer_idx)
+
+    def _build_optimizers(self):
+        opt = self.model.get_optimizer()
+        # NB: optax.GradientTransformation is a NamedTuple — only a plain list
+        # means "one optimizer per optimizer_idx"
+        if isinstance(opt, list):
+            return opt
+        return [opt]
+
+    # ------------------------------------------------------------------ steps
+    def _make_step_fn(self, optimizer_idx: int):
+        model = self.model
+        opt = self.optimizers[optimizer_idx]
+        num_opts = self.num_optimizers
+
+        def step_fn(params, opt_state, batch, rng, step):
+            def loss_of(p):
+                return model.loss_fn(p, batch, rng, optimizer_idx=optimizer_idx)
+
+            if num_opts == 1:
+                (loss, logs), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                import optax
+
+                params = optax.apply_updates(params, updates)
+            else:
+                # partition: grads only for this optimizer's subtree
+                subtree = model.param_partition(params, optimizer_idx)
+
+                def loss_sub(sub):
+                    merged = model.param_merge(params, sub, optimizer_idx)
+                    return model.loss_fn(merged, batch, rng, optimizer_idx=optimizer_idx)
+
+                (loss, logs), grads = jax.value_and_grad(loss_sub, has_aux=True)(subtree)
+                updates, opt_state = opt.update(grads, opt_state, subtree)
+                import optax
+
+                subtree = optax.apply_updates(subtree, updates)
+                params = model.param_merge(params, subtree, optimizer_idx)
+            return params, opt_state, loss, logs
+
+        return jax.jit(step_fn, donate_argnums=(0, 1))
+
+    def _device_batch(self, batch: Dict) -> Dict:
+        """Strip host-only fields; shard arrays along the data axis when the
+        leading dim divides the device count."""
+        out = {}
+        for k, v in batch.items():
+            if _is_array_like(v):
+                v = np.asarray(v)
+                if v.ndim >= 1 and v.shape[0] % self.n_devices == 0:
+                    out[k] = jax.device_put(v, self.batch_sharding)
+                else:
+                    out[k] = jax.device_put(v, self.repl_sharding)
+        return out
+
+    def train_step(self, batch: Dict) -> Dict[str, float]:
+        batch = self._device_batch(batch)
+        logs_all = {}
+        for idx in range(self.num_optimizers):
+            self.rng, step_rng = jax.random.split(self.rng)
+            if idx not in self._jit_steps:
+                self._jit_steps[idx] = self._make_step_fn(idx)
+            self.params, self.opt_states[idx], loss, logs = self._jit_steps[idx](
+                self.params, self.opt_states[idx], batch, step_rng, self.total_steps_done
+            )
+            prefix = "" if self.num_optimizers == 1 else f"opt{idx}_"
+            logs_all[f"{prefix}loss"] = float(loss)
+            for k, v in logs.items():
+                try:
+                    logs_all[prefix + k] = float(v)
+                except (TypeError, ValueError):
+                    pass
+        return logs_all
+
+    # ------------------------------------------------------------------ loops
+    def fit(self):
+        try:
+            self._fit()
+        except KeyboardInterrupt:
+            if getattr(self.config, "save_on_interrupt", True):
+                self.save_checkpoint()
+            raise
+
+    def _fit(self):
+        train_loader = self.model.get_data_loader(
+            self.config, self.assets, is_eval=False, samples=self.train_samples, verbose=True, num_gpus=self.n_devices
+        )
+        eval_loader = None
+        if getattr(self.config, "run_eval", True) and self.eval_samples:
+            eval_loader = self.model.get_data_loader(
+                self.config, self.assets, is_eval=True, samples=self.eval_samples, verbose=False, num_gpus=self.n_devices
+            )
+        for epoch in range(self.epochs_done, self.config.epochs):
+            self.keep_avg_train = KeepAverage()
+            epoch_start = time.time()
+            print(f"\n > EPOCH: {epoch}/{self.config.epochs} --> {self.output_path}", flush=True)
+            for batch in train_loader:
+                step_start = time.time()
+                batch = self.model.format_batch(batch)
+                logs = self.train_step(batch)
+                self.total_steps_done += 1
+                self.keep_avg_train.update_values({f"avg_{k}": v for k, v in logs.items()})
+                if self.total_steps_done % self.config.print_step == 0:
+                    logs["step_time"] = round(time.time() - step_start, 4)
+                    self.c_logger.train_step_stats(self.total_steps_done, logs)
+                if self.dashboard_logger:
+                    for k, v in logs.items():
+                        self.dashboard_logger.add_scalar(f"train/{k}", v, self.total_steps_done)
+                if (
+                    self.config.save_step > 0
+                    and self.total_steps_done % self.config.save_step == 0
+                    and getattr(self.config, "save_checkpoints", True)
+                ):
+                    self.save_checkpoint()
+            self.epochs_done = epoch + 1
+            print(f" > Epoch time: {time.time() - epoch_start:.2f} s")
+
+            eval_loss = None
+            if eval_loader is not None and epoch >= getattr(self.config, "test_delay_epochs", 0):
+                eval_loss = self.eval_epoch(eval_loader)
+            # per-epoch test synthesis hook
+            if hasattr(self.model, "test_run") and getattr(self.config, "run_eval", True):
+                try:
+                    figures, audios = self.model.test_run(self.params, self.assets)
+                    if self.dashboard_logger and audios:
+                        for name, (wav, sr) in audios.items():
+                            self.dashboard_logger.add_audio(name, np.asarray(wav)[None, :], self.total_steps_done, sample_rate=sr)
+                except Exception as e:  # test synthesis must never kill training
+                    print(f" [!] test_run failed: {e}")
+            # save best / periodic
+            target = eval_loss if eval_loss is not None else self.keep_avg_train.avg_values.get("avg_loss")
+            if target is not None:
+                self.best_loss = ckpt_io.save_best_model(
+                    target, self.best_loss, self._state_dict(), self.output_path, self.total_steps_done, self.config
+                )
+        self.save_checkpoint()
+        if self.dashboard_logger:
+            self.dashboard_logger.flush()
+
+    def eval_epoch(self, eval_loader) -> float:
+        losses = []
+        for batch in eval_loader:
+            batch = self.model.format_batch(batch)
+            dbatch = self._device_batch(batch)
+            self.rng, rng = jax.random.split(self.rng)
+            total = 0.0
+            for idx in range(self.num_optimizers):
+                loss, _ = jax.jit(self.model.loss_fn, static_argnames=("optimizer_idx",))(
+                    self.params, dbatch, rng, optimizer_idx=idx
+                )
+                total += float(loss)
+            losses.append(total)
+        avg = float(np.mean(losses)) if losses else float("nan")
+        print(f" | > EVAL loss: {avg:.5f}")
+        if self.dashboard_logger:
+            self.dashboard_logger.add_scalar("eval/loss", avg, self.total_steps_done)
+        return avg
+
+    # ------------------------------------------------------------- checkpoint
+    def _state_dict(self) -> Dict:
+        return {
+            "model": jax.device_get(self.params),
+            "optimizers": [jax.device_get(s) for s in self.opt_states],
+            "step": self.total_steps_done,
+            "epoch": self.epochs_done,
+            "best_loss": self.best_loss if np.isfinite(self.best_loss) else 1e30,
+        }
+
+    def save_checkpoint(self):
+        path = ckpt_io.save_checkpoint(
+            self._state_dict(),
+            self.output_path,
+            self.total_steps_done,
+            config=self.config,
+            keep_n=getattr(self.config, "save_n_checkpoints", 5),
+        )
+        print(f" > CHECKPOINT : {path}")
+
+    def _restore(self, path: str, full_state: bool):
+        if os.path.isdir(path) and not os.path.exists(os.path.join(path, "_METADATA")):
+            # a run dir: find latest checkpoint inside
+            last, _ = ckpt_io.get_last_checkpoint(path)
+            path = last
+        print(f" > Restoring from {path} ...")
+        state = ckpt_io.load_checkpoint(path)
+        self.params = jax.device_put(state["model"], self.repl_sharding)
+        self.model.params = self.params
+        if full_state:
+            if "optimizers" in state:
+                restored = state["optimizers"]
+                self.opt_states = [
+                    jax.device_put(_merge_opt_state(self.opt_states[i], restored[i]), self.repl_sharding)
+                    for i in range(len(self.opt_states))
+                ]
+            self.total_steps_done = int(state.get("step", 0))
+            self.epochs_done = int(state.get("epoch", 0))
+            self.best_loss = float(state.get("best_loss", float("inf")))
+
+
+def _merge_opt_state(template, restored):
+    """Restore optimizer state into the optax structure (orbax returns plain
+    nested containers; rebuild leaves onto the template treedef)."""
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    r_leaves = jax.tree_util.tree_leaves(restored)
+    if len(t_leaves) != len(r_leaves):
+        print(" [!] Optimizer state mismatch; reinitializing optimizer.")
+        return template
+    return jax.tree_util.tree_unflatten(treedef, r_leaves)
