@@ -1,0 +1,175 @@
+"""GAN vocoder wrapper: composes any generator + discriminator pair.
+
+Mirror of /root/reference/TTS/vocoder/models/gan.py:21 (`train_step`:68 with
+optimizer_idx alternation, PQMF hooks:104, steps_to_start_discriminator:254),
+re-designed functionally: optimizer_idx 0 = discriminator pass, 1 = generator
+pass; params live in `{"generator": ..., "discriminator": ...}` and
+`param_partition/param_merge` route gradients per optimizer.
+"""
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_tts.models.base_tts import BaseTTSModel
+from tpu_tts.vocoder.layers.losses import (
+    GeneratorLossConfig,
+    discriminator_loss,
+    generator_loss,
+)
+
+
+class GAN(BaseTTSModel):
+    def __init__(self, config, ap=None):
+        super().__init__(config, ap=ap)
+        from tpu_tts.vocoder.models import setup_discriminator, setup_generator
+
+        self.generator = setup_generator(config)
+        self.discriminator = setup_discriminator(config)
+        self.gen_loss_cfg = GeneratorLossConfig(config)
+        self.use_pqmf = getattr(config, "use_pqmf", False)
+        if self.use_pqmf:
+            from tpu_tts.vocoder.layers.pqmf import PQMF
+
+            self.pqmf = PQMF(N=4, taps=62, cutoff=0.15, beta=9.0)
+        else:
+            self.pqmf = None
+
+    def num_optimizers(self) -> int:
+        return 2
+
+    # ------------------------------------------------------------------ pure
+    def init_params(self, rng):
+        B, T_mel, C = 2, 8, self.config.audio.num_mels
+        hop = self.config.audio.hop_length
+        mel = jnp.zeros((B, T_mel, C))
+        g_rng, d_rng = jax.random.split(rng)
+        g_params = self.generator.init(g_rng, mel)["params"]
+        y = self._gen_apply(g_params, mel)
+        if self.pqmf is not None:
+            y = self.pqmf.synthesis(y)
+        d_params = self.discriminator.init(d_rng, y)["params"]
+        self.params = {"generator": g_params, "discriminator": d_params}
+        return self.params
+
+    def param_partition(self, params, optimizer_idx: int):
+        return params["discriminator"] if optimizer_idx == 0 else params["generator"]
+
+    def param_merge(self, params, subtree, optimizer_idx: int):
+        key = "discriminator" if optimizer_idx == 0 else "generator"
+        new = dict(params)
+        new[key] = subtree
+        return new
+
+    def _gen_apply(self, g_params, mel):
+        return self.generator.apply({"params": g_params}, mel)
+
+    def _disc_apply(self, d_params, y):
+        out = self.discriminator.apply({"params": d_params}, y)
+        if isinstance(out, tuple):
+            scores, feats = out
+        else:
+            scores, feats = out, None
+        if not isinstance(scores, list):
+            scores, feats = [scores], [feats] if feats is not None else None
+        return scores, feats
+
+    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
+        mel = batch["mel_input"]  # [B, T_mel, C]
+        y_real = batch["waveform"]  # [B, T, 1]
+        y_hat_mb = self._gen_apply(params["generator"], mel)
+        y_hat = self.pqmf.synthesis(y_hat_mb) if self.pqmf is not None else y_hat_mb
+        # clip to the real length (transposed convs may overshoot by padding)
+        T = min(y_hat.shape[1], y_real.shape[1])
+        y_hat = y_hat[:, :T]
+        y_real = y_real[:, :T]
+
+        if optimizer_idx == 0:
+            # ---- discriminator pass (fake detached) -------------------------
+            y_hat_d = jax.lax.stop_gradient(y_hat)
+            scores_fake, _ = self._disc_apply(params["discriminator"], y_hat_d)
+            scores_real, _ = self._disc_apply(params["discriminator"], y_real)
+            losses = discriminator_loss(self.config, scores_fake, scores_real)
+            return losses["loss"], losses
+
+        # ---- generator pass -------------------------------------------------
+        d_params = jax.lax.stop_gradient(params["discriminator"])
+        scores_fake, feats_fake = self._disc_apply(d_params, y_hat)
+        _, feats_real = self._disc_apply(d_params, y_real)
+        y_sub = None
+        if self.pqmf is not None:
+            y_sub = self.pqmf.analysis(y_real)
+        losses = generator_loss(
+            self.gen_loss_cfg,
+            y_hat=y_hat,
+            y=y_real,
+            scores_fake=scores_fake,
+            feats_fake=feats_fake,
+            feats_real=feats_real,
+            y_hat_sub=y_hat_mb if self.pqmf is not None else None,
+            y_sub=y_sub,
+        )
+        return losses["loss"], losses
+
+    # ------------------------------------------------------------- optimizers
+    def get_optimizer(self):
+        from tpu_tts.train.optimizers import get_optimizer, get_scheduler
+
+        sched_d = get_scheduler(
+            getattr(self.config, "lr_scheduler_disc", None),
+            getattr(self.config, "lr_scheduler_disc_params", {}) or {},
+            getattr(self.config, "lr_disc", self.config.lr),
+        )
+        sched_g = get_scheduler(
+            getattr(self.config, "lr_scheduler_gen", None),
+            getattr(self.config, "lr_scheduler_gen_params", {}) or {},
+            getattr(self.config, "lr_gen", self.config.lr),
+        )
+        opt_d = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_d)
+        opt_g = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_g)
+        return [opt_d, opt_g]
+
+    # -------------------------------------------------------------- inference
+    def inference(self, mel: np.ndarray) -> np.ndarray:
+        """mel `[B, T, C]` (or `[T, C]`) → waveform `[B, T*hop, 1]`."""
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2:
+            mel = mel[None]
+        fn = jax.jit(lambda p, m: self._gen_apply(p, m))
+        y = fn(self.params["generator"], mel)
+        if self.pqmf is not None:
+            y = jax.jit(self.pqmf.synthesis)(y)
+        return np.asarray(y)
+
+    # ------------------------------------------------------------- dataloader
+    def get_data_loader(self, config, assets, is_eval, samples, verbose, num_gpus, rank=0):
+        from tpu_tts.vocoder.datasets.gan_dataset import GANDataset, GANDataLoader
+
+        dataset = GANDataset(
+            ap=self.ap,
+            items=samples,
+            seq_len=config.seq_len,
+            hop_len=self.ap.hop_length,
+            pad_short=config.pad_short,
+            conv_pad=config.conv_pad,
+            return_pairs=getattr(config, "diff_samples_for_G_and_D", False),
+            is_training=not is_eval,
+            use_noise_augment=config.use_noise_augment and not is_eval,
+            use_cache=config.use_cache,
+        )
+        return GANDataLoader(
+            dataset,
+            batch_size=config.eval_batch_size if is_eval else config.batch_size,
+            shuffle=not is_eval,
+            drop_last=not is_eval,
+            seed=getattr(config, "training_seed", 0),
+        )
+
+    @staticmethod
+    def init_from_config(config, samples=None):
+        from tpu_tts.audio import AudioProcessor
+
+        ap = AudioProcessor.init_from_config(config, verbose=False)
+        return GAN(config, ap=ap)
