@@ -1,0 +1,88 @@
+"""Benchmark: VITS end-to-end inference RTF on the current accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's published VITS inference RTF of ×67.12 realtime on
+"a GPU" (/root/reference/docs/source/models/vits.md:7; BASELINE.md).
+
+Measures the full-size VITS graph (hidden 192, HiFi-GAN v1 decoder, hop 256 @
+22.05 kHz) generating bucketed fixed-shape audio: tokens → durations → flow
+reverse → waveform. Audio seconds are counted from the decoded frames actually
+produced (y_max bucket), since the padded decode does the full compute.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: driver re-runs skip the multi-minute
+    # remote compile of the full VITS graph
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from tpu_tts.configs.vits_config import VitsConfig
+    from tpu_tts.models.vits import Vits, VitsNet
+
+    cfg = VitsConfig()
+    cfg.model_args.num_chars = 165
+    model = Vits(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    sr = cfg.audio.sample_rate
+    hop = cfg.audio.hop_length
+    B = int(os.environ.get("BENCH_BATCH", "8"))
+    T_en = 128
+    Y_MAX = 768  # mel frames per item -> 768*256/22050 = 8.9 s audio each
+
+    x = jnp.asarray(np.random.default_rng(0).integers(1, 160, (B, T_en)), dtype=jnp.int32)
+    xl = jnp.full((B,), T_en, dtype=jnp.int32)
+
+    fn = jax.jit(
+        lambda p, xi, xli, rng: model.net.apply(
+            {"params": p}, xi, xli, Y_MAX,
+            method=VitsNet.inference,
+            rngs={"noise": rng, "sdp": jax.random.fold_in(rng, 1)},
+        )["model_outputs"]
+    )
+
+    g = params["generator"]
+    # warmup / compile; force a real device->host sync via scalar fetch
+    # (block_until_ready alone can be unreliable on experimental backends)
+    out = fn(g, x, xl, jax.random.PRNGKey(0))
+    _ = float(jnp.sum(out[:, :: 1024]))
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+    acc = jnp.zeros(())
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = fn(g, x, xl, jax.random.PRNGKey(i))
+        acc = acc + out[0, 0, 0] + out[-1, -1, 0]
+    checksum = float(acc)  # D2H transfer: forces all queued work to finish
+    dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+
+    audio_seconds = n_iters * B * (Y_MAX * hop / sr)
+    rtf = audio_seconds / dt
+    baseline = 67.12
+    print(
+        json.dumps(
+            {
+                "metric": "vits_e2e_inference_rtf",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

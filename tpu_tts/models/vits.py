@@ -1,0 +1,517 @@
+"""VITS: end-to-end VAE + flow + GAN TTS.
+
+TPU-native re-design of /root/reference/TTS/tts/models/vits.py (forward:909,
+inference:1089, voice conversion:1176, train_step:1230, on-device features
+format_batch_on_device:1495). Differences by design:
+- Everything in one jitted loss per optimizer: linear spec and mels are
+  computed on-device with the matmul-STFT; MAS runs on-device (lax.scan);
+  random windowed decoder training via `rand_segments` under the jit rng.
+- D-step and G-step draw independent segment/noise rngs (equivalent to the
+  reference's `diff_samples_for_G_and_D=True` mode).
+- Inference uses bucketed static mel lengths.
+
+Layout: channels-last `[B, T, C]` everywhere.
+"""
+
+import math
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_tts.audio import jax_transforms as jt
+from tpu_tts.layers.losses import feature_loss as fm_loss
+from tpu_tts.layers.losses import discriminator_loss as d_loss_fn
+from tpu_tts.layers.losses import generator_loss as g_adv_loss_fn
+from tpu_tts.layers.losses import kl_loss
+from tpu_tts.layers.vits import (
+    ResidualCouplingBlocks,
+    StochasticDurationPredictor,
+    VitsDiscriminator,
+    VitsPosteriorEncoder,
+    VitsTextEncoder,
+)
+from tpu_tts.layers.common import DurationPredictor
+from tpu_tts.models.base_tts import BaseTTSModel
+from tpu_tts.ops.helpers import generate_path, rand_segments, segment, sequence_mask
+from tpu_tts.ops.mas import maximum_path_jax
+from tpu_tts.vocoder.models.hifigan_generator import HifiganGenerator
+
+
+class VitsNet(nn.Module):
+    """Generator side of VITS (everything except the discriminator)."""
+
+    args: tuple  # frozen tuple of VitsArgs items (hashability for flax)
+
+    @property
+    def a(self):
+        return dict(self.args)
+
+    def setup(self):
+        a = self.a
+        self.use_sdp = a["use_sdp"]
+        self.spec_segment_size = a["spec_segment_size"]
+        embedded_speaker_dim = 0
+        if a["use_speaker_embedding"] and a["num_speakers"] > 1:
+            embedded_speaker_dim = a["speaker_embedding_channels"]
+            self.emb_g = nn.Embed(a["num_speakers"], embedded_speaker_dim)
+        elif a["use_d_vector_file"]:
+            embedded_speaker_dim = a["d_vector_dim"] or 512
+        self.embedded_speaker_dim = embedded_speaker_dim
+        lang_dim = a["embedded_language_dim"] if a["use_language_embedding"] else 0
+        if lang_dim:
+            self.emb_l = nn.Embed(a["num_languages"], lang_dim)
+        self.lang_dim = lang_dim
+
+        self.text_encoder = VitsTextEncoder(
+            n_vocab=a["num_chars"],
+            out_channels=a["hidden_channels"],
+            hidden_channels=a["hidden_channels"],
+            hidden_channels_ffn=a["hidden_channels_ffn_text_encoder"],
+            num_heads=a["num_heads_text_encoder"],
+            num_layers=a["num_layers_text_encoder"],
+            kernel_size=a["kernel_size_text_encoder"],
+            dropout_p=a["dropout_p_text_encoder"],
+            language_emb_dim=lang_dim,
+        )
+        self.posterior_encoder = VitsPosteriorEncoder(
+            in_channels=a["out_channels"],
+            out_channels=a["hidden_channels"],
+            hidden_channels=a["hidden_channels"],
+            kernel_size=a["kernel_size_posterior_encoder"],
+            dilation_rate=a["dilation_rate_posterior_encoder"],
+            num_layers=a["num_layers_posterior_encoder"],
+            cond_channels=embedded_speaker_dim,
+        )
+        self.flow = ResidualCouplingBlocks(
+            channels=a["hidden_channels"],
+            hidden_channels=a["hidden_channels"],
+            kernel_size=a["kernel_size_flow"],
+            dilation_rate=a["dilation_rate_flow"],
+            num_layers=a["num_layers_flow"],
+            cond_channels=embedded_speaker_dim,
+        )
+        dp_cond = embedded_speaker_dim if a["condition_dp_on_speaker"] else 0
+        if self.use_sdp:
+            self.duration_predictor = StochasticDurationPredictor(
+                in_channels=a["hidden_channels"],
+                hidden_channels=192,
+                kernel_size=3,
+                dropout_p=a["dropout_p_duration_predictor"],
+                num_flows=4,
+                cond_channels=dp_cond,
+                language_emb_dim=lang_dim,
+            )
+        else:
+            self.duration_predictor = DurationPredictor(
+                hidden_channels=256,
+                kernel_size=3,
+                dropout_p=a["dropout_p_duration_predictor"],
+                cond_channels=dp_cond,
+                language_emb_dim=lang_dim,
+            )
+        self.waveform_decoder = HifiganGenerator(
+            in_channels=a["hidden_channels"],
+            out_channels=1,
+            resblock_type=str(a["resblock_type_decoder"]),
+            resblock_dilation_sizes=tuple(tuple(d) for d in a["resblock_dilation_sizes_decoder"]),
+            resblock_kernel_sizes=tuple(a["resblock_kernel_sizes_decoder"]),
+            upsample_kernel_sizes=tuple(a["upsample_kernel_sizes_decoder"]),
+            upsample_initial_channel=a["upsample_initial_channel_decoder"],
+            upsample_factors=tuple(a["upsample_rates_decoder"]),
+            cond_channels=embedded_speaker_dim,
+        )
+
+    # -------------------------------------------------------------- helpers
+    def _cond_embeddings(self, speaker_ids, d_vectors, language_ids):
+        g = None
+        if speaker_ids is not None and self.a["use_speaker_embedding"]:
+            g = self.emb_g(speaker_ids)[:, None, :]
+        elif d_vectors is not None:
+            g = d_vectors[:, None, :]
+        lang_emb = None
+        if self.lang_dim and language_ids is not None:
+            lang_emb = self.emb_l(language_ids)[:, None, :]
+        return g, lang_emb
+
+    def _duration_loss_and_attn(self, z_p, m_p, logs_p, h_text, x_mask, y_mask, g, lang_emb, train):
+        """MAS alignment + duration predictor loss (ref forward_mas vits.py:909)."""
+        attn_mask = x_mask * jnp.swapaxes(y_mask, 1, 2)  # [B, T_en, T_de]
+        o_scale = jnp.exp(-2 * logs_p)
+        logp1 = jnp.sum(-0.5 * math.log(2 * math.pi) - logs_p, axis=-1, keepdims=True)
+        logp2 = jnp.einsum("bec,btc->bet", o_scale, -0.5 * (z_p**2))
+        logp3 = jnp.einsum("bec,btc->bet", m_p * o_scale, z_p)
+        logp4 = jnp.sum(-0.5 * (m_p**2) * o_scale, axis=-1, keepdims=True)
+        logp = logp1 + logp2 + logp3 + logp4
+        attn = maximum_path_jax(logp, attn_mask)  # [B, T_en, T_de]
+        dr = jnp.sum(attn, axis=-1, keepdims=True)  # [B, T_en, 1]
+
+        dp_in = jax.lax.stop_gradient(h_text) if self.a["detach_dp_input"] else h_text
+        dp_g = g
+        if dp_g is not None and self.a["detach_dp_input"]:
+            dp_g = jax.lax.stop_gradient(dp_g)
+        if not self.a["condition_dp_on_speaker"]:
+            dp_g = None
+        if self.use_sdp:
+            nll = self.duration_predictor(
+                dp_in, x_mask, dr=dr, g=dp_g, lang_emb=lang_emb, reverse=False, train=train
+            )
+            loss_duration = jnp.sum(nll.astype(jnp.float32)) / jnp.sum(x_mask)
+        else:
+            log_durations = self.duration_predictor(dp_in, x_mask, g=dp_g, lang_emb=lang_emb, train=train)
+            attn_log_durations = jnp.log(dr + 1) * x_mask
+            loss_duration = jnp.sum((log_durations - attn_log_durations) ** 2) / jnp.sum(x_mask)
+        return attn, loss_duration
+
+    # -------------------------------------------------------------- training
+    def __call__(
+        self,
+        x,
+        x_lengths,
+        spec,
+        spec_lengths,
+        speaker_ids=None,
+        d_vectors=None,
+        language_ids=None,
+        train: bool = True,
+    ) -> Dict:
+        g, lang_emb = self._cond_embeddings(speaker_ids, d_vectors, language_ids)
+        h_text, m_p, logs_p, x_mask = self.text_encoder(x, x_lengths, lang_emb=lang_emb, train=train)
+        z, m_q, logs_q, y_mask = self.posterior_encoder(spec, spec_lengths, g=g, train=train)
+        z_p = self.flow(z, y_mask, g=g, train=train)
+
+        attn, loss_duration = self._duration_loss_and_attn(
+            z_p, m_p, logs_p, h_text, x_mask, y_mask, g, lang_emb, train
+        )
+        # expand prior to frame level
+        m_p_ex = jnp.einsum("bet,bec->btc", attn, m_p)
+        logs_p_ex = jnp.einsum("bet,bec->btc", attn, logs_p)
+
+        # random windowed decoding (ref rand_segments + vits.py:1034)
+        z_slice, slice_ids = rand_segments(
+            self.make_rng("segments"), jnp.swapaxes(z, 1, 2), spec_lengths,
+            segment_size=self.spec_segment_size, let_short_samples=True, pad_short=True,
+        )
+        z_slice = jnp.swapaxes(z_slice, 1, 2)  # back to [B, seg, C]
+        o = self.waveform_decoder(z_slice, g=g)
+        return {
+            "model_outputs": o,
+            "alignments": jnp.swapaxes(attn, 1, 2),
+            "m_p": m_p_ex,
+            "logs_p": logs_p_ex,
+            "z": z,
+            "z_p": z_p,
+            "m_q": m_q,
+            "logs_q": logs_q,
+            "y_mask": y_mask,
+            "loss_duration": loss_duration,
+            "slice_ids": slice_ids,
+        }
+
+    # ------------------------------------------------------------- inference
+    def inference(
+        self,
+        x,
+        x_lengths,
+        y_max_length: int,
+        speaker_ids=None,
+        d_vectors=None,
+        language_ids=None,
+        noise_scale: float = None,
+        length_scale: float = None,
+        sdp_noise_scale: float = None,
+    ) -> Dict:
+        a = self.a
+        noise_scale = a["inference_noise_scale"] if noise_scale is None else noise_scale
+        length_scale = a["length_scale"] if length_scale is None else length_scale
+        sdp_noise_scale = a["inference_noise_scale_dp"] if sdp_noise_scale is None else sdp_noise_scale
+        g, lang_emb = self._cond_embeddings(speaker_ids, d_vectors, language_ids)
+        h_text, m_p, logs_p, x_mask = self.text_encoder(x, x_lengths, lang_emb=lang_emb, train=False)
+        dp_g = g if a["condition_dp_on_speaker"] else None
+        if self.use_sdp:
+            logw = self.duration_predictor(
+                h_text, x_mask, g=dp_g, lang_emb=lang_emb, reverse=True,
+                noise_scale=sdp_noise_scale, train=False,
+            )
+        else:
+            logw = self.duration_predictor(h_text, x_mask, g=dp_g, lang_emb=lang_emb, train=False)
+        w = jnp.exp(logw) * x_mask * length_scale
+        w_ceil = jnp.ceil(w) * x_mask
+        y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=(1, 2)), 1).astype(jnp.int32)
+        y_lengths = jnp.minimum(y_lengths, y_max_length)
+        y_mask = sequence_mask(y_lengths, y_max_length).astype(x_mask.dtype)[:, :, None]
+        attn_mask = x_mask * jnp.swapaxes(y_mask, 1, 2)
+        attn = generate_path(w_ceil[:, :, 0], attn_mask)
+        m_p_ex = jnp.einsum("bet,bec->btc", attn, m_p)
+        logs_p_ex = jnp.einsum("bet,bec->btc", attn, logs_p)
+        noise = jax.random.normal(self.make_rng("noise"), m_p_ex.shape)
+        z_p = m_p_ex + noise * jnp.exp(logs_p_ex) * noise_scale
+        z = self.flow(z_p * y_mask, y_mask, g=g, reverse=True)
+        o = self.waveform_decoder(z * y_mask, g=g)
+        return {
+            "model_outputs": o,
+            "alignments": jnp.swapaxes(attn, 1, 2),
+            "y_lengths": y_lengths,
+            "durations": w_ceil[:, :, 0],
+        }
+
+    def voice_conversion(self, spec, spec_lengths, g_src, g_tgt):
+        """Spec of source speaker → waveform of target speaker
+        (ref inference_voice_conversion vits.py:1176)."""
+        z, _, _, y_mask = self.posterior_encoder(spec, spec_lengths, g=g_src, train=False)
+        z_p = self.flow(z, y_mask, g=g_src)
+        z_hat = self.flow(z_p, y_mask, g=g_tgt, reverse=True)
+        return self.waveform_decoder(z_hat * y_mask, g=g_tgt)
+
+
+class Vits(BaseTTSModel):
+    """Orchestrator: 2-optimizer GAN training (D=idx0, G=idx1)."""
+
+    def __init__(self, config, ap=None, tokenizer=None, speaker_manager=None, language_manager=None):
+        super().__init__(config, ap, tokenizer, speaker_manager, language_manager)
+        args = config.model_args
+        if tokenizer is not None and tokenizer.characters is not None:
+            args.num_chars = tokenizer.characters.num_chars
+        if speaker_manager is not None and args.use_speaker_embedding:
+            args.num_speakers = max(args.num_speakers, speaker_manager.num_speakers)
+        if language_manager is not None:
+            args.num_languages = max(args.num_languages, language_manager.num_languages)
+        if args.encoder_sample_rate:
+            raise NotImplementedError(" [!] encoder_sample_rate upsampling variant lands in a later round.")
+        if args.use_speaker_encoder_as_loss:
+            raise NotImplementedError(" [!] speaker-consistency loss lands with the speaker encoder round.")
+        self.args = args
+        self.net = VitsNet(args=tuple(sorted(args.to_dict().items(), key=lambda kv: kv[0])))
+        self.disc = VitsDiscriminator(
+            periods=tuple(args.periods_multi_period_discriminator),
+            use_spectral_norm=args.use_spectral_norm_disriminator,
+        )
+        self._infer_cache = {}
+
+    def num_optimizers(self) -> int:
+        return 2
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, rng):
+        a = self.args
+        B, T_en, T_spec = 2, 8, 12
+        x = jnp.zeros((B, T_en), dtype=jnp.int32)
+        xl = jnp.full((B,), T_en, dtype=jnp.int32)
+        spec = jnp.zeros((B, T_spec, a.out_channels))
+        sl = jnp.full((B,), T_spec, dtype=jnp.int32)
+        kwargs = {}
+        if a.use_speaker_embedding and a.num_speakers > 1:
+            kwargs["speaker_ids"] = jnp.zeros((B,), dtype=jnp.int32)
+        elif a.use_d_vector_file:
+            kwargs["d_vectors"] = jnp.zeros((B, a.d_vector_dim or 512))
+        if a.use_language_embedding:
+            kwargs["language_ids"] = jnp.zeros((B,), dtype=jnp.int32)
+        rng_p, rng_d, r1, r2, r3, r4 = jax.random.split(rng, 6)
+        g_vars = self.net.init(
+            {"params": rng_p, "posterior": r1, "segments": r2, "sdp": r3, "dropout": r4},
+            x, xl, spec, sl, train=True, **kwargs,
+        )
+        hop = int(np.prod(a.upsample_rates_decoder))
+        d_vars = self.disc.init(rng_d, jnp.zeros((B, a.spec_segment_size * hop, 1)))
+        self.params = {"generator": g_vars["params"], "discriminator": d_vars["params"]}
+        return self.params
+
+    def param_partition(self, params, optimizer_idx: int):
+        return params["discriminator"] if optimizer_idx == 0 else params["generator"]
+
+    def param_merge(self, params, subtree, optimizer_idx: int):
+        key = "discriminator" if optimizer_idx == 0 else "generator"
+        new = dict(params)
+        new[key] = subtree
+        return new
+
+    # ----------------------------------------------------------- featurizers
+    def _spec_from_wav(self, waveform):
+        """On-device linear spectrogram, VITS framing. waveform `[B, T, 1]` →
+        `[B, T_spec, C]` (replaces format_batch_on_device, ref vits.py:1495)."""
+        a = self.config.audio
+        spec = jt.wav_to_spec(
+            waveform[..., 0], fft_size=a.fft_size, hop_length=a.hop_length, win_length=a.win_length, center=False
+        )  # [B, C, T]
+        return jnp.swapaxes(spec, 1, 2)
+
+    def _mel_from_spec(self, spec):
+        a = self.config.audio
+        mel = jt.spec_to_mel(
+            jnp.swapaxes(spec, 1, 2), fft_size=a.fft_size, num_mels=a.num_mels,
+            sample_rate=a.sample_rate, fmin=a.mel_fmin, fmax=a.mel_fmax,
+        )
+        return jnp.swapaxes(mel, 1, 2)
+
+    def _mel_from_wav(self, wav):
+        a = self.config.audio
+        mel = jt.wav_to_mel(
+            wav[..., 0], fft_size=a.fft_size, num_mels=a.num_mels, sample_rate=a.sample_rate,
+            hop_length=a.hop_length, win_length=a.win_length, fmin=a.mel_fmin, fmax=a.mel_fmax, center=False,
+        )
+        return jnp.swapaxes(mel, 1, 2)
+
+    def _forward_g(self, g_params, batch, rng, train=True):
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        spec = self._spec_from_wav(batch["waveform"])
+        spec_lengths = batch["mel_lengths"]
+        return self.net.apply(
+            {"params": g_params},
+            batch["text_input"],
+            batch["text_lengths"],
+            spec,
+            spec_lengths,
+            speaker_ids=batch.get("speaker_ids"),
+            d_vectors=batch.get("d_vectors"),
+            language_ids=batch.get("language_ids"),
+            train=train,
+            rngs={"posterior": r1, "segments": r2, "sdp": r3, "dropout": r4},
+        ), spec
+
+    # ---------------------------------------------------------------- losses
+    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
+        hop = int(np.prod(self.args.upsample_rates_decoder))
+        if optimizer_idx == 0:
+            outputs, _ = self._forward_g(params["generator"], batch, rng, train=True)
+            y_hat = jax.lax.stop_gradient(outputs["model_outputs"])
+            wav_seg = segment(
+                jnp.swapaxes(batch["waveform"], 1, 2),
+                outputs["slice_ids"] * hop,
+                y_hat.shape[1],
+                pad_short=True,
+            )
+            wav_seg = jnp.swapaxes(wav_seg, 1, 2)
+            scores_fake, _ = self.disc.apply({"params": params["discriminator"]}, y_hat)
+            scores_real, _ = self.disc.apply({"params": params["discriminator"]}, wav_seg)
+            loss = d_loss_fn(scores_real, scores_fake) * self.config.disc_loss_alpha
+            return loss, {"loss_disc": loss}
+
+        # generator pass
+        outputs, spec = self._forward_g(params["generator"], batch, rng, train=True)
+        y_hat = outputs["model_outputs"]
+        wav_seg = segment(
+            jnp.swapaxes(batch["waveform"], 1, 2), outputs["slice_ids"] * hop, y_hat.shape[1], pad_short=True
+        )
+        wav_seg = jnp.swapaxes(wav_seg, 1, 2)
+        d_params = jax.lax.stop_gradient(params["discriminator"])
+        scores_fake, feats_fake = self.disc.apply({"params": d_params}, y_hat)
+        _, feats_real = self.disc.apply({"params": d_params}, wav_seg)
+
+        # mel L1 on the decoded segment
+        mel_hat = self._mel_from_wav(y_hat)
+        mel_seg = segment(
+            jnp.swapaxes(self._mel_from_spec(spec), 1, 2), outputs["slice_ids"], self.args.spec_segment_size,
+            pad_short=True,
+        )
+        mel_seg = jnp.swapaxes(mel_seg, 1, 2)
+        T = min(mel_hat.shape[1], mel_seg.shape[1])
+        loss_mel = jnp.mean(jnp.abs(mel_seg[:, :T] - mel_hat[:, :T])) * self.config.mel_loss_alpha
+        loss_kl = (
+            kl_loss(outputs["z_p"], outputs["logs_q"], outputs["m_p"], outputs["logs_p"], outputs["y_mask"])
+            * self.config.kl_loss_alpha
+        )
+        loss_feat = fm_loss(feats_real, feats_fake) * self.config.feat_loss_alpha
+        loss_gen = g_adv_loss_fn(scores_fake) * self.config.gen_loss_alpha
+        loss_duration = outputs["loss_duration"] * self.config.dur_loss_alpha
+        loss = loss_mel + loss_kl + loss_feat + loss_gen + loss_duration
+        return loss, {
+            "loss_gen_total": loss,
+            "loss_mel": loss_mel,
+            "loss_kl": loss_kl,
+            "loss_feat": loss_feat,
+            "loss_gen": loss_gen,
+            "loss_duration": loss_duration,
+        }
+
+    # -------------------------------------------------------------- optimize
+    def get_optimizer(self):
+        from tpu_tts.train.optimizers import get_optimizer, get_scheduler
+
+        sched_d = get_scheduler(
+            self.config.lr_scheduler_disc, self.config.lr_scheduler_disc_params, self.config.lr_disc
+        )
+        sched_g = get_scheduler(
+            self.config.lr_scheduler_gen, self.config.lr_scheduler_gen_params, self.config.lr_gen
+        )
+        opt_d = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_d)
+        opt_g = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_g)
+        return [opt_d, opt_g]
+
+    # ------------------------------------------------------------- inference
+    def inference(self, x: np.ndarray, aux_input=None, bucket: int = 256) -> Dict:
+        aux_input = aux_input or {}
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None]
+        x_lengths = aux_input.get("x_lengths")
+        if x_lengths is None:
+            x_lengths = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
+        est = int(x.shape[1]) * 12
+        y_max = max(bucket, int(np.ceil(est / bucket)) * bucket)
+        if self.args.max_inference_len:
+            y_max = min(y_max, self.args.max_inference_len)
+        key = (x.shape, int(y_max))
+        if key not in self._infer_cache:
+            self._infer_cache[key] = jax.jit(
+                lambda p, xi, xli, sid, dvec, lid, rng: self.net.apply(
+                    {"params": p}, xi, xli, y_max,
+                    speaker_ids=sid, d_vectors=dvec, language_ids=lid,
+                    method=VitsNet.inference,
+                    rngs={"noise": rng, "sdp": jax.random.fold_in(rng, 1)},
+                )
+            )
+        out = self._infer_cache[key](
+            self.params["generator"],
+            x,
+            jnp.asarray(x_lengths),
+            aux_input.get("speaker_ids"),
+            aux_input.get("d_vectors"),
+            aux_input.get("language_ids"),
+            jax.random.PRNGKey(int(aux_input.get("seed", 0))),
+        )
+        return out
+
+    def voice_conversion(self, source_wav: np.ndarray, speaker_cond_src, speaker_cond_tgt) -> np.ndarray:
+        """Host entry for VC (ref vits.py:1176)."""
+        wav = jnp.asarray(source_wav, dtype=jnp.float32).reshape(1, -1, 1)
+        spec = self._spec_from_wav(wav)
+        sl = jnp.array([spec.shape[1]], dtype=jnp.int32)
+
+        def embed(cond):
+            if isinstance(cond, (int, np.integer)):
+                emb_table = self.params["generator"]["emb_g"]["embedding"]
+                return jnp.asarray(emb_table)[None, None, int(cond)]
+            return jnp.asarray(cond).reshape(1, 1, -1)
+
+        g_src = embed(speaker_cond_src)
+        g_tgt = embed(speaker_cond_tgt)
+        o = self.net.apply(
+            {"params": self.params["generator"]}, spec, sl, g_src, g_tgt, method=VitsNet.voice_conversion,
+            rngs={"posterior": jax.random.PRNGKey(0)},
+        )
+        return np.asarray(o)[0, :, 0]
+
+    # ------------------------------------------------------------ dataloader
+    def get_data_loader(self, config, assets, is_eval, samples, verbose, num_gpus, rank=0):
+        config.return_wav = True
+        config.compute_linear_spec = False  # computed on device
+        return super().get_data_loader(config, assets, is_eval, samples, verbose, num_gpus, rank)
+
+    # -------------------------------------------------------------- factory
+    @staticmethod
+    def init_from_config(config, samples=None):
+        from tpu_tts.audio import AudioProcessor
+        from tpu_tts.text.tokenizer import TTSTokenizer
+        from tpu_tts.managers import LanguageManager, SpeakerManager
+
+        upsample_rate = int(np.prod(config.model_args.upsample_rates_decoder))
+        assert upsample_rate == config.audio.hop_length, (
+            f" [!] Product of upsample rates must equal the hop length - {upsample_rate} vs {config.audio.hop_length}"
+        )
+        ap = AudioProcessor.init_from_config(config, verbose=False)
+        tokenizer, new_config = TTSTokenizer.init_from_config(config)
+        speaker_manager = SpeakerManager.init_from_config(new_config.model_args, samples)
+        language_manager = LanguageManager.init_from_config(new_config.model_args)
+        return Vits(new_config, ap, tokenizer, speaker_manager, language_manager)
