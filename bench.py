@@ -54,20 +54,20 @@ def main():
     )
 
     g = params["generator"]
-    # warmup / compile; force a real device->host sync via scalar fetch
+    # warmup / compile; force a real device->host sync via data fetch
     # (block_until_ready alone can be unreliable on experimental backends)
     out = fn(g, x, xl, jax.random.PRNGKey(0))
-    _ = float(jnp.sum(out[:, :: 1024]))
+    chk = np.asarray(out[:, :8, 0])
+    assert np.isfinite(chk).all()
 
-    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
-    acc = jnp.zeros(())
-    t0 = time.perf_counter()
+    n_iters = int(os.environ.get("BENCH_ITERS", "10"))
+    times = []
     for i in range(n_iters):
-        out = fn(g, x, xl, jax.random.PRNGKey(i))
-        acc = acc + out[0, 0, 0] + out[-1, -1, 0]
-    checksum = float(acc)  # D2H transfer: forces all queued work to finish
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
+        t0 = time.perf_counter()
+        out = fn(g, x, xl, jax.random.PRNGKey(i + 1))
+        _ = np.asarray(out[:, :8, 0])  # per-round D2H sync
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times)) * n_iters
 
     audio_seconds = n_iters * B * (Y_MAX * hop / sr)
     rtf = audio_seconds / dt

@@ -1,0 +1,95 @@
+"""Tacotron/Tacotron2 configs (mirror of /root/reference/TTS/tts/configs/
+{tacotron_config.py, tacotron2_config.py})."""
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from tpu_tts.config import register_config_class
+from tpu_tts.configs.shared_configs import BaseTTSConfig, CapacitronVAEConfig, GSTConfig
+
+
+@register_config_class("tacotron")
+@dataclass
+class TacotronConfig(BaseTTSConfig):
+    model: str = "tacotron"
+    use_gst: bool = False
+    gst: Optional[GSTConfig] = None
+    gst_style_input: Optional[str] = None
+    use_capacitron_vae: bool = False
+    capacitron_vae: Optional[CapacitronVAEConfig] = None
+
+    num_chars: Optional[int] = None
+    num_speakers: int = 1
+    r: int = 2
+    gradual_training: Optional[List[List[int]]] = None
+    memory_size: int = -1
+    prenet_type: str = "original"
+    prenet_dropout: bool = True
+    prenet_dropout_at_inference: bool = False
+    stopnet: bool = True
+    separate_stopnet: bool = True
+    stopnet_pos_weight: float = 0.2
+    max_decoder_steps: int = 500
+    encoder_in_features: int = 256
+    decoder_in_features: int = 256
+    decoder_output_dim: int = 80
+    out_channels: int = 513
+
+    # attention
+    attention_type: str = "original"
+    attention_heads: Optional[int] = None
+    attention_norm: str = "sigmoid"
+    attention_win: bool = False
+    windowing: bool = False
+    use_forward_attn: bool = False
+    forward_attn_mask: bool = False
+    transition_agent: bool = False
+    location_attn: bool = True
+    bidirectional_decoder: bool = False
+    double_decoder_consistency: bool = False
+    ddc_r: int = 6
+    speakers_file: Optional[str] = None
+    use_speaker_embedding: bool = False
+    speaker_embedding_dim: int = 512
+    use_d_vector_file: bool = False
+    d_vector_file: Optional[str] = None
+    d_vector_dim: Optional[int] = None
+
+    # optimizer
+    optimizer: str = "radam"
+    optimizer_params: dict = field(default_factory=lambda: {"betas": [0.9, 0.998], "weight_decay": 1e-6})
+    lr_scheduler: str = "noam"
+    lr_scheduler_params: dict = field(default_factory=lambda: {"warmup_steps": 4000})
+    lr: float = 1e-4
+    grad_clip: float = 5.0
+    seq_len_norm: bool = False
+    loss_masking: bool = True
+
+    # loss params
+    decoder_loss_alpha: float = 0.25
+    postnet_loss_alpha: float = 0.25
+    postnet_diff_spec_alpha: float = 0.25
+    decoder_diff_spec_alpha: float = 0.25
+    decoder_ssim_alpha: float = 0.25
+    postnet_ssim_alpha: float = 0.25
+    ga_alpha: float = 5.0
+
+    test_sentences: List[str] = field(
+        default_factory=lambda: [
+            "It took me quite a long time to develop a voice, and now that I have it I'm not going to be silent.",
+            "Be a voice, not an echo.",
+            "I'm sorry Dave. I'm afraid I can't do that.",
+            "This cake is great. It's so delicious and moist.",
+            "Prior to November 22, 1963.",
+        ]
+    )
+
+
+@register_config_class("tacotron2")
+@dataclass
+class Tacotron2Config(TacotronConfig):
+    model: str = "tacotron2"
+    out_channels: int = 80
+    encoder_in_features: int = 512
+    decoder_in_features: int = 512
+    attention_norm: str = "softmax"

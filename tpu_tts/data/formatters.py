@@ -47,7 +47,7 @@ def ljspeech_test(root_path, meta_file, **kwargs):
             {
                 "text": cols[2] if len(cols) > 2 else cols[1],
                 "audio_file": wav_file,
-                "speaker_name": f"ljspeech-{idx}",
+                "speaker_name": f"ljspeech-{idx % 10}",  # 10 round-robin speakers
                 "root_path": root_path,
             }
         )

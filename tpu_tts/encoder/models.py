@@ -1,0 +1,189 @@
+"""Speaker (d-vector) encoders: LSTM and SE-ResNet with attentive pooling.
+
+Mirror of /root/reference/TTS/encoder/models/{base_encoder.py (BaseEncoder
+with torch-spec frontend + sliding-window `compute_embedding`:68), lstm.py
+(LSTMSpeakerEncoder:34), resnet.py (ResNetSpeakerEncoder:59)}.
+Input features are on-device log-mels (matmul-STFT).
+"""
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_tts.audio.jax_transforms import wav_to_mel
+
+
+class LSTMSpeakerEncoder(nn.Module):
+    """3-layer LSTM over mels → projection → L2-norm embedding (ref lstm.py:34)."""
+
+    input_dim: int = 80
+    proj_dim: int = 256
+    lstm_dim: int = 768
+    num_lstm_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x, l2_norm: bool = True):
+        """x: `[B, T, C_mel]` → `[B, proj_dim]`."""
+        for i in range(self.num_lstm_layers):
+            x = nn.RNN(nn.OptimizedLSTMCell(self.lstm_dim), name=f"lstm_{i}")(x)
+            x = nn.Dense(self.proj_dim, name=f"proj_{i}")(x)
+        d = x[:, -1]  # last frame
+        if l2_norm:
+            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        return d
+
+
+class SELayer(nn.Module):
+    channels: int
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, H, W, C]
+        s = jnp.mean(x, axis=(1, 2))
+        s = nn.relu(nn.Dense(max(self.channels // self.reduction, 1))(s))
+        s = jax.nn.sigmoid(nn.Dense(self.channels)(s))
+        return x * s[:, None, None, :]
+
+
+class SEBasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding="SAME", use_bias=False)(x)
+        y = nn.LayerNorm()(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False)(y)
+        y = nn.LayerNorm()(y)
+        y = SELayer(self.planes)(y)
+        if self.downsample or x.shape[-1] != self.planes:
+            residual = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride), use_bias=False)(x)
+            residual = nn.LayerNorm()(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetSpeakerEncoder(nn.Module):
+    """SE-ResNet34-style encoder with attentive statistics pooling
+    (ref resnet.py:59). BatchNorm → LayerNorm (stateless train step)."""
+
+    input_dim: int = 64
+    proj_dim: int = 512
+    layers: Tuple[int, ...] = (3, 4, 6, 3)
+    num_filters: Tuple[int, ...] = (32, 64, 128, 256)
+    encoder_type: str = "ASP"  # ASP (attentive stats) or SAP (attentive mean)
+
+    @nn.compact
+    def __call__(self, x, l2_norm: bool = True, train: bool = False):
+        """x: `[B, T, C_mel]` → `[B, proj_dim]`."""
+        # treat as image [B, T, C_mel, 1]
+        h = x[..., None]
+        h = nn.Conv(self.num_filters[0], (3, 3), padding="SAME", use_bias=False, name="conv1")(h)
+        h = nn.relu(nn.LayerNorm(name="norm1")(h))
+        for li, (n_blocks, planes) in enumerate(zip(self.layers, self.num_filters)):
+            stride = 1 if li == 0 else 2
+            for bi in range(n_blocks):
+                h = SEBasicBlock(planes, stride=stride if bi == 0 else 1, downsample=bi == 0, name=f"layer{li}_{bi}")(
+                    h, train=train
+                )
+        # h: [B, T', F', C] -> flatten freq into channels: [B, T', F'*C]
+        B, T2, F2, C = h.shape
+        h = h.reshape(B, T2, F2 * C)
+        # attentive pooling
+        w = nn.Conv(128, (1,), name="attn_conv1")(h)
+        w = nn.relu(w)
+        w = nn.Conv(F2 * C, (1,), name="attn_conv2")(jnp.tanh(w))
+        w = jax.nn.softmax(w, axis=1)
+        mu = jnp.sum(h * w, axis=1)
+        if self.encoder_type == "ASP":
+            sg = jnp.sqrt(jnp.clip(jnp.sum((h**2) * w, axis=1) - mu**2, 1e-5))
+            stat = jnp.concatenate([mu, sg], axis=-1)
+        else:
+            stat = mu
+        d = nn.Dense(self.proj_dim, name="fc")(stat)
+        if l2_norm:
+            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        return d
+
+
+class SpeakerEncoderModel:
+    """Host orchestrator with on-device featurization + sliding-window
+    embedding (ref base_encoder.py:68)."""
+
+    def __init__(self, config):
+        self.config = config
+        p = config.model_params or {}
+        model_name = p.get("model_name", "lstm")
+        self.audio = config.audio
+        if model_name == "lstm":
+            self.net = LSTMSpeakerEncoder(
+                input_dim=p.get("input_dim", 80),
+                proj_dim=p.get("proj_dim", 256),
+                lstm_dim=p.get("lstm_dim", 768),
+                num_lstm_layers=p.get("num_lstm_layers", 3),
+            )
+        elif model_name == "resnet":
+            self.net = ResNetSpeakerEncoder(
+                input_dim=p.get("input_dim", 64),
+                proj_dim=p.get("proj_dim", 512),
+            )
+        else:
+            raise ValueError(f" [!] Unknown encoder model {model_name}")
+        self.params = None
+        self._jit_embed = None
+
+    def features_from_wav(self, wav: jnp.ndarray) -> jnp.ndarray:
+        a = self.audio
+        mel = wav_to_mel(
+            wav,
+            fft_size=a["fft_size"],
+            num_mels=a["num_mels"],
+            sample_rate=a["sample_rate"],
+            hop_length=a["hop_length"],
+            win_length=a["win_length"],
+            fmin=a.get("mel_fmin", 0.0),
+            fmax=a.get("mel_fmax", None),
+            center=True,
+        )
+        return jnp.swapaxes(mel, -1, -2)  # [B, T, C]
+
+    def init_params(self, rng):
+        x = jnp.zeros((2, 40, self.config.model_params.get("input_dim", 80)))
+        self.params = self.net.init(rng, x)["params"]
+        return self.params
+
+    def embed(self, params, feats: jnp.ndarray) -> jnp.ndarray:
+        return self.net.apply({"params": params}, feats)
+
+    def compute_embedding(self, wav: np.ndarray, num_frames: int = 250, num_eval: int = 10) -> np.ndarray:
+        """Sliding windows over the utterance, mean of window embeddings."""
+        feats = np.asarray(self.features_from_wav(jnp.asarray(wav, dtype=jnp.float32)[None]))[0]
+        T = feats.shape[0]
+        if T <= num_frames:
+            windows = feats[None]
+        else:
+            offsets = np.linspace(0, T - num_frames, num=num_eval).astype(int)
+            windows = np.stack([feats[o : o + num_frames] for o in offsets])
+        if self._jit_embed is None:
+            import jax as _jax
+
+            self._jit_embed = _jax.jit(lambda p, f: self.net.apply({"params": p}, f))
+        embs = np.asarray(self._jit_embed(self.params, jnp.asarray(windows)))
+        return embs.mean(0)
+
+    def load_checkpoint(self, config, checkpoint_path, eval=True, **kwargs):
+        from tpu_tts.train.checkpoint import load_checkpoint
+
+        state = load_checkpoint(checkpoint_path)
+        self.params = state["model"]
+        return state
+
+
+def setup_encoder_model(config) -> SpeakerEncoderModel:
+    return SpeakerEncoderModel(config)

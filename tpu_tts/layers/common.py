@@ -29,12 +29,15 @@ class Conv1d(nn.Module):
     def __call__(self, x):
         if self.kernel_size == 1:
             return nn.Dense(self.features, use_bias=self.use_bias, name="conv")(x)
-        pad = (self.kernel_size // 2) * self.dilation
+        # length-preserving padding; asymmetric for even kernels
+        total = (self.kernel_size - 1) * self.dilation
+        left = (self.kernel_size // 2) * self.dilation
+        right = total - left
         return nn.Conv(
             self.features,
             kernel_size=(self.kernel_size,),
             kernel_dilation=(self.dilation,),
-            padding=[(pad, pad)],
+            padding=[(left, right)],
             use_bias=self.use_bias,
             name="conv",
         )(x)

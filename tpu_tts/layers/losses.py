@@ -135,6 +135,77 @@ def forward_sum_loss(
     return -jnp.mean(total / out_lens.astype(jnp.float32))
 
 
+def guided_attention_loss(attn: jnp.ndarray, input_lens: jnp.ndarray, output_lens: jnp.ndarray, sigma: float = 0.4) -> jnp.ndarray:
+    """Penalize off-diagonal attention (Tacotron GA loss, ref losses.py:221).
+    attn: `[B, T_de, T_en]` alignments."""
+    B, T_de, T_en = attn.shape
+    de = jnp.arange(T_de, dtype=jnp.float32)[None, :, None]
+    en = jnp.arange(T_en, dtype=jnp.float32)[None, None, :]
+    ilens = input_lens.astype(jnp.float32)[:, None, None]
+    olens = output_lens.astype(jnp.float32)[:, None, None]
+    W = 1.0 - jnp.exp(-((en / ilens - de / olens) ** 2) / (2 * sigma**2))
+    mask = (de < olens) & (en < ilens)
+    losses = attn.astype(jnp.float32) * W * mask
+    return jnp.sum(losses) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def stopnet_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray, lengths: jnp.ndarray, pos_weight: float = 10.0) -> jnp.ndarray:
+    """BCE-with-logits on stop tokens, positive-weighted (ref BCELossMasked)."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    loss = -(pos_weight * targets * log_p + (1.0 - targets) * log_not_p)
+    mask = sequence_mask(lengths, logits.shape[1]).astype(jnp.float32)
+    return jnp.sum(loss * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
+    import numpy as np
+
+    coords = np.arange(size) - size // 2
+    g = np.exp(-(coords**2) / (2 * sigma**2))
+    g /= g.sum()
+    return jnp.asarray(np.outer(g, g), dtype=jnp.float32)
+
+
+def ssim_loss(x: jnp.ndarray, y: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """1 - SSIM over masked spectrograms (role of ref tts/utils/ssim.py:155).
+    x/y: `[B, T, C]` treated as single-channel images."""
+    mask = sequence_mask(lengths, x.shape[1]).astype(jnp.float32)[:, :, None]
+    x = (x * mask).astype(jnp.float32)[..., None]  # [B, T, C, 1] NHWC
+    y = (y * mask).astype(jnp.float32)[..., None]
+    # normalize into [0, 1] jointly (SSIM needs a bounded dynamic range)
+    mn = jnp.minimum(x.min(), y.min())
+    mx = jnp.maximum(x.max(), y.max())
+    rng_ = jnp.maximum(mx - mn, 1e-6)
+    x = (x - mn) / rng_
+    y = (y - mn) / rng_
+    k = _gaussian_kernel()[:, :, None, None]  # HWIO
+
+    def f(z):
+        return jax.lax.conv_general_dilated(
+            z, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    c1, c2 = 0.01**2, 0.03**2
+    mu_x, mu_y = f(x), f(y)
+    sigma_x = f(x * x) - mu_x**2
+    sigma_y = f(y * y) - mu_y**2
+    sigma_xy = f(x * y) - mu_x * mu_y
+    ssim_map = ((2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)) / (
+        (mu_x**2 + mu_y**2 + c1) * (sigma_x + sigma_y + c2)
+    )
+    return 1.0 - jnp.mean(ssim_map)
+
+
+def binary_alignment_loss(alignment_hard: jnp.ndarray, alignment_soft: jnp.ndarray) -> jnp.ndarray:
+    """Force soft attention toward the MAS hard alignment (ref losses.py:821)."""
+    log_soft = jnp.log(jnp.clip(alignment_soft, 1e-12))
+    masked = jnp.where(alignment_hard == 1, log_soft, 0.0)
+    return -jnp.sum(masked) / jnp.maximum(jnp.sum(alignment_hard), 1.0)
+
+
 def feature_loss(feats_real, feats_generated) -> jnp.ndarray:
     """GAN feature-matching loss (ref vocoder losses / vits)."""
     loss = 0.0

@@ -1,0 +1,367 @@
+"""Tacotron/Tacotron2 layers: prenet, attention, AR decoder as a scan.
+
+TPU-native re-design of /root/reference/TTS/tts/layers/tacotron/{tacotron2.py
+(Encoder:73, Decoder:116, decode():256, Postnet:47), attentions.py
+(OriginalAttention:127, GravesAttention:40), common_layers.py (Prenet)}.
+
+The reference's per-frame Python while-loop (`tacotron2.py:348-363`) is the
+latency-critical serial path; here both teacher-forced training and inference
+are `nn.scan`/`lax.scan` over time with the attention state in the carry —
+one compiled kernel for the whole decode. Deviations (documented):
+- BatchNorm in encoder/postnet is LayerNorm (stateless train step).
+- Attention windowing (a host-side heuristic) is not applied inside the scan.
+"""
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_tts.layers.common import Conv1d
+
+
+class Prenet(nn.Module):
+    """FC-relu-dropout stack; dropout stays ON at inference (ref common_layers)."""
+
+    out_features: Tuple[int, ...] = (256, 256)
+    dropout_at_inference: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        for i, d in enumerate(self.out_features):
+            x = nn.relu(nn.Dense(d, use_bias=False, name=f"linear_{i}")(x))
+            x = nn.Dropout(0.5, deterministic=not (train or self.dropout_at_inference))(x)
+        return x
+
+
+class LocationLayer(nn.Module):
+    attention_dim: int
+    attention_n_filters: int = 32
+    attention_kernel_size: int = 31
+
+    @nn.compact
+    def __call__(self, attention_cat):
+        # attention_cat: [B, T_en, 2] (prev + cumulated weights)
+        x = Conv1d(self.attention_n_filters, self.attention_kernel_size, use_bias=False, name="location_conv")(
+            attention_cat
+        )
+        return nn.Dense(self.attention_dim, use_bias=False, name="location_dense")(x)
+
+
+class OriginalAttention(nn.Module):
+    """Location-sensitive additive attention with optional forward attention
+    (ref attentions.py:127), reformulated as a pure per-step function with
+    explicit state."""
+
+    query_dim: int
+    embedding_dim: int
+    attention_dim: int = 128
+    location_attention: bool = True
+    attention_location_n_filters: int = 32
+    attention_location_kernel_size: int = 31
+    norm: str = "softmax"
+    forward_attn: bool = False
+    trans_agent: bool = False
+    forward_attn_mask: bool = False
+    windowing: bool = False
+
+    def setup(self):
+        self.query_layer = nn.Dense(self.attention_dim, use_bias=False)
+        self.inputs_layer = nn.Dense(self.attention_dim, use_bias=False)
+        self.v = nn.Dense(1, use_bias=True)
+        if self.location_attention:
+            self.location_layer = LocationLayer(
+                self.attention_dim, self.attention_location_n_filters, self.attention_location_kernel_size
+            )
+        if self.trans_agent:
+            self.ta = nn.Dense(1, use_bias=True)
+
+    def init_state(self, B: int, T: int) -> Dict:
+        state = {
+            "attention_weights": jnp.zeros((B, T)),
+            "attention_weights_cum": jnp.zeros((B, T)),
+        }
+        if self.forward_attn:
+            alpha = jnp.concatenate([jnp.ones((B, 1)), jnp.zeros((B, T - 1)) + 1e-7], axis=1)
+            state["alpha"] = alpha
+            state["u"] = 0.5 * jnp.ones((B, 1))
+        return state
+
+    def preprocess_inputs(self, inputs):
+        return self.inputs_layer(inputs)
+
+    def __call__(self, query, inputs, processed_inputs, mask, state: Dict) -> Tuple[jnp.ndarray, Dict]:
+        """query `[B, C_q]` → (context `[B, D_en]`, new state)."""
+        processed_query = self.query_layer(query[:, None, :])  # [B,1,A]
+        if self.location_attention:
+            attention_cat = jnp.stack(
+                [state["attention_weights"], state["attention_weights_cum"]], axis=-1
+            )  # [B, T, 2]
+            processed_attn = self.location_layer(attention_cat)
+            energies = self.v(jnp.tanh(processed_query + processed_attn + processed_inputs))[:, :, 0]
+        else:
+            energies = self.v(jnp.tanh(processed_query + processed_inputs))[:, :, 0]
+        if mask is not None:
+            energies = jnp.where(mask, energies, -1e9)
+        if self.norm == "softmax":
+            alignment = jax.nn.softmax(energies, axis=-1)
+        elif self.norm == "sigmoid":
+            s = jax.nn.sigmoid(energies)
+            alignment = s / jnp.sum(s, axis=1, keepdims=True)
+        else:
+            raise ValueError("Unknown attention norm")
+        new_state = dict(state)
+        if self.location_attention:
+            new_state["attention_weights_cum"] = state["attention_weights_cum"] + alignment
+        if self.forward_attn:
+            fwd_shifted = jnp.pad(state["alpha"][:, :-1], ((0, 0), (1, 0)))
+            alpha = ((1 - state["u"]) * state["alpha"] + state["u"] * fwd_shifted + 1e-8) * alignment
+            alpha = alpha / jnp.sum(alpha, axis=1, keepdims=True)
+            alignment = alpha
+            new_state["alpha"] = alpha
+        context = jnp.einsum("bt,btc->bc", alignment, inputs)
+        new_state["attention_weights"] = alignment
+        if self.forward_attn and self.trans_agent:
+            ta_input = jnp.concatenate([context, query], axis=-1)
+            new_state["u"] = jax.nn.sigmoid(self.ta(ta_input))
+        return context, new_state
+
+
+class GravesAttention(nn.Module):
+    """GMM (GMMv2b) attention (ref attentions.py:40)."""
+
+    query_dim: int
+    K: int = 5
+
+    def setup(self):
+        self.N_a = nn.Sequential(
+            [nn.Dense(self.query_dim, use_bias=True), nn.relu, nn.Dense(3 * self.K, use_bias=True)]
+        )
+        self.eps = 1e-5
+
+    def init_state(self, B: int, T: int) -> Dict:
+        return {"mu_prev": jnp.zeros((B, self.K)), "attention_weights": jnp.zeros((B, T))}
+
+    def preprocess_inputs(self, inputs):
+        return None
+
+    def __call__(self, query, inputs, processed_inputs, mask, state: Dict):
+        T = inputs.shape[1]
+        gbk = self.N_a(query)  # [B, 3K]
+        g_t, b_t, k_t = jnp.split(gbk, 3, axis=-1)
+        sig_t = jax.nn.softplus(b_t) + self.eps
+        mu_t = state["mu_prev"] + jax.nn.softplus(k_t)
+        g_t = jax.nn.softmax(g_t, axis=-1) + self.eps
+        j = jnp.arange(T + 1, dtype=jnp.float32)[None, None, :]  # [1,1,T+1]
+        phi_t = g_t[:, :, None] * (1 / (1 + jax.nn.sigmoid((mu_t[:, :, None] - j) / sig_t[:, :, None])))
+        alpha_t = jnp.sum(phi_t, axis=1)
+        alpha_t = alpha_t[:, 1:] - alpha_t[:, :-1]
+        if mask is not None:
+            alpha_t = jnp.where(mask, alpha_t, 0.0)
+        context = jnp.einsum("bt,btc->bc", alpha_t, inputs)
+        return context, {"mu_prev": mu_t, "attention_weights": alpha_t}
+
+
+def init_attn(attn_type: str, **kwargs):
+    if attn_type == "original":
+        kwargs.pop("K", None)
+        return OriginalAttention(**kwargs)
+    if attn_type == "graves":
+        return GravesAttention(query_dim=kwargs["query_dim"], K=kwargs.get("K", 5))
+    raise ValueError(f" [!] Unknown attention type {attn_type}")
+
+
+class Tacotron2Encoder(nn.Module):
+    """3 × [conv5-LN-relu-dropout] → BiLSTM (ref tacotron2.py:73)."""
+
+    output_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x, x_mask, train: bool = False):
+        for i in range(3):
+            x = Conv1d(self.output_dim, 5, name=f"conv_{i}")(x * x_mask)
+            x = nn.LayerNorm(name=f"norm_{i}")(x)
+            x = nn.Dropout(0.5, deterministic=not train)(nn.relu(x))
+        half = self.output_dim // 2
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="lstm_fwd")(x * x_mask)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(half), reverse=True, keep_order=True, name="lstm_bwd")(x * x_mask)
+        return jnp.concatenate([fwd, bwd], axis=-1) * x_mask
+
+
+class Postnet(nn.Module):
+    """5 × [conv5-LN-(tanh)-dropout] residual refiner (ref tacotron2.py:47)."""
+
+    mel_dim: int = 80
+    num_convs: int = 5
+    channels: int = 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.num_convs):
+            last = i == self.num_convs - 1
+            x = Conv1d(self.mel_dim if last else self.channels, 5, name=f"conv_{i}")(x)
+            x = nn.LayerNorm(name=f"norm_{i}")(x)
+            if not last:
+                x = jnp.tanh(x)
+            x = nn.Dropout(0.5, deterministic=not train)(x)
+        return x
+
+
+class Tacotron2DecoderCell(nn.Module):
+    """One AR step: prenet → attention LSTM → attention → decoder LSTM →
+    frame projection + stop token (ref Decoder.decode tacotron2.py:256)."""
+
+    frame_channels: int = 80
+    r: int = 1
+    encoder_dim: int = 512
+    attn_rnn_dim: int = 1024
+    decoder_rnn_dim: int = 1024
+    prenet_dims: Tuple[int, ...] = (256, 256)
+    prenet_dropout_at_inference: bool = True
+    attn_type: str = "original"
+    attn_kwargs: Optional[tuple] = None
+
+    def setup(self):
+        self.prenet = Prenet(self.prenet_dims, dropout_at_inference=self.prenet_dropout_at_inference)
+        self.attention_rnn = nn.OptimizedLSTMCell(self.attn_rnn_dim)
+        kw = dict(self.attn_kwargs or ())
+        self.attention = init_attn(
+            self.attn_type,
+            query_dim=self.attn_rnn_dim,
+            embedding_dim=self.encoder_dim,
+            attention_dim=kw.get("attention_dim", 128),
+            location_attention=kw.get("location_attention", True),
+            attention_location_n_filters=kw.get("attention_location_n_filters", 32),
+            attention_location_kernel_size=kw.get("attention_location_kernel_size", 31),
+            norm=kw.get("norm", "softmax"),
+            forward_attn=kw.get("forward_attn", False),
+            trans_agent=kw.get("trans_agent", False),
+            forward_attn_mask=kw.get("forward_attn_mask", False),
+        ) if self.attn_type == "original" else init_attn(self.attn_type, query_dim=self.attn_rnn_dim)
+        self.decoder_rnn = nn.OptimizedLSTMCell(self.decoder_rnn_dim)
+        self.linear_projection = nn.Dense(self.frame_channels * self.r)
+        self.stopnet = nn.Dense(1)
+
+    def preprocess_inputs(self, inputs):
+        return self.attention.preprocess_inputs(inputs)
+
+    def init_carry(self, rng, B, T_en):
+        attn_c = self.attention_rnn.initialize_carry(rng, (B, 1))
+        dec_c = self.decoder_rnn.initialize_carry(jax.random.fold_in(rng, 1), (B, 1))
+        return {
+            "attn_rnn": attn_c,
+            "dec_rnn": dec_c,
+            "attn_state": self.attention.init_state(B, T_en),
+            "context": jnp.zeros((B, self.encoder_dim)),
+            "prev_frame": jnp.zeros((B, self.frame_channels * self.r)),
+        }
+
+    @nn.compact
+    def __call__(self, carry, frame_input, inputs, processed_inputs, mask, train: bool):
+        """frame_input: previous mel frame(s) `[B, mel*r]` (teacher-forced or
+        own output). Returns (new_carry, (frames, stop_logit, attn_weights))."""
+        prenet_out = self.prenet(frame_input[..., : self.frame_channels], train=train)
+        cell_in = jnp.concatenate([prenet_out, carry["context"]], axis=-1)
+        attn_rnn_state, attn_h = self.attention_rnn(carry["attn_rnn"], cell_in)
+        attn_h = nn.Dropout(0.1, deterministic=not train)(attn_h)
+        context, attn_state = self.attention(attn_h, inputs, processed_inputs, mask, carry["attn_state"])
+        dec_in = jnp.concatenate([attn_h, context], axis=-1)
+        dec_rnn_state, dec_h = self.decoder_rnn(carry["dec_rnn"], dec_in)
+        dec_h = nn.Dropout(0.1, deterministic=not train)(dec_h)
+        proj_in = jnp.concatenate([dec_h, context], axis=-1)
+        frames = self.linear_projection(proj_in)  # [B, mel*r]
+        stop_in = jnp.concatenate([dec_h, frames], axis=-1)
+        stop = self.stopnet(jax.lax.stop_gradient(stop_in) if False else stop_in)[:, 0]
+        new_carry = {
+            "attn_rnn": attn_rnn_state,
+            "dec_rnn": dec_rnn_state,
+            "attn_state": attn_state,
+            "context": context,
+            "prev_frame": frames,
+        }
+        return new_carry, (frames, stop, attn_state["attention_weights"])
+
+
+class Tacotron2Decoder(nn.Module):
+    """Scan wrapper: teacher-forced training decode + free-running inference
+    (ref Decoder.forward:320 / Decoder.inference:348)."""
+
+    frame_channels: int = 80
+    r: int = 1
+    encoder_dim: int = 512
+    attn_rnn_dim: int = 1024
+    decoder_rnn_dim: int = 1024
+    prenet_dims: Tuple[int, ...] = (256, 256)
+    prenet_dropout_at_inference: bool = False
+    attn_type: str = "original"
+    attn_kwargs: Optional[tuple] = None
+    max_decoder_steps: int = 500
+
+    def setup(self):
+        self.cell = Tacotron2DecoderCell(
+            frame_channels=self.frame_channels,
+            r=self.r,
+            encoder_dim=self.encoder_dim,
+            attn_rnn_dim=self.attn_rnn_dim,
+            decoder_rnn_dim=self.decoder_rnn_dim,
+            prenet_dims=self.prenet_dims,
+            prenet_dropout_at_inference=self.prenet_dropout_at_inference,
+            attn_type=self.attn_type,
+            attn_kwargs=self.attn_kwargs,
+        )
+
+    def __call__(self, inputs, memories, mask, train: bool = True):
+        """Teacher forcing. inputs `[B, T_en, D]`, memories `[B, T_de, mel]` →
+        (frames `[B, T_de, mel]`, stops `[B, T_de/r]`, attns)."""
+        B, T_de, _ = memories.shape
+        r = self.r
+        steps = T_de // r
+        # frames grouped by r: step t consumes frame r*t-1 (last of prev group)
+        mem_in = memories[:, r - 1 :: r][:, :-1]  # [B, steps-1, mel]
+        go = jnp.zeros((B, 1, self.frame_channels))
+        mem_in = jnp.concatenate([go, mem_in], axis=1)  # [B, steps, mel]
+        processed_inputs = self.cell.preprocess_inputs(inputs)
+        carry = self.cell.init_carry(jax.random.PRNGKey(0), B, inputs.shape[1])
+
+        def step(mdl, carry, frame_in):
+            return mdl(carry, frame_in, inputs, processed_inputs, mask, train)
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1,
+            out_axes=1,
+        )
+        _, (frames, stops, attns) = scan(self.cell, carry, mem_in)
+        frames = frames.reshape(B, steps * r, self.frame_channels)
+        return frames, stops, attns
+
+    def inference(self, inputs, mask=None):
+        """Free-running with stop-token early masking (fixed max steps)."""
+        B, T_en, _ = inputs.shape
+        processed_inputs = self.cell.preprocess_inputs(inputs)
+        carry = self.cell.init_carry(jax.random.PRNGKey(0), B, T_en)
+        carry = dict(carry, stopped=jnp.zeros((B,), dtype=bool), frame=jnp.zeros((B, self.frame_channels)))
+        steps = self.max_decoder_steps // self.r
+
+        def step(mdl, carry, _):
+            stopped = carry["stopped"]
+            inner = {k: carry[k] for k in ("attn_rnn", "dec_rnn", "attn_state", "context", "prev_frame")}
+            inner, (frames, stop, attn) = mdl(inner, carry["frame"], inputs, processed_inputs, mask, False)
+            new_stopped = stopped | (jax.nn.sigmoid(stop) > 0.5)
+            new_carry = dict(
+                inner,
+                stopped=new_stopped,
+                frame=frames[..., -self.frame_channels :],
+            )
+            valid = (~stopped).astype(frames.dtype)[:, None]
+            return new_carry, (frames * valid, stop, attn, valid[:, 0])
+
+        scan = nn.scan(step, variable_broadcast="params", split_rngs={"params": False, "dropout": True}, in_axes=1, out_axes=1)
+        _, (frames, stops, attns, valid) = scan(self.cell, carry, jnp.zeros((B, steps, 1)))
+        frames = frames.reshape(B, steps * self.r, self.frame_channels)
+        lengths = jnp.sum(valid, axis=1).astype(jnp.int32) * self.r
+        return frames, stops, attns, lengths

@@ -1,0 +1,319 @@
+"""Tacotron (v1): CBHG encoder/postnet + GRU attention decoder, linear-spec
+target.
+
+TPU-native re-design of /root/reference/TTS/tts/models/tacotron.py (409) +
+layers/tacotron/tacotron.py (CBHG:94, Decoder:249). The AR decoder is a scan
+like Tacotron2's; the CBHG (conv bank + highway + BiGRU) is channels-last.
+"""
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_tts.layers.common import Conv1d
+from tpu_tts.layers.losses import (
+    guided_attention_loss,
+    masked_l1_loss,
+    masked_mse_loss,
+    stopnet_bce_loss,
+)
+from tpu_tts.layers.tacotron import OriginalAttention, Prenet
+from tpu_tts.models.base_tts import BaseTTSModel
+from tpu_tts.ops.helpers import sequence_mask
+
+
+class Highway(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(nn.Dense(self.features, name="H")(x))
+        t = jax.nn.sigmoid(nn.Dense(self.features, bias_init=nn.initializers.constant(-1.0), name="T")(x))
+        return h * t + x * (1 - t)
+
+
+class CBHG(nn.Module):
+    """Conv bank (k=1..K) → maxpool → conv proj → highway → BiGRU
+    (ref layers/tacotron/tacotron.py:94)."""
+
+    K: int = 16
+    conv_bank_features: int = 128
+    conv_projections: Tuple[int, ...] = (128, 128)
+    highway_features: int = 128
+    gru_features: int = 128
+    num_highways: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, T, C]
+        banks = []
+        for k in range(1, self.K + 1):
+            h = Conv1d(self.conv_bank_features, k, name=f"bank_{k}")(x)
+            h = nn.relu(nn.LayerNorm(name=f"bank_norm_{k}")(h))
+            banks.append(h)
+        h = jnp.concatenate(banks, axis=-1)
+        # max pool k=2 stride 1
+        h = jax.lax.reduce_window(
+            h, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 1, 1), [(0, 0), (0, 1), (0, 0)]
+        )
+        for i, ch in enumerate(self.conv_projections):
+            h = Conv1d(ch, 3, name=f"proj_{i}")(h)
+            h = nn.LayerNorm(name=f"proj_norm_{i}")(h)
+            if i < len(self.conv_projections) - 1:
+                h = nn.relu(h)
+        h = h + x  # residual
+        if h.shape[-1] != self.highway_features:
+            h = nn.Dense(self.highway_features, name="pre_highway")(h)
+        for i in range(self.num_highways):
+            h = Highway(self.highway_features, name=f"highway_{i}")(h)
+        fwd = nn.RNN(nn.GRUCell(self.gru_features), name="gru_fwd")(h)
+        bwd = nn.RNN(nn.GRUCell(self.gru_features), reverse=True, keep_order=True, name="gru_bwd")(h)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+class TacotronDecoderCell(nn.Module):
+    """v1 GRU decoder step (ref layers/tacotron/tacotron.py Decoder:249)."""
+
+    frame_channels: int = 80
+    r: int = 5
+    encoder_dim: int = 256
+    attn_kwargs: Optional[tuple] = None
+
+    def setup(self):
+        self.prenet = Prenet((256, 128))
+        self.attention_rnn = nn.GRUCell(256)
+        kw = dict(self.attn_kwargs or ())
+        self.attention = OriginalAttention(
+            query_dim=256,
+            embedding_dim=self.encoder_dim,
+            attention_dim=kw.get("attention_dim", 128),
+            location_attention=kw.get("location_attention", True),
+            norm=kw.get("norm", "sigmoid"),
+            forward_attn=kw.get("forward_attn", False),
+            trans_agent=kw.get("trans_agent", False),
+        )
+        self.project_to_decoder_in = nn.Dense(256)
+        self.decoder_rnns = [nn.GRUCell(256) for _ in range(2)]
+        self.proj_to_mel = nn.Dense(self.frame_channels * self.r)
+        self.stopnet = nn.Dense(1)
+
+    def preprocess_inputs(self, inputs):
+        return self.attention.preprocess_inputs(inputs)
+
+    def init_carry(self, B, T_en):
+        return {
+            "attn_rnn": jnp.zeros((B, 256)),
+            "dec_rnns": tuple(jnp.zeros((B, 256)) for _ in range(2)),
+            "attn_state": self.attention.init_state(B, T_en),
+            "context": jnp.zeros((B, self.encoder_dim)),
+        }
+
+    @nn.compact
+    def __call__(self, carry, frame_input, inputs, processed_inputs, mask, train: bool):
+        prenet_out = self.prenet(frame_input, train=train)
+        attn_in = jnp.concatenate([prenet_out, carry["context"]], axis=-1)
+        attn_rnn, _ = self.attention_rnn(carry["attn_rnn"], attn_in)
+        context, attn_state = self.attention(attn_rnn, inputs, processed_inputs, mask, carry["attn_state"])
+        dec_in = self.project_to_decoder_in(jnp.concatenate([attn_rnn, context], axis=-1))
+        dec_states = []
+        h = dec_in
+        for i, cell in enumerate(self.decoder_rnns):
+            s, _ = cell(carry["dec_rnns"][i], h)
+            h = h + s
+            dec_states.append(s)
+        frames = self.proj_to_mel(h)
+        stop = self.stopnet(jnp.concatenate([h, frames], axis=-1))[:, 0]
+        new_carry = {
+            "attn_rnn": attn_rnn,
+            "dec_rnns": tuple(dec_states),
+            "attn_state": attn_state,
+            "context": context,
+        }
+        return new_carry, (frames, stop, attn_state["attention_weights"])
+
+
+class TacotronNet(nn.Module):
+    num_chars: int
+    decoder_output_dim: int = 80  # mel
+    out_channels: int = 513  # linear spec (postnet CBHG output)
+    r: int = 5
+    attn_kwargs: Optional[tuple] = None
+    max_decoder_steps: int = 500
+    memory_size: int = -1
+
+    def setup(self):
+        self.embedding = nn.Embed(self.num_chars, 256, embedding_init=nn.initializers.normal(0.3))
+        self.encoder_prenet = Prenet((256, 128))
+        self.encoder_cbhg = CBHG(K=16, conv_projections=(128, 128), gru_features=128)
+        self.cell = TacotronDecoderCell(
+            frame_channels=self.decoder_output_dim, r=self.r, encoder_dim=256, attn_kwargs=self.attn_kwargs
+        )
+        self.postnet_cbhg = CBHG(
+            K=8, conv_bank_features=128, conv_projections=(256, 80), highway_features=128, gru_features=128
+        )
+        self.last_linear = nn.Dense(self.out_channels)
+
+    def _encode(self, text, train):
+        emb = self.embedding(text)
+        h = self.encoder_prenet(emb, train=train)
+        return self.encoder_cbhg(h)
+
+    def _postnet(self, mel):
+        h = self.postnet_cbhg(mel)
+        return self.last_linear(h)
+
+    def __call__(self, text, text_lengths, mel, mel_lengths, train: bool = True) -> Dict:
+        enc = self._encode(text, train)
+        key_mask = sequence_mask(text_lengths, text.shape[1])
+        B, T_de, _ = mel.shape
+        r = self.r
+        pad = (-T_de) % r
+        if pad:
+            mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))
+            T_de += pad
+        steps = T_de // r
+        mem_in = mel[:, r - 1 :: r][:, :-1]
+        go = jnp.zeros((B, 1, self.decoder_output_dim))
+        mem_in = jnp.concatenate([go, mem_in], axis=1)
+        processed = self.cell.preprocess_inputs(enc)
+        carry = self.cell.init_carry(B, text.shape[1])
+
+        def step(cell, carry, frame_in):
+            return cell(carry, frame_in, enc, processed, key_mask, train)
+
+        scan = nn.scan(step, variable_broadcast="params", split_rngs={"params": False, "dropout": True},
+                       in_axes=1, out_axes=1)
+        _, (frames, stops, attns) = scan(self.cell, carry, mem_in)
+        decoder_outputs = frames.reshape(B, steps * r, self.decoder_output_dim)
+        postnet_outputs = self._postnet(decoder_outputs)
+        return {
+            "decoder_outputs": decoder_outputs,
+            "model_outputs": postnet_outputs,
+            "stop_tokens": stops,
+            "alignments": attns,
+        }
+
+    def inference(self, text, text_lengths=None) -> Dict:
+        if text_lengths is None:
+            text_lengths = jnp.full((text.shape[0],), text.shape[1], dtype=jnp.int32)
+        enc = self._encode(text, False)
+        key_mask = sequence_mask(text_lengths, text.shape[1])
+        B = text.shape[0]
+        processed = self.cell.preprocess_inputs(enc)
+        carry = self.cell.init_carry(B, text.shape[1])
+        carry = dict(carry, stopped=jnp.zeros((B,), dtype=bool), frame=jnp.zeros((B, self.decoder_output_dim)))
+        steps = self.max_decoder_steps // self.r
+
+        def step(cell, carry, _):
+            stopped = carry["stopped"]
+            inner = {k: carry[k] for k in ("attn_rnn", "dec_rnns", "attn_state", "context")}
+            inner, (frames, stop, attn) = cell(inner, carry["frame"], enc, processed, key_mask, False)
+            new_stopped = stopped | (jax.nn.sigmoid(stop) > 0.5)
+            valid = (~stopped).astype(frames.dtype)[:, None]
+            return dict(inner, stopped=new_stopped, frame=frames[..., -self.decoder_output_dim :]), (
+                frames * valid, stop, attn, valid[:, 0],
+            )
+
+        scan = nn.scan(step, variable_broadcast="params", split_rngs={"params": False, "dropout": True},
+                       in_axes=1, out_axes=1)
+        _, (frames, stops, attns, valid) = scan(self.cell, carry, jnp.zeros((B, steps, 1)))
+        decoder_outputs = frames.reshape(B, steps * self.r, self.decoder_output_dim)
+        postnet_outputs = self._postnet(decoder_outputs)
+        lengths = jnp.sum(valid, axis=1).astype(jnp.int32) * self.r
+        return {
+            "model_outputs": postnet_outputs,
+            "decoder_outputs": decoder_outputs,
+            "stop_tokens": stops,
+            "alignments": attns,
+            "y_lengths": lengths,
+        }
+
+
+class Tacotron(BaseTTSModel):
+    def __init__(self, config, ap=None, tokenizer=None, speaker_manager=None):
+        super().__init__(config, ap, tokenizer, speaker_manager)
+        num_chars = tokenizer.characters.num_chars if tokenizer and tokenizer.characters else (config.num_chars or 130)
+        attn_kwargs = (
+            ("attention_dim", getattr(config, "attention_dim", 128)),
+            ("location_attention", getattr(config, "location_attn", True)),
+            ("norm", getattr(config, "attention_norm", "sigmoid")),
+            ("forward_attn", getattr(config, "use_forward_attn", False)),
+            ("trans_agent", getattr(config, "transition_agent", False)),
+        )
+        self.net = TacotronNet(
+            num_chars=num_chars,
+            decoder_output_dim=getattr(config, "decoder_output_dim", 80),
+            out_channels=getattr(config, "out_channels", 513),
+            r=config.r,
+            attn_kwargs=attn_kwargs,
+            max_decoder_steps=getattr(config, "max_decoder_steps", 500),
+        )
+        self._infer_cache = {}
+
+    def init_params(self, rng):
+        B, T_en, T_de = 2, 8, 10
+        variables = self.net.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 3)},
+            jnp.zeros((B, T_en), dtype=jnp.int32),
+            jnp.full((B,), T_en, dtype=jnp.int32),
+            jnp.zeros((B, T_de, self.net.decoder_output_dim)),
+            jnp.full((B,), T_de, dtype=jnp.int32),
+        )
+        self.params = variables["params"]
+        return self.params
+
+    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
+        c = self.config
+        outputs = self.net.apply(
+            {"params": params},
+            batch["text_input"],
+            batch["text_lengths"],
+            batch["mel_input"],
+            batch["mel_lengths"],
+            train=True,
+            rngs={"dropout": rng},
+        )
+        T = min(outputs["decoder_outputs"].shape[1], batch["mel_input"].shape[1])
+        l_decoder = masked_l1_loss(outputs["decoder_outputs"][:, :T], batch["mel_input"][:, :T], batch["mel_lengths"])
+        l_postnet = masked_l1_loss(
+            outputs["model_outputs"][:, :T], batch["linear_input"][:, :T], batch["mel_lengths"]
+        )
+        stop_lens = jnp.ceil(batch["mel_lengths"] / self.net.r).astype(jnp.int32)
+        l_stop = stopnet_bce_loss(
+            outputs["stop_tokens"], batch["stop_targets"][:, : outputs["stop_tokens"].shape[1]], stop_lens
+        )
+        loss = l_decoder + l_postnet + l_stop
+        losses = {"decoder_loss": l_decoder, "postnet_loss": l_postnet, "stopnet_loss": l_stop}
+        if getattr(c, "ga_alpha", 0.0) > 0:
+            l_ga = guided_attention_loss(outputs["alignments"], batch["text_lengths"], stop_lens)
+            loss += c.ga_alpha * l_ga
+            losses["ga_loss"] = l_ga
+        losses["loss"] = loss
+        return loss, losses
+
+    def inference(self, x: np.ndarray, aux_input=None) -> Dict:
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None]
+        key = x.shape
+        if key not in self._infer_cache:
+            self._infer_cache[key] = jax.jit(
+                lambda p, xi: self.net.apply(
+                    {"params": p}, xi, method=TacotronNet.inference, rngs={"dropout": jax.random.PRNGKey(0)}
+                )
+            )
+        return self._infer_cache[key](self.params, x)
+
+    @staticmethod
+    def init_from_config(config, samples=None):
+        from tpu_tts.audio import AudioProcessor
+        from tpu_tts.managers import SpeakerManager
+        from tpu_tts.text.tokenizer import TTSTokenizer
+
+        ap = AudioProcessor.init_from_config(config, verbose=False)
+        tokenizer, new_config = TTSTokenizer.init_from_config(config)
+        speaker_manager = SpeakerManager.init_from_config(new_config, samples)
+        return Tacotron(new_config, ap, tokenizer, speaker_manager)

@@ -1,0 +1,221 @@
+"""Tacotron2: attention-based autoregressive TTS with DDC support.
+
+TPU-native re-design of /root/reference/TTS/tts/models/tacotron2.py and
+base_tacotron.py (`_coarse_decoder_pass`:207): the AR decode is a compiled
+scan (tpu_tts/layers/tacotron.py), teacher-forced in training and
+stop-token-masked free-running at inference (fixed `max_decoder_steps`).
+"""
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_tts.layers.losses import (
+    guided_attention_loss,
+    masked_l1_loss,
+    masked_mse_loss,
+    stopnet_bce_loss,
+)
+from tpu_tts.layers.tacotron import Postnet, Tacotron2Decoder, Tacotron2Encoder
+from tpu_tts.models.base_tts import BaseTTSModel
+from tpu_tts.ops.helpers import sequence_mask
+
+
+class Tacotron2Net(nn.Module):
+    num_chars: int
+    out_channels: int = 80
+    r: int = 2
+    encoder_dim: int = 512
+    attn_type: str = "original"
+    attn_kwargs: Optional[tuple] = None
+    prenet_dropout_at_inference: bool = False
+    max_decoder_steps: int = 500
+    use_ddc: bool = False
+    ddc_r: int = 6
+    num_speakers: int = 0
+    use_speaker_embedding: bool = False
+
+    def setup(self):
+        self.embedding = nn.Embed(self.num_chars, 512, embedding_init=nn.initializers.normal(0.3))
+        self.encoder = Tacotron2Encoder(self.encoder_dim)
+        self.decoder = Tacotron2Decoder(
+            frame_channels=self.out_channels,
+            r=self.r,
+            encoder_dim=self.encoder_dim,
+            attn_type=self.attn_type,
+            attn_kwargs=self.attn_kwargs,
+            prenet_dropout_at_inference=self.prenet_dropout_at_inference,
+            max_decoder_steps=self.max_decoder_steps,
+        )
+        self.postnet = Postnet(self.out_channels)
+        if self.use_ddc:
+            self.coarse_decoder = Tacotron2Decoder(
+                frame_channels=self.out_channels,
+                r=self.ddc_r,
+                encoder_dim=self.encoder_dim,
+                attn_type=self.attn_type,
+                attn_kwargs=self.attn_kwargs,
+                max_decoder_steps=self.max_decoder_steps,
+            )
+        if self.use_speaker_embedding and self.num_speakers > 1:
+            self.speaker_embedding = nn.Embed(self.num_speakers, self.encoder_dim)
+
+    def _encode(self, text, text_lengths, speaker_ids, train):
+        x_mask = sequence_mask(text_lengths, text.shape[1]).astype(jnp.float32)[:, :, None]
+        emb = self.embedding(text)
+        enc = self.encoder(emb, x_mask, train=train)
+        if self.use_speaker_embedding and speaker_ids is not None:
+            g = self.speaker_embedding(speaker_ids)[:, None, :]
+            enc = enc + g
+        return enc, x_mask
+
+    def __call__(self, text, text_lengths, mel, mel_lengths, speaker_ids=None, train: bool = True) -> Dict:
+        enc, x_mask = self._encode(text, text_lengths, speaker_ids, train)
+        key_mask = x_mask[:, :, 0] > 0
+        # pad mel to a multiple of r
+        T_de = mel.shape[1]
+        pad = (-T_de) % self.r
+        if pad:
+            mel = jnp.pad(mel, ((0, 0), (0, pad), (0, 0)))
+        frames, stops, attns = self.decoder(enc, mel, key_mask, train=train)
+        postnet_out = frames + self.postnet(frames, train=train)
+        out = {
+            "decoder_outputs": frames,
+            "model_outputs": postnet_out,
+            "stop_tokens": stops,
+            "alignments": attns,
+        }
+        if self.use_ddc:
+            pad_c = (-mel.shape[1]) % self.ddc_r
+            mel_c = jnp.pad(mel, ((0, 0), (0, pad_c), (0, 0))) if pad_c else mel
+            frames_c, _, attns_c = self.coarse_decoder(
+                jax.lax.stop_gradient(enc), mel_c, key_mask, train=train
+            )
+            out["coarse_decoder_outputs"] = frames_c[:, : frames.shape[1]]
+            out["coarse_alignments"] = attns_c
+        return out
+
+    def inference(self, text, text_lengths=None, speaker_ids=None) -> Dict:
+        if text_lengths is None:
+            text_lengths = jnp.full((text.shape[0],), text.shape[1], dtype=jnp.int32)
+        enc, x_mask = self._encode(text, text_lengths, speaker_ids, False)
+        key_mask = x_mask[:, :, 0] > 0
+        frames, stops, attns, lengths = self.decoder.inference(enc, key_mask)
+        postnet_out = frames + self.postnet(frames, train=False)
+        return {
+            "model_outputs": postnet_out,
+            "decoder_outputs": frames,
+            "stop_tokens": stops,
+            "alignments": attns,
+            "y_lengths": lengths,
+        }
+
+
+class Tacotron2(BaseTTSModel):
+    def __init__(self, config, ap=None, tokenizer=None, speaker_manager=None):
+        super().__init__(config, ap, tokenizer, speaker_manager)
+        num_chars = tokenizer.characters.num_chars if tokenizer and tokenizer.characters else (config.num_chars or 130)
+        attn_kwargs = (
+            ("attention_dim", getattr(config, "attention_dim", 128)),
+            ("location_attention", getattr(config, "location_attn", True)),
+            ("norm", getattr(config, "attention_norm", "softmax")),
+            ("forward_attn", getattr(config, "use_forward_attn", False)),
+            ("trans_agent", getattr(config, "transition_agent", False)),
+            ("forward_attn_mask", getattr(config, "forward_attn_mask", False)),
+        )
+        self.net = Tacotron2Net(
+            num_chars=num_chars,
+            out_channels=config.audio.num_mels,
+            r=config.r,
+            attn_type=getattr(config, "attention_type", "original"),
+            attn_kwargs=attn_kwargs,
+            prenet_dropout_at_inference=getattr(config, "prenet_dropout_at_inference", False),
+            max_decoder_steps=getattr(config, "max_decoder_steps", 500),
+            use_ddc=getattr(config, "double_decoder_consistency", False),
+            ddc_r=getattr(config, "ddc_r", 6),
+            num_speakers=self.num_speakers,
+            use_speaker_embedding=getattr(config, "use_speaker_embedding", False),
+        )
+        self._infer_cache = {}
+
+    def init_params(self, rng):
+        B, T_en, T_de = 2, 8, 12
+        kwargs = {}
+        if self.net.use_speaker_embedding and self.num_speakers > 1:
+            kwargs["speaker_ids"] = jnp.zeros((B,), dtype=jnp.int32)
+        variables = self.net.init(
+            {"params": rng, "dropout": jax.random.fold_in(rng, 3)},
+            jnp.zeros((B, T_en), dtype=jnp.int32),
+            jnp.full((B,), T_en, dtype=jnp.int32),
+            jnp.zeros((B, T_de, self.config.audio.num_mels)),
+            jnp.full((B,), T_de, dtype=jnp.int32),
+            **kwargs,
+        )
+        self.params = variables["params"]
+        return self.params
+
+    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
+        c = self.config
+        outputs = self.net.apply(
+            {"params": params},
+            batch["text_input"],
+            batch["text_lengths"],
+            batch["mel_input"],
+            batch["mel_lengths"],
+            speaker_ids=batch.get("speaker_ids"),
+            train=True,
+            rngs={"dropout": rng},
+        )
+        mel = batch["mel_input"]
+        T = min(outputs["decoder_outputs"].shape[1], mel.shape[1])
+        spec_fn = masked_mse_loss if getattr(c, "loss_masking", True) else masked_mse_loss
+        l_decoder = spec_fn(outputs["decoder_outputs"][:, :T], mel[:, :T], batch["mel_lengths"])
+        l_postnet = spec_fn(outputs["model_outputs"][:, :T], mel[:, :T], batch["mel_lengths"])
+        stop_lens = jnp.ceil(batch["mel_lengths"] / self.net.r).astype(jnp.int32)
+        l_stop = stopnet_bce_loss(
+            outputs["stop_tokens"], batch["stop_targets"][:, : outputs["stop_tokens"].shape[1]], stop_lens
+        )
+        loss = l_decoder + l_postnet + l_stop
+        losses = {"decoder_loss": l_decoder, "postnet_loss": l_postnet, "stopnet_loss": l_stop}
+        if getattr(c, "ga_alpha", 0.0) > 0:
+            l_ga = guided_attention_loss(outputs["alignments"], batch["text_lengths"], stop_lens)
+            loss += c.ga_alpha * l_ga
+            losses["ga_loss"] = l_ga
+        if self.net.use_ddc:
+            l_ddc = masked_mse_loss(
+                outputs["coarse_decoder_outputs"][:, :T], jax.lax.stop_gradient(outputs["decoder_outputs"])[:, :T],
+                batch["mel_lengths"],
+            )
+            loss += l_ddc
+            losses["decoder_coarse_loss"] = l_ddc
+        losses["loss"] = loss
+        return loss, losses
+
+    def inference(self, x: np.ndarray, aux_input=None) -> Dict:
+        aux_input = aux_input or {}
+        x = jnp.asarray(x)
+        if x.ndim == 1:
+            x = x[None]
+        key = x.shape
+        if key not in self._infer_cache:
+            self._infer_cache[key] = jax.jit(
+                lambda p, xi, sid: self.net.apply(
+                    {"params": p}, xi, speaker_ids=sid, method=Tacotron2Net.inference,
+                    rngs={"dropout": jax.random.PRNGKey(0)},
+                )
+            )
+        return self._infer_cache[key](self.params, x, aux_input.get("speaker_ids"))
+
+    @staticmethod
+    def init_from_config(config, samples=None):
+        from tpu_tts.audio import AudioProcessor
+        from tpu_tts.managers import SpeakerManager
+        from tpu_tts.text.tokenizer import TTSTokenizer
+
+        ap = AudioProcessor.init_from_config(config, verbose=False)
+        tokenizer, new_config = TTSTokenizer.init_from_config(config)
+        speaker_manager = SpeakerManager.init_from_config(new_config, samples)
+        return Tacotron2(new_config, ap, tokenizer, speaker_manager)

@@ -1,0 +1,179 @@
+"""TTS HTTP server.
+
+Mirror of /root/reference/TTS/server/server.py (routes `/api/tts`:191,
+`/details`:163, MaryTTS-compat `/locales,/voices,/process`:212-237, global
+synthesis lock :188) on the Python stdlib http.server — no Flask dependency.
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from tpu_tts.parallel import maybe_force_platform
+
+maybe_force_platform()
+
+_INDEX_HTML = """<!DOCTYPE html>
+<html>
+<head><title>tpu-TTS</title>
+<style>
+ body { font-family: sans-serif; max-width: 720px; margin: 3em auto; }
+ textarea { width: 100%; height: 5em; }
+ select, button { margin-top: 0.6em; padding: 0.4em 1em; }
+</style></head>
+<body>
+<h1>tpu-TTS server</h1>
+<textarea id="text" placeholder="Type a sentence..."></textarea><br/>
+<span id="speakers"></span>
+<button onclick="speak()">Speak</button>
+<p><audio id="audio" controls autoplay hidden></audio></p>
+<script>
+async function speak() {
+  const text = document.getElementById('text').value;
+  const sid = document.getElementById('speaker_id') ? document.getElementById('speaker_id').value : '';
+  const r = await fetch('/api/tts?text=' + encodeURIComponent(text) + '&speaker_id=' + encodeURIComponent(sid));
+  const b = await r.blob();
+  const a = document.getElementById('audio');
+  a.src = URL.createObjectURL(b); a.hidden = false; a.play();
+}
+</script>
+</body></html>
+"""
+
+
+class TTSHandler(BaseHTTPRequestHandler):
+    synthesizer = None
+    lock = threading.Lock()
+    details = {}
+
+    def _send(self, code, body, ctype="text/plain"):
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):
+        print(" > %s - %s" % (self.address_string(), fmt % args), flush=True)
+
+    def _synth_to_wav_bytes(self, text, speaker_id="", language_id="", style_wav=None):
+        # serialize synthesis — the reference holds a global lock too (:188)
+        with self.lock:
+            wavs = self.synthesizer.tts(text, speaker_name=speaker_id, language_name=language_id)
+        import numpy as np
+        import scipy.io.wavfile
+
+        wav = np.array(wavs, dtype=np.float32)
+        wav_norm = (wav * (32767 / max(0.01, float(np.max(np.abs(wav)))))).astype(np.int16)
+        buf = io.BytesIO()
+        scipy.io.wavfile.write(buf, self.synthesizer.output_sample_rate, wav_norm)
+        return buf.getvalue()
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        try:
+            if url.path in ("/", "/index.html"):
+                self._send(200, _INDEX_HTML, "text/html")
+            elif url.path == "/details":
+                self._send(200, json.dumps(self.details, indent=2, default=str), "application/json")
+            elif url.path == "/api/tts":
+                text = q.get("text", "")
+                if not text:
+                    self._send(400, "missing `text` parameter")
+                    return
+                wav = self._synth_to_wav_bytes(
+                    text, q.get("speaker_id", ""), q.get("language_id", ""), q.get("style_wav")
+                )
+                self._send(200, wav, "audio/wav")
+            # ---- MaryTTS compatibility layer (ref :212-237) -----------------
+            elif url.path == "/locales":
+                self._send(200, "en_US\n")
+            elif url.path == "/voices":
+                self._send(200, "default en_US u\n")
+            elif url.path == "/process":
+                text = q.get("INPUT_TEXT", "")
+                wav = self._synth_to_wav_bytes(text)
+                self._send(200, wav, "audio/wav")
+            else:
+                self._send(404, "not found")
+        except Exception as e:  # surface errors as 500s, keep serving
+            self._send(500, f"error: {e}")
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length).decode("utf-8") if length else ""
+        if url.path == "/process":  # MaryTTS form posts
+            q = {k: v[0] for k, v in parse_qs(body).items()}
+            try:
+                wav = self._synth_to_wav_bytes(q.get("INPUT_TEXT", ""))
+                self._send(200, wav, "audio/wav")
+            except Exception as e:
+                self._send(500, f"error: {e}")
+        elif url.path == "/api/tts":
+            try:
+                q = json.loads(body) if body else {}
+            except json.JSONDecodeError:
+                q = {k: v[0] for k, v in parse_qs(body).items()}
+            try:
+                wav = self._synth_to_wav_bytes(q.get("text", ""), q.get("speaker_id", ""))
+                self._send(200, wav, "audio/wav")
+            except Exception as e:
+                self._send(500, f"error: {e}")
+        else:
+            self._send(404, "not found")
+
+
+def create_server(args):
+    from tpu_tts.infer.synthesizer import Synthesizer
+
+    model_path, config_path = args.model_path, args.config_path
+    vocoder_path, vocoder_config_path = args.vocoder_path, args.vocoder_config_path
+    if args.model_name and not model_path:
+        from tpu_tts.zoo.manage import ModelManager
+
+        manager = ModelManager()
+        model_path, config_path, model_item = manager.download_model(args.model_name)
+        if model_item.get("default_vocoder") and not vocoder_path:
+            vocoder_path, vocoder_config_path, _ = manager.download_model(model_item["default_vocoder"])
+
+    synthesizer = Synthesizer(
+        tts_checkpoint=model_path or "",
+        tts_config_path=config_path or "",
+        vocoder_checkpoint=vocoder_path or "",
+        vocoder_config=vocoder_config_path or "",
+    )
+    TTSHandler.synthesizer = synthesizer
+    TTSHandler.details = {
+        "tts_config": synthesizer.tts_config.to_dict() if synthesizer.tts_config else {},
+        "vocoder_config": synthesizer.vocoder_config.to_dict() if getattr(synthesizer, "vocoder_config", None) else None,
+    }
+    return ThreadingHTTPServer((args.host, args.port), TTSHandler)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Run the tpu-tts HTTP server.")
+    parser.add_argument("--model_name", type=str, default=None)
+    parser.add_argument("--model_path", type=str, default=None)
+    parser.add_argument("--config_path", type=str, default=None)
+    parser.add_argument("--vocoder_path", type=str, default=None)
+    parser.add_argument("--vocoder_config_path", type=str, default=None)
+    parser.add_argument("--host", type=str, default="localhost")
+    parser.add_argument("--port", type=int, default=5002)
+    parser.add_argument("--use_cuda", type=bool, default=False)
+    args = parser.parse_args(argv)
+    server = create_server(args)
+    print(f" > Serving on http://{args.host}:{args.port}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -197,6 +197,10 @@ class Trainer:
 
     def train_step(self, batch: Dict) -> Dict[str, float]:
         batch = self._device_batch(batch)
+        # phase-switched models (AlignTTS, binary-align warmups) read the step
+        batch["global_step"] = jax.device_put(
+            np.asarray(self.total_steps_done, dtype=np.int32), self.repl_sharding
+        )
         logs_all = {}
         for idx in range(self.num_optimizers):
             self.rng, step_rng = jax.random.split(self.rng)

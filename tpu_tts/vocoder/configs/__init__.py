@@ -2,6 +2,7 @@ from tpu_tts.vocoder.configs.shared_configs import (
     BaseGANVocoderConfig,
     BaseVocoderConfig,
 )
+from tpu_tts.vocoder.configs.wavegrad_config import WavegradConfig, WavernnConfig
 from tpu_tts.vocoder.configs.gan_configs import (
     FullbandMelganConfig,
     HifiganConfig,
@@ -20,4 +21,6 @@ __all__ = [
     "MultibandMelganConfig",
     "ParallelWaveganConfig",
     "UnivnetConfig",
+    "WavegradConfig",
+    "WavernnConfig",
 ]
