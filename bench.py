@@ -56,9 +56,12 @@ def main():
     g = params["generator"]
     # warmup / compile; force a real device->host sync via data fetch
     # (block_until_ready alone can be unreliable on experimental backends)
+    print(f"[bench] compiling... (B={B}, T_en={T_en}, Y={Y_MAX})", file=sys.stderr, flush=True)
+    t_c = time.perf_counter()
     out = fn(g, x, xl, jax.random.PRNGKey(0))
     chk = np.asarray(out[:, :8, 0])
     assert np.isfinite(chk).all()
+    print(f"[bench] compile+warmup {time.perf_counter()-t_c:.1f}s", file=sys.stderr, flush=True)
 
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     times = []

@@ -1,0 +1,58 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_tts.config import register_config
+from tpu_tts.models import setup_model
+
+
+def _batch():
+    rng = np.random.default_rng(0)
+    return {
+        "text_input": jnp.asarray(rng.integers(1, 30, (2, 5)), dtype=jnp.int32),
+        "text_lengths": jnp.array([5, 4], dtype=jnp.int32),
+        "mel_input": jnp.asarray(rng.standard_normal((2, 12, 80)), dtype=jnp.float32),
+        "mel_lengths": jnp.array([12, 10], dtype=jnp.int32),
+    }
+
+
+def _small(name):
+    cfg = register_config(name)(text_cleaner="basic_cleaners")
+    cfg.model_args.encoder_dim = 32
+    cfg.model_args.memory_rnn_dim = 32
+    cfg.model_args.outputnet_size = (32,)
+    cfg.model_args.prenet_dims = (16, 16)
+    if name == "overflow":
+        cfg.model_args.hidden_channels_dec = 16
+        cfg.model_args.num_flow_blocks_dec = 2
+        cfg.model_args.num_block_layers = 1
+    cfg.audio.mel_fmax = 8000.0
+    m = setup_model(cfg)
+    m.init_params(jax.random.PRNGKey(0))
+    return m
+
+
+@pytest.mark.parametrize("name", ["neuralhmm_tts", "overflow"])
+def test_hmm_models_train_and_infer(name):
+    import optax
+
+    m = _small(name)
+    batch = _batch()
+    loss, _ = m.loss_fn(m.params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    grads = jax.grad(lambda p: m.loss_fn(p, batch, jax.random.PRNGKey(1))[0])(m.params)
+    assert float(optax.global_norm(grads)) > 0
+    out = m.inference(np.arange(1, 6, dtype=np.int32), max_steps=24)
+    mel = np.asarray(out["model_outputs"])
+    assert mel.shape[2] == 80 and np.isfinite(mel).all()
+
+
+def test_hmm_likelihood_sane():
+    """NLL of data drawn from the flat-start prior should beat far-off data."""
+    m = _small("neuralhmm_tts")
+    batch = _batch()
+    loss_near, _ = m.loss_fn(m.params, batch, jax.random.PRNGKey(1))
+    far = dict(batch, mel_input=batch["mel_input"] + 100.0)
+    loss_far, _ = m.loss_fn(m.params, far, jax.random.PRNGKey(1))
+    assert float(loss_far) > float(loss_near)

