@@ -1,5 +1,8 @@
 """Benchmark: VITS end-to-end inference RTF on the current accelerator.
 
+Default dtype is bf16 (native MXU serving dtype); set BENCH_DTYPE=f32 to
+measure full precision.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's published VITS inference RTF of ×67.12 realtime on
 "a GPU" (/root/reference/docs/source/models/vits.md:7; BASELINE.md).
@@ -34,7 +37,20 @@ def main():
     cfg = VitsConfig()
     cfg.model_args.num_chars = 165
     model = Vits(cfg)
-    params = model.init_params(jax.random.PRNGKey(0))
+    # init on CPU (fast local compile), then ship params to the accelerator —
+    # avoids spending accelerator remote-compile time on the init graph
+    t0 = time.perf_counter()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init_params(jax.random.PRNGKey(0))
+    params = jax.device_put(params, jax.devices()[0])
+    if os.environ.get("BENCH_DTYPE", "bf16") == "bf16":
+        # bf16 weights: native MXU dtype, half the HBM traffic
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+        )
+    model.params = params
+    print(f"[bench] init {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     sr = cfg.audio.sample_rate
     hop = cfg.audio.hop_length

@@ -285,14 +285,27 @@ class TTSDataset:
 class TTSDataLoader:
     """Batched iterator over a TTSDataset: length-sorted batches, shuffled
     batch order, bucketed collate (replaces torch DataLoader + samplers for
-    the single-host path)."""
+    the single-host path). With `weights`, samples items by importance
+    (speaker/language/length balancing — ref WeightedRandomSampler use)."""
 
-    def __init__(self, dataset: TTSDataset, batch_size: int, shuffle: bool = True, drop_last: bool = True, seed: int = 0):
+    def __init__(
+        self,
+        dataset: TTSDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        weights: Optional[np.ndarray] = None,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
+        self.weights = None
+        if weights is not None:
+            w = np.asarray(weights, dtype=np.float64)
+            self.weights = w / w.sum()
         self.epoch = 0
 
     def __len__(self):
@@ -302,7 +315,12 @@ class TTSDataLoader:
         return int(np.ceil(n / self.batch_size))
 
     def _batch_indices(self) -> List[List[int]]:
-        idxs = list(range(len(self.dataset)))
+        if self.weights is not None:
+            n = len(self.dataset)
+            idxs = list(self.rng.choice(n, size=n, replace=True, p=self.weights))
+            idxs.sort()  # keep length-sorted batching for bucket efficiency
+        else:
+            idxs = list(range(len(self.dataset)))
         # group-local shuffle preserving length sorting (ref batch_group_size)
         if self.shuffle and self.dataset.batch_group_size > 0:
             g = self.dataset.batch_group_size

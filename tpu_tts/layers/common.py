@@ -71,6 +71,7 @@ class WNConv1d(nn.Module):
         norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True) + 1e-12)
         kernel = v / norm * g[None, None, :]
         pad = (self.kernel_size // 2) * self.dilation
+        x = x.astype(kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             kernel,

@@ -109,13 +109,36 @@ class BaseTTSModel:
             start_by_longest=config.start_by_longest,
         )
         dataset.preprocess_samples()
+        weights = None if is_eval else self._sampler_weights(config, dataset.samples)
         return TTSDataLoader(
             dataset,
             batch_size=config.eval_batch_size if is_eval else config.batch_size,
             shuffle=not is_eval and config.shuffle,
             drop_last=not is_eval,
             seed=getattr(config, "training_seed", 0),
+            weights=weights,
         )
+
+    @staticmethod
+    def _sampler_weights(config, samples):
+        """Compose speaker/language/length balancer weights
+        (ref base_tts.get_sampler weighted-sampler stack)."""
+        import numpy as np
+
+        from tpu_tts.managers import get_language_balancer_weights, get_speaker_balancer_weights
+
+        weights = None
+        if getattr(config, "use_speaker_weighted_sampler", False):
+            w = get_speaker_balancer_weights(samples) * config.speaker_weighted_sampler_alpha
+            weights = w if weights is None else weights + w
+        if getattr(config, "use_language_weighted_sampler", False):
+            w = get_language_balancer_weights(samples) * config.language_weighted_sampler_alpha
+            weights = w if weights is None else weights + w
+        if getattr(config, "use_length_weighted_sampler", False):
+            lens = np.array([len(s["text"]) for s in samples], dtype=np.float64)
+            w = (lens / lens.sum()) * config.length_weighted_sampler_alpha
+            weights = w if weights is None else weights + w
+        return weights
 
     def format_batch(self, batch: Dict) -> Dict:
         """Host-side batch formatting; arrays stay numpy until the jit call."""

@@ -43,6 +43,7 @@ class WNConvTranspose1d(nn.Module):
         kernel = v / norm * g[None, None, :]
         crop = (k - s) // 2
         pad = k - 1 - crop
+        x = x.astype(kernel.dtype)
         y = jax.lax.conv_transpose(
             x, kernel, strides=(s,), padding=[(pad, pad)], dimension_numbers=("NHC", "HIO", "NHC")
         )
