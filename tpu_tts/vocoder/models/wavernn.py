@@ -301,7 +301,15 @@ class Wavernn:
             unfolded[start : start + length] += y[i]
         return unfolded.astype(np.float32)
 
-    def inference(self, mels: np.ndarray, batched: bool = True, target: int = 11000, overlap: int = 550):
+    def inference(
+        self,
+        mels: np.ndarray,
+        batched: bool = True,
+        target: int = 11000,
+        overlap: int = 550,
+        use_pallas: bool = False,
+        seed: int = 0,
+    ):
         from tpu_tts.audio.numpy_transforms import mulaw_decode
 
         a = self.args
@@ -318,11 +326,25 @@ class Wavernn:
             gen_in = np.pad(folded, [(0, 0), (a.pad, a.pad), (0, 0)], mode="edge")
         else:
             gen_in = np.pad(mels, [(0, 0), (2 * a.pad, 2 * a.pad), (0, 0)], mode="edge")
-        samples = np.asarray(
-            jax.jit(lambda p, m, r: self.net.apply({"params": p}, m, r, method=WavernnNet.generate))(
-                self.params, jnp.asarray(gen_in), jax.random.PRNGKey(0)
+        if use_pallas and str(a.mode).isdigit() and a.use_aux_net:
+            # fused Pallas AR kernel: upsample net runs as one parallel jit,
+            # then the whole sample loop runs inside a single pallas_call
+            if getattr(self, "_pallas_sampler", None) is None:
+                from tpu_tts.ops.wavernn_pallas import PallasWavernnSampler
+
+                self._pallas_sampler = PallasWavernnSampler.from_flax_params(self.params, a)
+                self._pallas_sampler.interpret = jax.default_backend() != "tpu"
+                self._pallas_upsample = jax.jit(
+                    lambda p, m: self.net.apply({"params": p}, m, method=lambda net, mm: net.upsample(mm))
+                )
+            mels_up, aux = self._pallas_upsample(self.params, jnp.asarray(gen_in))
+            samples = np.asarray(self._pallas_sampler(mels_up, aux, seed=seed))
+        else:
+            samples = np.asarray(
+                jax.jit(lambda p, m, r: self.net.apply({"params": p}, m, r, method=WavernnNet.generate))(
+                    self.params, jnp.asarray(gen_in), jax.random.PRNGKey(seed)
+                )
             )
-        )
         if a.mulaw and str(a.mode).isdigit():
             samples = mulaw_decode(wav=samples, mulaw_qc=int(a.mode))
         if batched:
