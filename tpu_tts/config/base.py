@@ -112,6 +112,12 @@ class Coqpit:
     def __contains__(self, key: str) -> bool:
         return hasattr(self, key)
 
+    def __iter__(self):
+        return iter(f.name for f in fields(self))
+
+    def __len__(self) -> int:
+        return len(fields(self))
+
     def get(self, key: str, default: Any = None) -> Any:
         return getattr(self, key, default)
 

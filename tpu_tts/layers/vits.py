@@ -498,7 +498,7 @@ class VitsDiscriminator(nn.Module):
         from tpu_tts.vocoder.models.hifigan_discriminator import DiscriminatorP, DiscriminatorS
 
         scores, feats = [], []
-        score, feat = DiscriminatorS(use_spectral_norm=self.use_spectral_norm, name="disc_s")(x)
+        score, feat = DiscriminatorS(use_spectral_norm=self.use_spectral_norm, slim=True, name="disc_s")(x)
         scores.append(score)
         feats.append(feat)
         for p in self.periods:

@@ -156,11 +156,31 @@ class BaseTTSModel:
 
     # ------------------------------------------------------------ checkpoint
     def load_checkpoint(self, config, checkpoint_path, eval=True, strict=True, cache=False):
+        """Load an orbax checkpoint dir, or a reference torch `.pth` when the
+        model implements `convert_torch_state_dict` (ref io.py:load_fsspec)."""
+        if str(checkpoint_path).endswith((".pth", ".pth.tar", ".pt")):
+            return self.load_torch_checkpoint(checkpoint_path)
         from tpu_tts.train.checkpoint import load_checkpoint as _load
 
         state = _load(checkpoint_path)
         self.params = state["model"]
         return state
+
+    def load_torch_checkpoint(self, checkpoint_path):
+        """Ingest a reference torch checkpoint via the model's converter."""
+        convert = getattr(self, "convert_torch_state_dict", None)
+        if convert is None:
+            raise NotImplementedError(
+                f"{type(self).__name__} has no torch checkpoint converter yet"
+            )
+        from tpu_tts.train.torch_convert import load_torch_checkpoint
+
+        ckpt = load_torch_checkpoint(checkpoint_path)
+        sd = ckpt.get("torch_state_dict")
+        if sd is None:  # flat state dict file
+            sd = {k: v for k, v in ckpt.items() if hasattr(v, "shape")}
+        self.params = convert(sd)
+        return ckpt
 
     @staticmethod
     def init_from_config(config, samples=None):

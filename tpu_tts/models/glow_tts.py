@@ -292,6 +292,31 @@ class GlowTTS(BaseTTSModel):
             return config.num_chars
         return 130
 
+    # ------------------------------------------------------- torch ingest
+    def convert_torch_state_dict(self, state_dict):
+        """Reference `GlowTTS` torch weights → our flax tree (parity-tested in
+        tests/test_torch_parity_glow.py). Reference checkpoints trained
+        without rel-attention windows lack `emb_rel_*`; those leaves are
+        zero-filled (zero rel contribution == no rel attention)."""
+        from tpu_tts.models.glow_convert import convert_glow_tts_torch_state_dict
+
+        params = convert_glow_tts_torch_state_dict(state_dict)
+        if self.params is None:
+            self.init_params(jax.random.PRNGKey(0))
+
+        def fill(template, got, path=""):
+            for k, v in template.items():
+                if isinstance(v, dict):
+                    fill(v, got.setdefault(k, {}), f"{path}/{k}")
+                elif k not in got:
+                    if "emb_rel" in k:
+                        got[k] = np.zeros(v.shape, dtype=np.float32)
+                    else:
+                        raise KeyError(f"torch checkpoint missing param {path}/{k}")
+
+        fill(jax.tree.map(lambda a: a, self.params), params)
+        return params
+
     # ----------------------------------------------------------------- pure
     def init_params(self, rng: jax.Array):
         B, T_en, T_de = 2, 16, 32

@@ -257,6 +257,47 @@ class VitsNet(nn.Module):
             "durations": w_ceil[:, :, 0],
         }
 
+    def infer_durations(self, x, x_lengths, length_scale: float = None, sdp_noise_scale: float = None,
+                        speaker_ids=None, d_vectors=None, language_ids=None):
+        """Stage 1: text encoder + duration predictor only. Returns the
+        predicted frame counts so the host can pick a decode bucket (avoids
+        decoding a worst-case padded length)."""
+        a = self.a
+        length_scale = a["length_scale"] if length_scale is None else length_scale
+        sdp_noise_scale = a["inference_noise_scale_dp"] if sdp_noise_scale is None else sdp_noise_scale
+        g, lang_emb = self._cond_embeddings(speaker_ids, d_vectors, language_ids)
+        h_text, m_p, logs_p, x_mask = self.text_encoder(x, x_lengths, lang_emb=lang_emb, train=False)
+        dp_g = g if a["condition_dp_on_speaker"] else None
+        if self.use_sdp:
+            logw = self.duration_predictor(
+                h_text, x_mask, g=dp_g, lang_emb=lang_emb, reverse=True,
+                noise_scale=sdp_noise_scale, train=False,
+            )
+        else:
+            logw = self.duration_predictor(h_text, x_mask, g=dp_g, lang_emb=lang_emb, train=False)
+        w = jnp.exp(logw) * x_mask * length_scale
+        w_ceil = jnp.ceil(w) * x_mask
+        y_lengths = jnp.maximum(jnp.sum(w_ceil, axis=(1, 2)), 1).astype(jnp.int32)
+        return {"w_ceil": w_ceil[:, :, 0], "y_lengths": y_lengths, "m_p": m_p, "logs_p": logs_p, "x_mask": x_mask}
+
+    def infer_decode(self, w_ceil, y_lengths, m_p, logs_p, x_mask, y_max_length: int,
+                     noise_scale: float = None, speaker_ids=None, d_vectors=None, language_ids=None):
+        """Stage 2: expand, flow reverse, waveform decode at a bucketed length."""
+        a = self.a
+        noise_scale = a["inference_noise_scale"] if noise_scale is None else noise_scale
+        g, _ = self._cond_embeddings(speaker_ids, d_vectors, language_ids)
+        y_lengths = jnp.minimum(y_lengths, y_max_length)
+        y_mask = sequence_mask(y_lengths, y_max_length).astype(x_mask.dtype)[:, :, None]
+        attn_mask = x_mask * jnp.swapaxes(y_mask, 1, 2)
+        attn = generate_path(w_ceil, attn_mask)
+        m_p_ex = jnp.einsum("bet,bec->btc", attn, m_p)
+        logs_p_ex = jnp.einsum("bet,bec->btc", attn, logs_p)
+        noise = jax.random.normal(self.make_rng("noise"), m_p_ex.shape)
+        z_p = m_p_ex + noise * jnp.exp(logs_p_ex) * noise_scale
+        z = self.flow(z_p * y_mask, y_mask, g=g, reverse=True)
+        o = self.waveform_decoder(z * y_mask, g=g)
+        return {"model_outputs": o, "alignments": jnp.swapaxes(attn, 1, 2), "y_lengths": y_lengths}
+
     def voice_conversion(self, spec, spec_lengths, g_src, g_tgt):
         """Spec of source speaker → waveform of target speaker
         (ref inference_voice_conversion vits.py:1176)."""
@@ -440,7 +481,11 @@ class Vits(BaseTTSModel):
         return [opt_d, opt_g]
 
     # ------------------------------------------------------------- inference
-    def inference(self, x: np.ndarray, aux_input=None, bucket: int = 256) -> Dict:
+    def inference(self, x: np.ndarray, aux_input=None, bucket: int = 128) -> Dict:
+        """Two-stage bucketed inference: run the cheap duration stage first,
+        then decode at the *actual* bucketed mel length — the single-pass
+        reference path would decode a worst-case padded length (up to ~20×
+        wasted decoder FLOPs, measured in round-1 verification)."""
         aux_input = aux_input or {}
         x = jnp.asarray(x)
         if x.ndim == 1:
@@ -448,28 +493,38 @@ class Vits(BaseTTSModel):
         x_lengths = aux_input.get("x_lengths")
         if x_lengths is None:
             x_lengths = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
-        est = int(x.shape[1]) * 12
-        y_max = max(bucket, int(np.ceil(est / bucket)) * bucket)
-        if self.args.max_inference_len:
-            y_max = min(y_max, self.args.max_inference_len)
-        key = (x.shape, int(y_max))
-        if key not in self._infer_cache:
-            self._infer_cache[key] = jax.jit(
-                lambda p, xi, xli, sid, dvec, lid, rng: self.net.apply(
-                    {"params": p}, xi, xli, y_max,
-                    speaker_ids=sid, d_vectors=dvec, language_ids=lid,
-                    method=VitsNet.inference,
-                    rngs={"noise": rng, "sdp": jax.random.fold_in(rng, 1)},
+        x_lengths = jnp.asarray(x_lengths)
+        sid = aux_input.get("speaker_ids")
+        dvec = aux_input.get("d_vectors")
+        lid = aux_input.get("language_ids")
+        rng = jax.random.PRNGKey(int(aux_input.get("seed", 0)))
+
+        key1 = ("stage1", x.shape)
+        if key1 not in self._infer_cache:
+            self._infer_cache[key1] = jax.jit(
+                lambda p, xi, xli, s, d, l, r: self.net.apply(
+                    {"params": p}, xi, xli, speaker_ids=s, d_vectors=d, language_ids=l,
+                    method=VitsNet.infer_durations, rngs={"sdp": jax.random.fold_in(r, 1)},
                 )
             )
-        out = self._infer_cache[key](
-            self.params["generator"],
-            x,
-            jnp.asarray(x_lengths),
-            aux_input.get("speaker_ids"),
-            aux_input.get("d_vectors"),
-            aux_input.get("language_ids"),
-            jax.random.PRNGKey(int(aux_input.get("seed", 0))),
+        s1 = self._infer_cache[key1](self.params["generator"], x, x_lengths, sid, dvec, lid, rng)
+        true_max = int(np.asarray(s1["y_lengths"]).max())
+        y_max = max(bucket, int(np.ceil(true_max / bucket)) * bucket)
+        if self.args.max_inference_len:
+            y_max = min(y_max, self.args.max_inference_len)
+
+        key2 = ("stage2", x.shape, int(y_max))
+        if key2 not in self._infer_cache:
+            self._infer_cache[key2] = jax.jit(
+                lambda p, w, yl, m, ls, xm, s, d, l, r: self.net.apply(
+                    {"params": p}, w, yl, m, ls, xm, y_max,
+                    speaker_ids=s, d_vectors=d, language_ids=l,
+                    method=VitsNet.infer_decode, rngs={"noise": r},
+                )
+            )
+        out = self._infer_cache[key2](
+            self.params["generator"], s1["w_ceil"], s1["y_lengths"], s1["m_p"], s1["logs_p"],
+            s1["x_mask"], sid, dvec, lid, rng,
         )
         return out
 
@@ -498,6 +553,14 @@ class Vits(BaseTTSModel):
         config.return_wav = True
         config.compute_linear_spec = False  # computed on device
         return super().get_data_loader(config, assets, is_eval, samples, verbose, num_gpus, rank)
+
+    # ------------------------------------------------------- torch ingest
+    def convert_torch_state_dict(self, state_dict):
+        """Reference `Vits` torch weights → our flax tree (parity-tested in
+        tests/test_torch_parity_vits.py)."""
+        from tpu_tts.models.vits_convert import convert_vits_torch_state_dict
+
+        return convert_vits_torch_state_dict(state_dict)
 
     # -------------------------------------------------------------- factory
     @staticmethod

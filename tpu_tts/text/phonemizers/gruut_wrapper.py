@@ -57,4 +57,9 @@ class Gruut(BasePhonemizer):
 
     @classmethod
     def is_available(cls) -> bool:
-        return _GRUUT_OK and importlib.util.find_spec("gruut") is not None
+        if not _GRUUT_OK:
+            return False
+        try:
+            return importlib.util.find_spec("gruut") is not None
+        except (ImportError, ValueError):  # e.g. stubbed module without __spec__
+            return False

@@ -108,23 +108,37 @@ class DiscriminatorP(nn.Module):
 
 
 class DiscriminatorS(nn.Module):
-    """Scale discriminator: grouped 1D conv stack (ref :117)."""
+    """Scale discriminator: grouped 1D conv stack (ref :117).
+
+    `slim=True` selects the VITS-specific channel schedule
+    (ref TTS/tts/layers/vits/discriminator.py:8 — fewer, wider-stride convs)."""
 
     use_spectral_norm: bool = False
+    slim: bool = False
 
     @nn.compact
     def __call__(self, x):
         """x: `[B, T, 1]` → (score, features)."""
         feat = []
-        specs = [
-            (128, 15, 1, 1, 7),
-            (128, 41, 2, 4, 20),
-            (256, 41, 2, 16, 20),
-            (512, 41, 4, 16, 20),
-            (1024, 41, 4, 16, 20),
-            (1024, 41, 1, 16, 20),
-            (1024, 5, 1, 1, 2),
-        ]
+        if self.slim:
+            specs = [
+                (16, 15, 1, 1, 7),
+                (64, 41, 4, 4, 20),
+                (256, 41, 4, 16, 20),
+                (1024, 41, 4, 64, 20),
+                (1024, 41, 4, 256, 20),
+                (1024, 5, 1, 1, 2),
+            ]
+        else:
+            specs = [
+                (128, 15, 1, 1, 7),
+                (128, 41, 2, 4, 20),
+                (256, 41, 2, 16, 20),
+                (512, 41, 4, 16, 20),
+                (1024, 41, 4, 16, 20),
+                (1024, 41, 1, 16, 20),
+                (1024, 5, 1, 1, 2),
+            ]
         for i, (ch, k, s, g, p) in enumerate(specs):
             x = NormConv(ch, (k,), strides=(s,), groups=g, use_spectral_norm=self.use_spectral_norm,
                          padding=((p, p),), name=f"convs_{i}")(x)

@@ -119,7 +119,9 @@ class HifiganGenerator(nn.Module):
                 rb = resblock_cls(ch, rk, tuple(rd), name=f"resblocks_{i*num_kernels + j}")(o)
                 z_sum = rb if z_sum is None else z_sum + rb
             o = z_sum / num_kernels
-        o = lrelu(o)
+        # ref hifigan_generator.py:262 uses torch's default slope (0.01) here,
+        # unlike the 0.1 used everywhere else — kept for checkpoint parity
+        o = jax.nn.leaky_relu(o, 0.01)
         o = WNConv1d(self.out_channels, 7, use_bias=self.conv_post_bias, name="conv_post")(o)
         return jnp.tanh(o)
 
