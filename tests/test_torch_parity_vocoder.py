@@ -1,0 +1,96 @@
+"""Numerical parity: reference torch HiFi-GAN vocoder → converted flax params."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tests.ref_torch_loader import load_reference, ref_import  # noqa: E402
+
+pytestmark = pytest.mark.skipif(load_reference() is None, reason="reference import failed")
+
+GEN_KW = dict(
+    in_channels=40, out_channels=1, resblock_type="1",
+    resblock_dilation_sizes=[[1, 3, 5], [1, 3, 5]], resblock_kernel_sizes=[3, 7],
+    upsample_kernel_sizes=[16, 16], upsample_initial_channel=32,
+    upsample_factors=[8, 8],
+)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    hg = ref_import("TTS.vocoder.models.hifigan_generator")
+    if hg is None:
+        pytest.skip("reference hifigan not importable")
+    import torch
+
+    torch.manual_seed(0)
+    ref_gen = hg.HifiganGenerator(**GEN_KW)
+    ref_gen.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_gen.state_dict().items()}
+
+    from tpu_tts.vocoder.models.vocoder_convert import convert_gan_torch_state_dict
+
+    params = convert_gan_torch_state_dict(sd)["generator"]
+
+    from tpu_tts.vocoder.models.hifigan_generator import HifiganGenerator
+
+    mine = HifiganGenerator(
+        in_channels=40, out_channels=1, resblock_type="1",
+        resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)), resblock_kernel_sizes=(3, 7),
+        upsample_kernel_sizes=(16, 16), upsample_initial_channel=32,
+        upsample_factors=(8, 8),
+    )
+    return ref_gen, mine, params
+
+
+def test_hifigan_generator_parity(pair):
+    import torch
+
+    ref_gen, mine, params = pair
+    mel = np.random.default_rng(0).standard_normal((2, 40, 17)).astype(np.float32)
+    with torch.no_grad():
+        ref_wav = ref_gen(torch.from_numpy(mel)).numpy()  # [B, 1, T*64]
+    my_wav = mine.apply({"params": params}, jnp.asarray(np.transpose(mel, (0, 2, 1))))
+    my_wav = np.transpose(np.asarray(my_wav), (0, 2, 1))
+    assert my_wav.shape == ref_wav.shape
+    np.testing.assert_allclose(my_wav, ref_wav, atol=2e-4, rtol=1e-3)
+
+
+def test_hifigan_discriminator_parity(pair):
+    """Full GAN state dict (model_g + model_d) converts; MPD scores match."""
+    hd = ref_import("TTS.vocoder.models.hifigan_discriminator")
+    if hd is None:
+        pytest.skip("reference hifigan discriminator not importable")
+    import torch
+
+    torch.manual_seed(1)
+    ref_d = hd.HifiganDiscriminator()
+    ref_d.eval()
+    sd = {f"model_d.{k}": v.detach().numpy() for k, v in ref_d.state_dict().items()}
+    ref_gen, _, _ = pair
+    sd.update({f"model_g.{k}": v.detach().numpy() for k, v in ref_gen.state_dict().items()})
+
+    from tpu_tts.vocoder.models.vocoder_convert import convert_gan_torch_state_dict
+
+    params = convert_gan_torch_state_dict(sd)
+    assert "discriminator" in params
+
+    y = np.random.default_rng(2).standard_normal((1, 1, 4410)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref_scores, _ = ref_d(torch.from_numpy(y))
+
+    from tpu_tts.vocoder.models.hifigan_discriminator import MultiPeriodDiscriminator
+
+    my_scores, _ = MultiPeriodDiscriminator().apply(
+        {"params": params["discriminator"]["mpd"]},
+        jnp.asarray(np.transpose(y, (0, 2, 1))),
+    )
+    # reference returns mpd scores first (5 periods), then msd (3 scales)
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(my_scores[i]).reshape(-1),
+            ref_scores[i].numpy().reshape(-1),
+            atol=2e-4, rtol=1e-3,
+        )

@@ -300,6 +300,29 @@ class ForwardTTS(BaseTTSModel):
         self._infer_cache = {}
 
     # ------------------------------------------------------------------ pure
+    def convert_torch_state_dict(self, state_dict):
+        """Reference `ForwardTTS` torch weights → our flax tree (parity-tested
+        in tests/test_torch_parity_forward.py). The reference's sinusoidal
+        `pos_encoder.pe` is a buffer (recomputed on our side); our learnable
+        `pos_encoder/scale` keeps its init value."""
+        from tpu_tts.models.forward_convert import convert_forward_tts_torch_state_dict
+
+        enc_params = self.args.encoder_params or {}
+        num_heads = int(enc_params.get("num_heads", 2))
+        params = convert_forward_tts_torch_state_dict(state_dict, num_heads=num_heads)
+        if self.params is None:
+            self.init_params(jax.random.PRNGKey(0))
+
+        def fill(template, got):
+            for k, v in template.items():
+                if isinstance(v, dict):
+                    fill(v, got.setdefault(k, {}))
+                elif k not in got:
+                    got[k] = np.asarray(v)
+
+        fill(self.params, params)
+        return params
+
     def init_params(self, rng):
         a = self.args
         B, T_en, T_de = 2, 8, 16

@@ -134,6 +134,57 @@ def _map_conv_flow(sd, tree, src: str, dst: str):
     _map_dds_conv(sd, tree, f"{src}.convs", f"{dst}/convs")
 
 
+def map_hifigan_generator(sd, tree, src: str, dst: str):
+    """Reference `HifiganGenerator` (vocoder/models/hifigan_generator.py:125)
+    → our flax tree: conv_pre / ups / resblocks / conv_post / cond_layer."""
+    prefix = src + "." if src else ""
+    for k, v in sd.items():
+        if prefix and not k.startswith(prefix):
+            continue
+        rest = k[len(prefix):]
+        if rest in ("conv_pre.weight", "conv_post.weight"):
+            which = rest.split(".")[0]
+            kv, g = _wn_decompose(_conv1d(v))
+            _set(tree, f"{dst}/{which}/v", kv)
+            _set(tree, f"{dst}/{which}/g", g)
+            continue
+        if rest in ("conv_pre.bias", "conv_post.bias"):
+            _set(tree, f"{dst}/{rest.split('.')[0]}/bias", v)
+            continue
+        m = re.match(r"ups\.(\d+)\.(weight|bias)$", rest)
+        if m:
+            i, leaf = m.groups()
+            if leaf == "weight":
+                kv, g = _wn_decompose(_convtr1d(v))
+                _set(tree, f"{dst}/ups_{i}/v", kv)
+                _set(tree, f"{dst}/ups_{i}/g", g)
+            else:
+                _set(tree, f"{dst}/ups_{i}/bias", v)
+            continue
+        m = re.match(r"resblocks\.(\d+)\.(convs\d?)\.(\d+)\.(weight|bias)$", rest)
+        if m:
+            i, convs, j, leaf = m.groups()
+            if leaf == "weight":
+                kv, g = _wn_decompose(_conv1d(v))
+                _set(tree, f"{dst}/resblocks_{i}/{convs}_{j}/v", kv)
+                _set(tree, f"{dst}/resblocks_{i}/{convs}_{j}/g", g)
+            else:
+                _set(tree, f"{dst}/resblocks_{i}/{convs}_{j}/bias", v)
+            continue
+        if rest in ("cond_layer.weight", "cond.weight"):
+            _set(tree, f"{dst}/cond/kernel", _dense(v))
+        elif rest in ("cond_layer.bias", "cond.bias"):
+            _set(tree, f"{dst}/cond/bias", v)
+
+    # conv_post in the reference has no bias when conv_post_bias=False; ours
+    # always has one — zero-fill so the effective op is identical
+    node = tree
+    for part in dst.split("/"):
+        node = node.get(part, {})
+    if "conv_post" in node and "bias" not in node["conv_post"]:
+        node["conv_post"]["bias"] = np.zeros(node["conv_post"]["g"].shape, dtype=np.float32)
+
+
 def convert_vits_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Reference `Vits` torch state dict → `{"generator": ..., "discriminator": ...}`
     flax param tree (numpy leaves)."""
@@ -226,52 +277,7 @@ def convert_vits_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         _set(gen, f"{dp}/proj/bias", sd[f"{dp}.proj.bias"])
 
     # ---- waveform decoder (HiFi-GAN generator) ----
-    wd = "waveform_decoder"
-    for k, v in sd.items():
-        if not k.startswith(wd + "."):
-            continue
-        rest = k[len(wd) + 1 :]
-        if rest in ("conv_pre.weight", "conv_post.weight"):
-            which = rest.split(".")[0]
-            kv, g = _wn_decompose(_conv1d(v))
-            _set(gen, f"{wd}/{which}/v", kv)
-            _set(gen, f"{wd}/{which}/g", g)
-            continue
-        if rest in ("conv_pre.bias", "conv_post.bias"):
-            _set(gen, f"{wd}/{rest.split('.')[0]}/bias", v)
-            continue
-        m = re.match(r"ups\.(\d+)\.(weight|bias)$", rest)
-        if m:
-            i, leaf = m.groups()
-            if leaf == "weight":
-                kv, g = _wn_decompose(_convtr1d(v))
-                _set(gen, f"{wd}/ups_{i}/v", kv)
-                _set(gen, f"{wd}/ups_{i}/g", g)
-            else:
-                _set(gen, f"{wd}/ups_{i}/bias", v)
-            continue
-        m = re.match(r"resblocks\.(\d+)\.(convs\d?)\.(\d+)\.(weight|bias)$", rest)
-        if m:
-            i, convs, j, leaf = m.groups()
-            if leaf == "weight":
-                kv, g = _wn_decompose(_conv1d(v))
-                _set(gen, f"{wd}/resblocks_{i}/{convs}_{j}/v", kv)
-                _set(gen, f"{wd}/resblocks_{i}/{convs}_{j}/g", g)
-            else:
-                _set(gen, f"{wd}/resblocks_{i}/{convs}_{j}/bias", v)
-            continue
-        if rest == "cond_layer.weight" or rest == "cond.weight":
-            _set(gen, f"{wd}/cond/kernel", _dense(v))
-        elif rest == "cond_layer.bias" or rest == "cond.bias":
-            _set(gen, f"{wd}/cond/bias", v)
-
-    # conv_post in the reference has no bias only when bias=False; ours always
-    # has one — zero it if absent
-    wd_tree = gen.get(wd, {})
-    if "conv_post" in wd_tree and "bias" not in wd_tree["conv_post"]:
-        wd_tree["conv_post"]["bias"] = np.zeros(
-            wd_tree["conv_post"]["g"].shape, dtype=np.float32
-        )
+    map_hifigan_generator(sd, gen, "waveform_decoder", "waveform_decoder")
 
     # ---- speaker / language embeddings ----
     if "emb_g.weight" in sd:

@@ -14,10 +14,16 @@ def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
+
+    def to_np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
     out: Dict[str, Any] = {}
     for key, value in ckpt.items():
         if key == "model" and isinstance(value, dict):
-            out["torch_state_dict"] = {k: v.detach().cpu().numpy() for k, v in value.items() if hasattr(v, "detach")}
+            out["torch_state_dict"] = {
+                k: to_np(v) for k, v in value.items() if hasattr(v, "shape")
+            }
         elif hasattr(value, "detach"):
             out[key] = value.detach().cpu().numpy()
         else:

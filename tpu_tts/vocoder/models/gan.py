@@ -40,6 +40,22 @@ class GAN(BaseTTSModel):
     def num_optimizers(self) -> int:
         return 2
 
+    # ------------------------------------------------------- torch ingest
+    def convert_torch_state_dict(self, state_dict):
+        """Reference vocoder `GAN` torch weights → our flax tree
+        (parity-tested in tests/test_torch_parity_vocoder.py)."""
+        from tpu_tts.vocoder.models.vocoder_convert import convert_gan_torch_state_dict
+
+        name = str(getattr(self.config, "generator_model", "hifigan")).lower()
+        params = convert_gan_torch_state_dict(state_dict, generator_name=name)
+        if "discriminator" not in params:
+            # generator-only release checkpoint: keep a fresh discriminator so
+            # fine-tuning still works
+            if self.params is None:
+                self.init_params(jax.random.PRNGKey(0))
+            params["discriminator"] = self.params["discriminator"]
+        return params
+
     # ------------------------------------------------------------------ pure
     def init_params(self, rng):
         B, T_mel, C = 2, 8, self.config.audio.num_mels
