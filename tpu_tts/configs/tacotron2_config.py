@@ -92,4 +92,4 @@ class Tacotron2Config(TacotronConfig):
     out_channels: int = 80
     encoder_in_features: int = 512
     decoder_in_features: int = 512
-    attention_norm: str = "softmax"
+    attention_norm: str = "sigmoid"

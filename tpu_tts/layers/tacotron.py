@@ -173,16 +173,41 @@ def init_attn(attn_type: str, **kwargs):
     raise ValueError(f" [!] Unknown attention type {attn_type}")
 
 
+class FrozenBatchNorm(nn.Module):
+    """Inference-mode torch BatchNorm as a per-channel affine over running
+    stats: y = (x - mean)/sqrt(var + eps) · scale + bias. Used when ingesting
+    reference Tacotron checkpoints (their encoders/postnets are BN-based;
+    ours trains with LayerNorm — see README deviations)."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+
+
+def _norm(norm_type: str, features: int, name: str):
+    if norm_type == "frozen_batch":
+        return FrozenBatchNorm(features, name=name)
+    return nn.LayerNorm(name=name)
+
+
 class Tacotron2Encoder(nn.Module):
     """3 × [conv5-LN-relu-dropout] → BiLSTM (ref tacotron2.py:73)."""
 
     output_dim: int = 512
+    norm_type: str = "layer"
 
     @nn.compact
     def __call__(self, x, x_mask, train: bool = False):
         for i in range(3):
             x = Conv1d(self.output_dim, 5, name=f"conv_{i}")(x * x_mask)
-            x = nn.LayerNorm(name=f"norm_{i}")(x)
+            x = _norm(self.norm_type, self.output_dim, f"norm_{i}")(x)
             x = nn.Dropout(0.5, deterministic=not train)(nn.relu(x))
         half = self.output_dim // 2
         fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="lstm_fwd")(x * x_mask)
@@ -196,13 +221,15 @@ class Postnet(nn.Module):
     mel_dim: int = 80
     num_convs: int = 5
     channels: int = 512
+    norm_type: str = "layer"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.num_convs):
             last = i == self.num_convs - 1
-            x = Conv1d(self.mel_dim if last else self.channels, 5, name=f"conv_{i}")(x)
-            x = nn.LayerNorm(name=f"norm_{i}")(x)
+            ch = self.mel_dim if last else self.channels
+            x = Conv1d(ch, 5, name=f"conv_{i}")(x)
+            x = _norm(self.norm_type, ch, f"norm_{i}")(x)
             if not last:
                 x = jnp.tanh(x)
             x = nn.Dropout(0.5, deterministic=not train)(x)

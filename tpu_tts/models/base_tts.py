@@ -179,7 +179,15 @@ class BaseTTSModel:
         sd = ckpt.get("torch_state_dict")
         if sd is None:  # flat state dict file
             sd = {k: v for k, v in ckpt.items() if hasattr(v, "shape")}
-        self.params = convert(sd)
+        params = convert(sd)
+        import jax
+
+        if not any(hasattr(x, "shape") for x in jax.tree_util.tree_leaves(params)):
+            raise ValueError(
+                f"converting {checkpoint_path} produced an empty parameter tree "
+                f"({len(sd)} source tensors) — wrong model type for this checkpoint?"
+            )
+        self.params = params
         return ckpt
 
     @staticmethod

@@ -37,10 +37,11 @@ class Tacotron2Net(nn.Module):
     ddc_r: int = 6
     num_speakers: int = 0
     use_speaker_embedding: bool = False
+    norm_type: str = "layer"  # "frozen_batch" when ingesting reference ckpts
 
     def setup(self):
         self.embedding = nn.Embed(self.num_chars, 512, embedding_init=nn.initializers.normal(0.3))
-        self.encoder = Tacotron2Encoder(self.encoder_dim)
+        self.encoder = Tacotron2Encoder(self.encoder_dim, norm_type=self.norm_type)
         self.decoder = Tacotron2Decoder(
             frame_channels=self.out_channels,
             r=self.r,
@@ -50,7 +51,7 @@ class Tacotron2Net(nn.Module):
             prenet_dropout_at_inference=self.prenet_dropout_at_inference,
             max_decoder_steps=self.max_decoder_steps,
         )
-        self.postnet = Postnet(self.out_channels)
+        self.postnet = Postnet(self.out_channels, norm_type=self.norm_type)
         if self.use_ddc:
             self.coarse_decoder = Tacotron2Decoder(
                 frame_channels=self.out_channels,
@@ -138,8 +139,22 @@ class Tacotron2(BaseTTSModel):
             ddc_r=getattr(config, "ddc_r", 6),
             num_speakers=self.num_speakers,
             use_speaker_embedding=getattr(config, "use_speaker_embedding", False),
+            encoder_dim=getattr(config, "encoder_in_features", 512) or 512,
         )
         self._infer_cache = {}
+
+    # ------------------------------------------------------- torch ingest
+    def convert_torch_state_dict(self, state_dict):
+        """Reference `Tacotron2` torch weights → our flax tree (parity-tested
+        in tests/test_torch_parity_taco.py). Switches the net to the
+        `frozen_batch` norm variant: the reference's BatchNorm layers become
+        running-stat affines — identical math to torch eval mode."""
+        from tpu_tts.models.tacotron_convert import convert_tacotron2_torch_state_dict
+
+        if self.net.norm_type != "frozen_batch":
+            self.net = self.net.clone(norm_type="frozen_batch")
+            self._infer_cache = {}
+        return convert_tacotron2_torch_state_dict(state_dict)
 
     def init_params(self, rng):
         B, T_en, T_de = 2, 8, 12

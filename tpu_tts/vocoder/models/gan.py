@@ -48,6 +48,11 @@ class GAN(BaseTTSModel):
 
         name = str(getattr(self.config, "generator_model", "hifigan")).lower()
         params = convert_gan_torch_state_dict(state_dict, generator_name=name)
+        if not params.get("generator"):
+            raise ValueError(
+                f"no generator weights found in checkpoint ({len(state_dict)} "
+                "tensors) — not a reference vocoder GAN state dict?"
+            )
         if "discriminator" not in params:
             # generator-only release checkpoint: keep a fresh discriminator so
             # fine-tuning still works
