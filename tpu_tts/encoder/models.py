@@ -27,6 +27,10 @@ class LSTMSpeakerEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, l2_norm: bool = True):
         """x: `[B, T, C_mel]` → `[B, proj_dim]`."""
+        # instance norm over time per mel channel (ref lstm.py:93)
+        x = (x - jnp.mean(x, axis=1, keepdims=True)) * jax.lax.rsqrt(
+            jnp.var(x, axis=1, keepdims=True) + 1e-5
+        )
         for i in range(self.num_lstm_layers):
             x = nn.RNN(nn.OptimizedLSTMCell(self.lstm_dim), name=f"lstm_{i}")(x)
             x = nn.Dense(self.proj_dim, name=f"proj_{i}")(x)
@@ -49,56 +53,93 @@ class SELayer(nn.Module):
         return x * s[:, None, None, :]
 
 
+class _Norm2d(nn.Module):
+    """LayerNorm (fresh training) or FrozenBatchNorm affine (torch ingest)."""
+
+    features: int
+    norm_type: str = "layer"
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        if self.norm_type != "frozen_batch":
+            return nn.LayerNorm()(x)
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+
+
 class SEBasicBlock(nn.Module):
+    """conv→relu→bn → conv→bn→SE → +residual → relu (ref resnet.py:30 —
+    note the reference's relu-before-bn1 order, kept for parity)."""
+
     planes: int
     stride: int = 1
     downsample: bool = False
+    norm_type: str = "layer"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding="SAME", use_bias=False)(x)
-        y = nn.LayerNorm()(y)
+        y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding=((1, 1), (1, 1)),
+                    use_bias=False, name="conv1")(x)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False)(y)
-        y = nn.LayerNorm()(y)
+        y = _Norm2d(self.planes, self.norm_type, name="bn1")(y)
+        y = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
+        y = _Norm2d(self.planes, self.norm_type, name="bn2")(y)
         y = SELayer(self.planes)(y)
         if self.downsample or x.shape[-1] != self.planes:
-            residual = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride), use_bias=False)(x)
-            residual = nn.LayerNorm()(residual)
+            residual = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
+                               use_bias=False, name="ds_conv")(x)
+            residual = _Norm2d(self.planes, self.norm_type, name="ds_norm")(residual)
         return nn.relu(y + residual)
 
 
 class ResNetSpeakerEncoder(nn.Module):
     """SE-ResNet34-style encoder with attentive statistics pooling
-    (ref resnet.py:59). BatchNorm → LayerNorm (stateless train step)."""
+    (ref resnet.py:59). `norm_type='layer'` trains statelessly;
+    `'frozen_batch'` reproduces reference checkpoints exactly."""
 
     input_dim: int = 64
     proj_dim: int = 512
     layers: Tuple[int, ...] = (3, 4, 6, 3)
     num_filters: Tuple[int, ...] = (32, 64, 128, 256)
     encoder_type: str = "ASP"  # ASP (attentive stats) or SAP (attentive mean)
+    norm_type: str = "layer"
 
     @nn.compact
     def __call__(self, x, l2_norm: bool = True, train: bool = False):
         """x: `[B, T, C_mel]` → `[B, proj_dim]`."""
+        # instance norm over time per mel channel (ref resnet.py:171)
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.var(x, axis=1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
         # treat as image [B, T, C_mel, 1]
         h = x[..., None]
-        h = nn.Conv(self.num_filters[0], (3, 3), padding="SAME", use_bias=False, name="conv1")(h)
-        h = nn.relu(nn.LayerNorm(name="norm1")(h))
+        h = nn.Conv(self.num_filters[0], (3, 3), padding=((1, 1), (1, 1)), name="conv1")(h)
+        h = _Norm2d(self.num_filters[0], self.norm_type, name="bn1")(nn.relu(h))
         for li, (n_blocks, planes) in enumerate(zip(self.layers, self.num_filters)):
             stride = 1 if li == 0 else 2
             for bi in range(n_blocks):
-                h = SEBasicBlock(planes, stride=stride if bi == 0 else 1, downsample=bi == 0, name=f"layer{li}_{bi}")(
-                    h, train=train
-                )
+                blk_stride = stride if bi == 0 else 1
+                h = SEBasicBlock(
+                    planes, stride=blk_stride,
+                    downsample=bi == 0 and (blk_stride != 1 or h.shape[-1] != planes),
+                    norm_type=self.norm_type, name=f"layer{li}_{bi}",
+                )(h, train=train)
         # h: [B, T', F', C] -> flatten freq into channels: [B, T', F'*C]
         B, T2, F2, C = h.shape
         h = h.reshape(B, T2, F2 * C)
-        # attentive pooling
+        # attentive pooling (ref attention: conv1x1-relu-bn-conv1x1-softmax)
         w = nn.Conv(128, (1,), name="attn_conv1")(h)
         w = nn.relu(w)
-        w = nn.Conv(F2 * C, (1,), name="attn_conv2")(jnp.tanh(w))
+        if self.norm_type == "frozen_batch":
+            w = _Norm2d(128, "frozen_batch", name="attn_bn")(w)
+        else:
+            w = nn.LayerNorm(name="attn_bn")(w)
+        w = nn.Conv(F2 * C, (1,), name="attn_conv2")(w)
         w = jax.nn.softmax(w, axis=1)
         mu = jnp.sum(h * w, axis=1)
         if self.encoder_type == "ASP":
@@ -178,11 +219,44 @@ class SpeakerEncoderModel:
         return embs.mean(0)
 
     def load_checkpoint(self, config, checkpoint_path, eval=True, **kwargs):
+        if str(checkpoint_path).endswith((".pth", ".pth.tar", ".pt")):
+            return self.load_torch_checkpoint(checkpoint_path)
         from tpu_tts.train.checkpoint import load_checkpoint
 
         state = load_checkpoint(checkpoint_path)
         self.params = state["model"]
         return state
+
+    def load_torch_checkpoint(self, checkpoint_path):
+        """Reference encoder `.pth` (model_se.pth etc.) → our params
+        (parity-tested in tests/test_torch_parity_encoder.py)."""
+        from tpu_tts.encoder.encoder_convert import (
+            convert_lstm_encoder_state_dict,
+            convert_resnet_encoder_state_dict,
+        )
+        from tpu_tts.train.torch_convert import load_torch_checkpoint
+
+        ckpt = load_torch_checkpoint(checkpoint_path)
+        sd = ckpt.get("torch_state_dict") or {
+            k: v for k, v in ckpt.items() if hasattr(v, "shape")
+        }
+        if isinstance(self.net, LSTMSpeakerEncoder):
+            params = convert_lstm_encoder_state_dict(sd)
+        else:
+            if self.net.norm_type != "frozen_batch":
+                self.net = self.net.clone(norm_type="frozen_batch")
+                self._jit_embed = None
+            params = convert_resnet_encoder_state_dict(
+                sd, input_dim=self.net.input_dim, num_filters=tuple(self.net.num_filters)
+            )
+        if not params:
+            raise ValueError(
+                f"no matching weights in {checkpoint_path} for "
+                f"{type(self.net).__name__} ({len(sd)} source tensors) — "
+                "wrong encoder model_name for this checkpoint?"
+            )
+        self.params = params
+        return ckpt
 
 
 def setup_encoder_model(config) -> SpeakerEncoderModel:
