@@ -85,3 +85,40 @@ def test_tacotron2_forward_attention():
     params = model.init_params(jax.random.PRNGKey(0))
     loss, _ = model.loss_fn(params, _batch(), jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_tacotron2_gst():
+    from tpu_tts.configs.tacotron2_config import GSTConfig
+
+    model = Tacotron2(_cfg(use_gst=True, gst=GSTConfig(gst_embedding_dim=32, gst_num_heads=2)))
+    model.net = type(model.net)(
+        num_chars=24, out_channels=20, r=2, encoder_dim=64,
+        attn_type="original", attn_kwargs=(("attention_dim", 32),), max_decoder_steps=40,
+        use_gst=True, gst=(("gst_embedding_dim", 32), ("gst_num_heads", 2), ("gst_num_style_tokens", 4)),
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "gst_layer" in params
+    loss, _ = model.loss_fn(params, _batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # styled + unstyled inference through the wrapper
+    out_styled = model.inference(
+        np.arange(1, 8, dtype=np.int32), aux_input={"style_mel": np.zeros((12, 20), np.float32)}
+    )
+    out_plain = model.inference(np.arange(1, 8, dtype=np.int32))
+    assert np.asarray(out_styled["model_outputs"]).shape == np.asarray(out_plain["model_outputs"]).shape
+
+
+def test_tacotron2_capacitron():
+    from tpu_tts.configs.tacotron2_config import CapacitronVAEConfig
+
+    model = Tacotron2(_cfg(use_capacitron_vae=True, capacitron_vae=CapacitronVAEConfig()))
+    model.net = type(model.net)(
+        num_chars=24, out_channels=20, r=2, encoder_dim=64,
+        attn_type="original", attn_kwargs=(("attention_dim", 32),), max_decoder_steps=40,
+        use_capacitron=True, capacitron=(("capacitron_VAE_embedding_dim", 16),),
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "capacitron_vae_layer" in params
+    loss, logs = model.loss_fn(params, _batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert "capacitron_kl" in logs

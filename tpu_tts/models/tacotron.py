@@ -143,30 +143,55 @@ class TacotronNet(nn.Module):
     attn_kwargs: Optional[tuple] = None
     max_decoder_steps: int = 500
     memory_size: int = -1
+    use_gst: bool = False
+    gst: Optional[tuple] = None  # frozen GSTConfig items (ref tacotron.py GST concat)
 
     def setup(self):
         self.embedding = nn.Embed(self.num_chars, 256, embedding_init=nn.initializers.normal(0.3))
         self.encoder_prenet = Prenet((256, 128))
         self.encoder_cbhg = CBHG(K=16, conv_projections=(128, 128), gru_features=128)
+        encoder_dim = 256
+        if self.use_gst:
+            from tpu_tts.layers.gst import GST
+
+            g = dict(self.gst or ())
+            self.gst_dim = g.get("gst_embedding_dim", 256)
+            self.gst_layer = GST(
+                num_mel=self.decoder_output_dim,
+                num_heads=g.get("gst_num_heads", 4),
+                num_style_tokens=g.get("gst_num_style_tokens", 10),
+                gst_embedding_dim=self.gst_dim,
+            )
+            encoder_dim += self.gst_dim
         self.cell = TacotronDecoderCell(
-            frame_channels=self.decoder_output_dim, r=self.r, encoder_dim=256, attn_kwargs=self.attn_kwargs
+            frame_channels=self.decoder_output_dim, r=self.r, encoder_dim=encoder_dim, attn_kwargs=self.attn_kwargs
         )
         self.postnet_cbhg = CBHG(
             K=8, conv_bank_features=128, conv_projections=(256, 80), highway_features=128, gru_features=128
         )
         self.last_linear = nn.Dense(self.out_channels)
 
-    def _encode(self, text, train):
+    def _encode(self, text, train, style_mel=None):
         emb = self.embedding(text)
         h = self.encoder_prenet(emb, train=train)
-        return self.encoder_cbhg(h)
+        enc = self.encoder_cbhg(h)
+        if self.use_gst:
+            if style_mel is not None:
+                gst_out = self.gst_layer(style_mel=style_mel)
+            else:
+                gst_out = jnp.zeros((enc.shape[0], self.gst_dim), dtype=enc.dtype)
+            enc = jnp.concatenate(
+                [enc, jnp.broadcast_to(gst_out[:, None], (enc.shape[0], enc.shape[1], self.gst_dim))],
+                axis=-1,
+            )
+        return enc
 
     def _postnet(self, mel):
         h = self.postnet_cbhg(mel)
         return self.last_linear(h)
 
     def __call__(self, text, text_lengths, mel, mel_lengths, train: bool = True) -> Dict:
-        enc = self._encode(text, train)
+        enc = self._encode(text, train, style_mel=mel if self.use_gst else None)
         key_mask = sequence_mask(text_lengths, text.shape[1])
         B, T_de, _ = mel.shape
         r = self.r
@@ -196,10 +221,10 @@ class TacotronNet(nn.Module):
             "alignments": attns,
         }
 
-    def inference(self, text, text_lengths=None) -> Dict:
+    def inference(self, text, text_lengths=None, style_mel=None) -> Dict:
         if text_lengths is None:
             text_lengths = jnp.full((text.shape[0],), text.shape[1], dtype=jnp.int32)
-        enc = self._encode(text, False)
+        enc = self._encode(text, False, style_mel=style_mel)
         key_mask = sequence_mask(text_lengths, text.shape[1])
         B = text.shape[0]
         processed = self.cell.preprocess_inputs(enc)
@@ -250,6 +275,14 @@ class Tacotron(BaseTTSModel):
             r=config.r,
             attn_kwargs=attn_kwargs,
             max_decoder_steps=getattr(config, "max_decoder_steps", 500),
+            use_gst=bool(getattr(config, "use_gst", False)),
+            gst=tuple(
+                sorted(
+                    (k, v)
+                    for k, v in (getattr(config, "gst", None).to_dict() if getattr(config, "gst", None) else {}).items()
+                    if isinstance(v, (int, float, str, bool, type(None)))
+                )
+            ) or None,
         )
         self._infer_cache = {}
 

@@ -19,6 +19,15 @@ from tpu_tts.layers.losses import (
     masked_mse_loss,
     stopnet_bce_loss,
 )
+from tpu_tts.layers.gst import GST, CapacitronVAE, capacitron_kl_loss
+
+
+def _cfg_items(cfg):
+    """Coqpit/dict style sub-config → hashable items tuple (for flax attrs)."""
+    if cfg is None:
+        return ()
+    d = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+    return tuple((k, v) for k, v in d.items() if isinstance(v, (int, float, str, bool, type(None))))
 from tpu_tts.layers.tacotron import Postnet, Tacotron2Decoder, Tacotron2Encoder
 from tpu_tts.models.base_tts import BaseTTSModel
 from tpu_tts.ops.helpers import sequence_mask
@@ -38,14 +47,40 @@ class Tacotron2Net(nn.Module):
     num_speakers: int = 0
     use_speaker_embedding: bool = False
     norm_type: str = "layer"  # "frozen_batch" when ingesting reference ckpts
+    use_gst: bool = False
+    gst: Optional[tuple] = None  # frozen GSTConfig items (ref tacotron2.py:102)
+    use_capacitron: bool = False
+    capacitron: Optional[tuple] = None  # frozen CapacitronVAEConfig items
 
     def setup(self):
         self.embedding = nn.Embed(self.num_chars, 512, embedding_init=nn.initializers.normal(0.3))
         self.encoder = Tacotron2Encoder(self.encoder_dim, norm_type=self.norm_type)
+        decoder_in = self.encoder_dim
+        if self.use_gst:
+            g = dict(self.gst or ())
+            self.gst_dim = g.get("gst_embedding_dim", 256)
+            self.gst_layer = GST(
+                num_mel=self.out_channels,
+                num_heads=g.get("gst_num_heads", 4),
+                num_style_tokens=g.get("gst_num_style_tokens", 10),
+                gst_embedding_dim=self.gst_dim,
+            )
+            decoder_in += self.gst_dim
+        if self.use_capacitron:
+            c = dict(self.capacitron or ())
+            self.cap_dim = c.get("capacitron_VAE_embedding_dim", 128)
+            self.capacitron_vae_layer = CapacitronVAE(
+                num_mel=self.out_channels,
+                capacitron_VAE_embedding_dim=self.cap_dim,
+                text_summary_embedding_dim=c.get("capacitron_text_summary_embedding_dim", 128)
+                if c.get("capacitron_use_text_summary_embeddings", False)
+                else None,
+            )
+            decoder_in += self.cap_dim
         self.decoder = Tacotron2Decoder(
             frame_channels=self.out_channels,
             r=self.r,
-            encoder_dim=self.encoder_dim,
+            encoder_dim=decoder_in,
             attn_type=self.attn_type,
             attn_kwargs=self.attn_kwargs,
             prenet_dropout_at_inference=self.prenet_dropout_at_inference,
@@ -56,7 +91,7 @@ class Tacotron2Net(nn.Module):
             self.coarse_decoder = Tacotron2Decoder(
                 frame_channels=self.out_channels,
                 r=self.ddc_r,
-                encoder_dim=self.encoder_dim,
+                encoder_dim=decoder_in,
                 attn_type=self.attn_type,
                 attn_kwargs=self.attn_kwargs,
                 max_decoder_steps=self.max_decoder_steps,
@@ -64,17 +99,47 @@ class Tacotron2Net(nn.Module):
         if self.use_speaker_embedding and self.num_speakers > 1:
             self.speaker_embedding = nn.Embed(self.num_speakers, self.encoder_dim)
 
-    def _encode(self, text, text_lengths, speaker_ids, train):
+    def _encode(self, text, text_lengths, speaker_ids, train, style_mel=None, text_emb_for_cap=None):
         x_mask = sequence_mask(text_lengths, text.shape[1]).astype(jnp.float32)[:, :, None]
         emb = self.embedding(text)
         enc = self.encoder(emb, x_mask, train=train)
         if self.use_speaker_embedding and speaker_ids is not None:
             g = self.speaker_embedding(speaker_ids)[:, None, :]
             enc = enc + g
-        return enc, x_mask
+        cap_stats = None
+        if self.use_gst:
+            # style conditioning concat (ref tacotron2.py:175 / base_tacotron compute_gst)
+            if style_mel is not None:
+                gst_out = self.gst_layer(style_mel=style_mel)
+            else:
+                gst_out = jnp.zeros((enc.shape[0], self.gst_dim), dtype=enc.dtype)
+            enc = jnp.concatenate(
+                [enc, jnp.broadcast_to(gst_out[:, None], (enc.shape[0], enc.shape[1], self.gst_dim))],
+                axis=-1,
+            )
+        if self.use_capacitron:
+            if style_mel is not None:
+                z, mu, logvar = self.capacitron_vae_layer(
+                    reference_mel=style_mel, text_summary=text_emb_for_cap
+                )
+                cap_stats = (mu, logvar)
+            else:
+                z = jnp.zeros((enc.shape[0], self.cap_dim), dtype=enc.dtype)
+            enc = jnp.concatenate(
+                [enc, jnp.broadcast_to(z[:, None], (enc.shape[0], enc.shape[1], self.cap_dim))],
+                axis=-1,
+            )
+        return enc, x_mask, cap_stats
 
     def __call__(self, text, text_lengths, mel, mel_lengths, speaker_ids=None, train: bool = True) -> Dict:
-        enc, x_mask = self._encode(text, text_lengths, speaker_ids, train)
+        # training style conditioning uses the target mel as the reference
+        # (ref tacotron2.py:177 compute_gst(encoder_outputs, mel_specs))
+        style = mel if (self.use_gst or self.use_capacitron) else None
+        enc, x_mask, cap_stats = self._encode(
+            text, text_lengths, speaker_ids, train,
+            style_mel=style,
+            text_emb_for_cap=self.embedding(text) if self.use_capacitron else None,
+        )
         key_mask = x_mask[:, :, 0] > 0
         # pad mel to a multiple of r
         T_de = mel.shape[1]
@@ -89,6 +154,8 @@ class Tacotron2Net(nn.Module):
             "stop_tokens": stops,
             "alignments": attns,
         }
+        if cap_stats is not None:
+            out["capacitron_mu"], out["capacitron_logvar"] = cap_stats
         if self.use_ddc:
             pad_c = (-mel.shape[1]) % self.ddc_r
             mel_c = jnp.pad(mel, ((0, 0), (0, pad_c), (0, 0))) if pad_c else mel
@@ -99,10 +166,10 @@ class Tacotron2Net(nn.Module):
             out["coarse_alignments"] = attns_c
         return out
 
-    def inference(self, text, text_lengths=None, speaker_ids=None) -> Dict:
+    def inference(self, text, text_lengths=None, speaker_ids=None, style_mel=None) -> Dict:
         if text_lengths is None:
             text_lengths = jnp.full((text.shape[0],), text.shape[1], dtype=jnp.int32)
-        enc, x_mask = self._encode(text, text_lengths, speaker_ids, False)
+        enc, x_mask, _ = self._encode(text, text_lengths, speaker_ids, False, style_mel=style_mel)
         key_mask = x_mask[:, :, 0] > 0
         frames, stops, attns, lengths = self.decoder.inference(enc, key_mask)
         postnet_out = frames + self.postnet(frames, train=False)
@@ -140,6 +207,10 @@ class Tacotron2(BaseTTSModel):
             num_speakers=self.num_speakers,
             use_speaker_embedding=getattr(config, "use_speaker_embedding", False),
             encoder_dim=getattr(config, "encoder_in_features", 512) or 512,
+            use_gst=bool(getattr(config, "use_gst", False)),
+            gst=tuple(sorted(_cfg_items(getattr(config, "gst", None)))) or None,
+            use_capacitron=bool(getattr(config, "use_capacitron_vae", False)),
+            capacitron=tuple(sorted(_cfg_items(getattr(config, "capacitron_vae", None)))) or None,
         )
         self._infer_cache = {}
 
@@ -162,7 +233,8 @@ class Tacotron2(BaseTTSModel):
         if self.net.use_speaker_embedding and self.num_speakers > 1:
             kwargs["speaker_ids"] = jnp.zeros((B,), dtype=jnp.int32)
         variables = self.net.init(
-            {"params": rng, "dropout": jax.random.fold_in(rng, 3)},
+            {"params": rng, "dropout": jax.random.fold_in(rng, 3),
+             "capacitron": jax.random.fold_in(rng, 5)},
             jnp.zeros((B, T_en), dtype=jnp.int32),
             jnp.full((B,), T_en, dtype=jnp.int32),
             jnp.zeros((B, T_de, self.config.audio.num_mels)),
@@ -182,7 +254,7 @@ class Tacotron2(BaseTTSModel):
             batch["mel_lengths"],
             speaker_ids=batch.get("speaker_ids"),
             train=True,
-            rngs={"dropout": rng},
+            rngs={"dropout": rng, "capacitron": jax.random.fold_in(rng, 5)},
         )
         mel = batch["mel_input"]
         T = min(outputs["decoder_outputs"].shape[1], mel.shape[1])
@@ -206,6 +278,15 @@ class Tacotron2(BaseTTSModel):
             )
             loss += l_ddc
             losses["decoder_coarse_loss"] = l_ddc
+        if "capacitron_mu" in outputs:
+            # capacity-constrained KL; unlike the reference's dual-optimizer
+            # Lagrangian (utils/capacitron_optimizer.py), the bound is applied
+            # with a fixed weight (documented deviation)
+            cap_cfg = dict(_cfg_items(getattr(c, "capacitron_vae", None)))
+            cap = float(cap_cfg.get("capacitron_capacity", 150))
+            _, kl = capacitron_kl_loss(outputs["capacitron_mu"], outputs["capacitron_logvar"], cap, 1.0)
+            loss += jnp.abs(kl - cap) * 1e-3
+            losses["capacitron_kl"] = kl
         losses["loss"] = loss
         return loss, losses
 
@@ -214,15 +295,21 @@ class Tacotron2(BaseTTSModel):
         x = jnp.asarray(x)
         if x.ndim == 1:
             x = x[None]
-        key = x.shape
+        style_mel = aux_input.get("style_mel")
+        if style_mel is not None:
+            style_mel = jnp.asarray(style_mel)
+            if style_mel.ndim == 2:
+                style_mel = style_mel[None]
+        key = (x.shape, None if style_mel is None else style_mel.shape)
         if key not in self._infer_cache:
             self._infer_cache[key] = jax.jit(
-                lambda p, xi, sid: self.net.apply(
-                    {"params": p}, xi, speaker_ids=sid, method=Tacotron2Net.inference,
-                    rngs={"dropout": jax.random.PRNGKey(0)},
+                lambda p, xi, sid, sm: self.net.apply(
+                    {"params": p}, xi, speaker_ids=sid, style_mel=sm,
+                    method=Tacotron2Net.inference,
+                    rngs={"dropout": jax.random.PRNGKey(0), "capacitron": jax.random.PRNGKey(1)},
                 )
             )
-        return self._infer_cache[key](self.params, x, aux_input.get("speaker_ids"))
+        return self._infer_cache[key](self.params, x, aux_input.get("speaker_ids"), style_mel)
 
     @staticmethod
     def init_from_config(config, samples=None):
