@@ -129,3 +129,51 @@ def test_vits_spline_flow_invertible():
     x2, ld2 = prqt(y, uw, uh, ud, inverse=True)
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
     np.testing.assert_allclose(np.asarray(ld + ld2), 0.0, atol=1e-4)
+
+
+def test_vits_encoder_sample_rate():
+    """encoder_sample_rate variant: posterior at half rate, z upsampled 2x
+    before the decoder (ref vits.py:809)."""
+    cfg = _tiny_config(encoder_sample_rate=11025, interpolate_z=True)
+    model = Vits(cfg)
+    assert model.net.interp_factor == 2
+    model.init_params(jax.random.PRNGKey(0))
+    batch = _batch()
+    for idx in (0, 1):
+        loss, logs = model.loss_fn(model.params, batch, jax.random.PRNGKey(1), optimizer_idx=idx)
+        assert np.isfinite(float(loss)), logs
+    out = model.inference(np.arange(1, 8, dtype=np.int32), bucket=16)
+    wav = np.asarray(out["model_outputs"])
+    y_len = int(np.asarray(out["y_lengths"])[0])
+    # y_lengths are decoder frames (already x2); true audio fits the bucket
+    assert y_len * 16 <= wav.shape[1]  # decoder hop = prod(upsample_rates) = 16
+    assert np.isfinite(wav).all()
+
+
+def test_vits_speaker_consistency_loss():
+    """SCL: cosine loss between speaker-encoder embeddings of GT and
+    generated segments (ref vits.py:1047)."""
+    cfg = _tiny_config(use_speaker_encoder_as_loss=True)
+    model = Vits(cfg)
+    model.init_params(jax.random.PRNGKey(0))
+
+    # attach a tiny LSTM speaker encoder through a stub manager
+    from tpu_tts.encoder.configs import SpeakerEncoderConfig
+    from tpu_tts.encoder.models import setup_encoder_model
+
+    ecfg = SpeakerEncoderConfig()
+    ecfg.model_params = {"model_name": "lstm", "input_dim": 20, "proj_dim": 16,
+                         "lstm_dim": 16, "num_lstm_layers": 1}
+    ecfg.audio = {"fft_size": 128, "num_mels": 20, "sample_rate": 22050,
+                  "hop_length": 64, "win_length": 128}
+    enc = setup_encoder_model(ecfg)
+    enc.params = enc.net.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 20)))["params"]
+
+    class _Mgr:
+        encoder = enc
+
+    model.speaker_manager = _Mgr()
+    loss, logs = model.loss_fn(model.params, _batch(), jax.random.PRNGKey(1), optimizer_idx=1)
+    assert "loss_spk_encoder" in logs
+    assert np.isfinite(float(loss))
+    assert -1.0 <= float(logs["loss_spk_encoder"]) <= 1.0

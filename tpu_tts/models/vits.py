@@ -49,6 +49,25 @@ class VitsNet(nn.Module):
     def a(self):
         return dict(self.args)
 
+    @property
+    def interp_factor(self) -> int:
+        """z upsampling factor for the encoder_sample_rate variant
+        (ref vits.py:810 interpolate_factor)."""
+        a = self.a
+        enc_sr = a.get("encoder_sample_rate")
+        if not enc_sr:
+            return 1
+        return max(int(round(a.get("_output_sample_rate", enc_sr) / enc_sr)), 1)
+
+    def _upsample_z(self, z):
+        """Nearest/linear-interpolate z along time (ref vits.py:952)."""
+        f = self.interp_factor
+        if f == 1:
+            return z
+        B, T, C = z.shape
+        method = "linear" if self.a.get("interpolate_z", True) else "nearest"
+        return jax.image.resize(z, (B, T * f, C), method=method)
+
     def setup(self):
         a = self.a
         self.use_sdp = a["use_sdp"]
@@ -194,6 +213,15 @@ class VitsNet(nn.Module):
             self.make_rng("segments"), jnp.swapaxes(z, 1, 2), spec_lengths,
             segment_size=self.spec_segment_size, let_short_samples=True, pad_short=True,
         )
+        f = self.interp_factor
+        if f > 1:
+            # encoder_sample_rate variant: slice the upsampled z at the scaled
+            # positions (ref vits.py:946-952)
+            z_up = self._upsample_z(z)
+            slice_ids = slice_ids * f
+            z_slice = segment(
+                jnp.swapaxes(z_up, 1, 2), slice_ids, self.spec_segment_size * f, pad_short=True
+            )
         z_slice = jnp.swapaxes(z_slice, 1, 2)  # back to [B, seg, C]
         o = self.waveform_decoder(z_slice, g=g)
         return {
@@ -249,11 +277,11 @@ class VitsNet(nn.Module):
         noise = jax.random.normal(self.make_rng("noise"), m_p_ex.shape)
         z_p = m_p_ex + noise * jnp.exp(logs_p_ex) * noise_scale
         z = self.flow(z_p * y_mask, y_mask, g=g, reverse=True)
-        o = self.waveform_decoder(z * y_mask, g=g)
+        o = self.waveform_decoder(self._upsample_z(z * y_mask), g=g)
         return {
             "model_outputs": o,
             "alignments": jnp.swapaxes(attn, 1, 2),
-            "y_lengths": y_lengths,
+            "y_lengths": y_lengths * self.interp_factor,
             "durations": w_ceil[:, :, 0],
         }
 
@@ -295,8 +323,12 @@ class VitsNet(nn.Module):
         noise = jax.random.normal(self.make_rng("noise"), m_p_ex.shape)
         z_p = m_p_ex + noise * jnp.exp(logs_p_ex) * noise_scale
         z = self.flow(z_p * y_mask, y_mask, g=g, reverse=True)
-        o = self.waveform_decoder(z * y_mask, g=g)
-        return {"model_outputs": o, "alignments": jnp.swapaxes(attn, 1, 2), "y_lengths": y_lengths}
+        o = self.waveform_decoder(self._upsample_z(z * y_mask), g=g)
+        return {
+            "model_outputs": o,
+            "alignments": jnp.swapaxes(attn, 1, 2),
+            "y_lengths": y_lengths * self.interp_factor,
+        }
 
     def voice_conversion(self, spec, spec_lengths, g_src, g_tgt):
         """Spec of source speaker → waveform of target speaker
@@ -304,7 +336,7 @@ class VitsNet(nn.Module):
         z, _, _, y_mask = self.posterior_encoder(spec, spec_lengths, g=g_src, train=False)
         z_p = self.flow(z, y_mask, g=g_src)
         z_hat = self.flow(z_p, y_mask, g=g_tgt, reverse=True)
-        return self.waveform_decoder(z_hat * y_mask, g=g_tgt)
+        return self.waveform_decoder(self._upsample_z(z_hat * y_mask), g=g_tgt)
 
 
 class Vits(BaseTTSModel):
@@ -319,12 +351,12 @@ class Vits(BaseTTSModel):
             args.num_speakers = max(args.num_speakers, speaker_manager.num_speakers)
         if language_manager is not None:
             args.num_languages = max(args.num_languages, language_manager.num_languages)
-        if args.encoder_sample_rate:
-            raise NotImplementedError(" [!] encoder_sample_rate upsampling variant lands in a later round.")
-        if args.use_speaker_encoder_as_loss:
-            raise NotImplementedError(" [!] speaker-consistency loss lands with the speaker encoder round.")
         self.args = args
-        self.net = VitsNet(args=tuple(sorted(args.to_dict().items(), key=lambda kv: kv[0])))
+        net_args = args.to_dict()
+        # encoder_sample_rate variant (ref vits.py:809): posterior/flow run at
+        # the lower rate; z is interpolated ×factor before the decoder
+        net_args["_output_sample_rate"] = config.audio.sample_rate
+        self.net = VitsNet(args=tuple(sorted(net_args.items(), key=lambda kv: kv[0])))
         self.disc = VitsDiscriminator(
             periods=tuple(args.periods_multi_period_discriminator),
             use_spectral_norm=args.use_spectral_norm_disriminator,
@@ -396,8 +428,17 @@ class Vits(BaseTTSModel):
 
     def _forward_g(self, g_params, batch, rng, train=True):
         r1, r2, r3, r4 = jax.random.split(rng, 4)
-        spec = self._spec_from_wav(batch["waveform"])
+        wav = batch["waveform"]
         spec_lengths = batch["mel_lengths"]
+        f = self.net.interp_factor
+        if f > 1:
+            # encoder_sample_rate variant: posterior spec comes from the
+            # downsampled waveform (ref vits.py:812 torchaudio resample;
+            # jax.image.resize antialiases on downscale)
+            B, T, _ = wav.shape
+            wav = jax.image.resize(wav, (B, T // f, 1), method="linear")
+            spec_lengths = spec_lengths // f
+        spec = self._spec_from_wav(wav)
         return self.net.apply(
             {"params": g_params},
             batch["text_input"],
@@ -442,11 +483,16 @@ class Vits(BaseTTSModel):
 
         # mel L1 on the decoded segment
         mel_hat = self._mel_from_wav(y_hat)
-        mel_seg = segment(
-            jnp.swapaxes(self._mel_from_spec(spec), 1, 2), outputs["slice_ids"], self.args.spec_segment_size,
-            pad_short=True,
-        )
-        mel_seg = jnp.swapaxes(mel_seg, 1, 2)
+        if self.net.interp_factor > 1:
+            # encoder-rate spec frames don't align with full-rate mel_hat;
+            # compute the GT mel from the full-rate waveform segment instead
+            mel_seg = self._mel_from_wav(wav_seg)
+        else:
+            mel_seg = segment(
+                jnp.swapaxes(self._mel_from_spec(spec), 1, 2), outputs["slice_ids"],
+                self.args.spec_segment_size, pad_short=True,
+            )
+            mel_seg = jnp.swapaxes(mel_seg, 1, 2)
         T = min(mel_hat.shape[1], mel_seg.shape[1])
         loss_mel = jnp.mean(jnp.abs(mel_seg[:, :T] - mel_hat[:, :T])) * self.config.mel_loss_alpha
         loss_kl = (
@@ -457,14 +503,40 @@ class Vits(BaseTTSModel):
         loss_gen = g_adv_loss_fn(scores_fake) * self.config.gen_loss_alpha
         loss_duration = outputs["loss_duration"] * self.config.dur_loss_alpha
         loss = loss_mel + loss_kl + loss_feat + loss_gen + loss_duration
-        return loss, {
-            "loss_gen_total": loss,
+        logs = {
             "loss_mel": loss_mel,
             "loss_kl": loss_kl,
             "loss_feat": loss_feat,
             "loss_gen": loss_gen,
             "loss_duration": loss_duration,
         }
+        if self.args.use_speaker_encoder_as_loss:
+            loss_scl = self._speaker_consistency_loss(wav_seg, y_hat)
+            if loss_scl is not None:
+                loss += loss_scl * getattr(self.config, "speaker_encoder_loss_alpha", 9.0)
+                logs["loss_spk_encoder"] = loss_scl
+        logs["loss_gen_total"] = loss
+        return loss, logs
+
+    def _speaker_consistency_loss(self, wav_real_seg, wav_fake_seg):
+        """SCL (ref vits.py:1047): cosine distance between speaker-encoder
+        embeddings of the GT and generated waveform segments. Differentiable
+        end to end — the mel frontend is matmul-based."""
+        enc = getattr(self.speaker_manager, "encoder", None) if self.speaker_manager else None
+        if enc is None or enc.params is None:
+            return None
+        a = enc.audio if isinstance(enc.audio, dict) else enc.audio.to_dict()
+        wavs = jnp.concatenate([wav_real_seg, wav_fake_seg], axis=0)[..., 0]
+        mel = jt.wav_to_mel(
+            wavs, fft_size=a["fft_size"], num_mels=a["num_mels"], sample_rate=a["sample_rate"],
+            hop_length=a["hop_length"], win_length=a["win_length"],
+            fmin=a.get("mel_fmin", 0.0), fmax=a.get("mel_fmax"), center=True,
+        )
+        embs = enc.net.apply(
+            {"params": jax.lax.stop_gradient(enc.params)}, jnp.swapaxes(mel, 1, 2), l2_norm=True
+        )
+        gt, syn = jnp.split(embs, 2, axis=0)
+        return -jnp.mean(jnp.sum(gt * syn, axis=-1))
 
     # -------------------------------------------------------------- optimize
     def get_optimizer(self):
