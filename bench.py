@@ -54,7 +54,9 @@ def main():
 
     sr = cfg.audio.sample_rate
     hop = cfg.audio.hop_length
-    B = int(os.environ.get("BENCH_BATCH", "32"))  # 1x v5e bf16: 850x@B8, 1052x@B16, 1167x@B32
+    # measured on 1x v5e bf16: 850x@B8, 1052x@B16, 1167x@B32, 1652x@B64,
+    # 2354x@B128; B=256 exceeds 15.75G HBM
+    B = int(os.environ.get("BENCH_BATCH", "128"))
     T_en = 128
     Y_MAX = 768  # mel frames per item -> 768*256/22050 = 8.9 s audio each
 

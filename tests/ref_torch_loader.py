@@ -26,6 +26,13 @@ class _AutoStub(types.ModuleType):
 
     __path__: list = []
 
+    def __init__(self, name):
+        super().__init__(name)
+        import importlib.machinery
+
+        # a real spec so importlib.util.find_spec(name) doesn't blow up
+        self.__spec__ = importlib.machinery.ModuleSpec(name, None, is_package=True)
+
     def __getattr__(self, item):
         if item.startswith("__"):
             raise AttributeError(item)
@@ -67,6 +74,11 @@ def _stub(name, **attrs):
         p = ".".join(parts[:i])
         if p not in sys.modules:
             sys.modules[p] = _AutoStub(p)
+        if i > 1:
+            # link child into parent's __dict__ so `parent.child` resolves to
+            # the module (AutoStub.__getattr__ would hand out a fresh Mock)
+            parent = sys.modules[".".join(parts[: i - 1])]
+            parent.__dict__.setdefault(parts[i - 1], sys.modules[p])
     mod = sys.modules[name]
     for k, v in attrs.items():
         setattr(mod, k, v)
@@ -123,6 +135,19 @@ def load_reference():
     _stub("librosa", filters=_stub("librosa.filters", mel=_mel))
     # gruut is queried for its language list at import time
     _stub("gruut", get_supported_languages=lambda: ["en-us"])
+    # torchaudio transform classes must be real nn.Modules — the XTTS
+    # speaker encoder instantiates them inside nn.Sequential
+    class _IdentityAudioTransform(torch.nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    ta_t = _stub("torchaudio.transforms")
+    for cls in ("MelSpectrogram", "Spectrogram", "Resample", "AmplitudeToDB"):
+        setattr(ta_t, cls, _IdentityAudioTransform)
+
     for name in [
         "torchaudio", "torchaudio.functional", "torchaudio.transforms",
         "soundfile", "mutagen", "anyascii", "inflect", "bangla", "bnnumerizer",
@@ -133,12 +158,35 @@ def load_reference():
     ]:
         _stub(name)
 
+    # installed transformers is newer than the reference expects — backfill
+    # removed symbols with mocks (runtime only, nothing written to disk)
+    try:
+        import transformers
+
+        for name in ("BeamSearchScorer", "LogitsWarper", "StoppingCriteria"):
+            if not hasattr(transformers, name):
+                setattr(transformers, name, MagicMock(name=f"transformers.{name}"))
+        gen_utils = getattr(transformers, "generation", None)
+        if gen_utils is not None:
+            for name in ("BeamSearchScorer",):
+                if not hasattr(gen_utils, name):
+                    setattr(gen_utils, name, MagicMock(name=f"transformers.generation.{name}"))
+    except Exception:
+        pass
+
     try:
         import TTS  # noqa: F401
         _loaded = True
-        return sys.modules["TTS"]
     except Exception:
         return None
+    # import order matters for the XTTS stack: pulling stream_generator in
+    # directly (after the transformers backfill) avoids a flaky ImportError
+    # when TTS.tts.models.xtts is imported first
+    try:
+        importlib.import_module("TTS.tts.layers.xtts.stream_generator")
+    except Exception:
+        pass
+    return sys.modules["TTS"]
 
 
 def ref_import(module_name):
