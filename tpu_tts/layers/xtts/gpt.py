@@ -93,6 +93,9 @@ class XttsGPT(nn.Module):
         self.audio_pos_embedding = nn.Embed(self.max_audio_tokens + 3, self.n_embd)
         self.blocks = [GPTBlock(self.n_head, self.n_embd, name=f"h_{i}") for i in range(self.n_layer)]
         self.ln_f = nn.LayerNorm()
+        # ref gpt.py applies a second LayerNorm (final_norm) after GPT2's
+        # own ln_f, before the heads / decoder latents
+        self.final_norm = nn.LayerNorm()
         self.text_head = nn.Dense(self.num_text_tokens)
         self.mel_head = nn.Dense(self.num_audio_tokens)
 
@@ -111,7 +114,7 @@ class XttsGPT(nn.Module):
         x = self._embed_inputs(cond_latents, text_tokens, audio_codes)
         for blk in self.blocks:
             x, _ = blk(x, mask=attn_mask)
-        x = self.ln_f(x)
+        x = self.final_norm(self.ln_f(x))
         n_cond = cond_latents.shape[1]
         n_text = text_tokens.shape[1]
         text_latents = x[:, n_cond : n_cond + n_text]
@@ -145,7 +148,7 @@ class XttsGPT(nn.Module):
         for blk, c in zip(self.blocks, cache):
             x, nc = blk(x, cache=c, cache_index=0)
             new_cache.append(nc)
-        x = self.ln_f(x)
+        x = self.final_norm(self.ln_f(x))
         return new_cache, T, x[:, -1]
 
     def decode_step(self, audio_code, pos_in_audio, cache, cache_index):
@@ -157,5 +160,5 @@ class XttsGPT(nn.Module):
         for blk, c in zip(self.blocks, cache):
             x, nc = blk(x, cache=c, cache_index=cache_index)
             new_cache.append(nc)
-        x = self.ln_f(x)
+        x = self.final_norm(self.ln_f(x))
         return self.mel_head(x)[:, 0], x[:, 0], new_cache

@@ -172,9 +172,16 @@ def map_hifigan_generator(sd, tree, src: str, dst: str):
                 _set(tree, f"{dst}/resblocks_{i}/{convs}_{j}/bias", v)
             continue
         if rest in ("cond_layer.weight", "cond.weight"):
-            _set(tree, f"{dst}/cond/kernel", _dense(v))
-        elif rest in ("cond_layer.bias", "cond.bias"):
-            _set(tree, f"{dst}/cond/bias", v)
+            _set(tree, f"{dst}/cond_layer/kernel", _dense(v))
+            continue
+        if rest in ("cond_layer.bias", "cond.bias"):
+            _set(tree, f"{dst}/cond_layer/bias", v)
+            continue
+        m = re.match(r"conds\.(\d+)\.(weight|bias)$", rest)
+        if m:
+            i, leaf = m.groups()
+            _set(tree, f"{dst}/conds_{i}/{'kernel' if leaf == 'weight' else 'bias'}",
+                 _dense(v) if leaf == "weight" else v)
 
     # conv_post in the reference has no bias when conv_post_bias=False; ours
     # always has one — zero-fill so the effective op is identical

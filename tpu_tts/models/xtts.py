@@ -22,7 +22,7 @@ import numpy as np
 from tpu_tts.audio import jax_transforms as jt
 from tpu_tts.config.base import Coqpit
 from tpu_tts.layers.xtts.gpt import XttsGPT
-from tpu_tts.layers.xtts.perceiver import PerceiverResampler
+from tpu_tts.layers.xtts.perceiver import ConditioningEncoder, PerceiverResampler
 from tpu_tts.layers.xtts.tokenizer import VoiceBpeTokenizer
 from tpu_tts.models.base_tts import BaseTTSModel
 from tpu_tts.vocoder.models.hifigan_generator import HifiganGenerator
@@ -68,10 +68,25 @@ class XttsNet(nn.Module):
             max_text_tokens=a["gpt_max_text_tokens"],
             max_audio_tokens=a["gpt_max_audio_tokens"],
         )
-        self.conditioning_encoder = PerceiverResampler(
+        self.conditioning_encoder = ConditioningEncoder(
+            spec_dim=a.get("num_mels", 80), embedding_dim=a["gpt_n_model_channels"]
+        )
+        self.conditioning_perceiver = PerceiverResampler(
             dim=a["gpt_n_model_channels"], num_latents=a["num_cond_latents"]
         )
-        self.speaker_proj = nn.Dense(a["d_vector_dim"])
+        self.use_ref_speaker_encoder = bool(a.get("_ref_speaker_encoder", False))
+        if self.use_ref_speaker_encoder:
+            # reference decoder-side ResNet speaker encoder (frozen-BN;
+            # ref tts/layers/xtts/hifigan_decoder.py:662)
+            from tpu_tts.encoder.models import ResNetSpeakerEncoder
+
+            # proj_dim 512 is hard-coded in the reference HifiDecoder
+            # (hifigan_decoder.py:662), independent of d_vector_dim
+            self.speaker_encoder = ResNetSpeakerEncoder(
+                input_dim=64, proj_dim=512, norm_type="frozen_batch"
+            )
+        else:
+            self.speaker_proj = nn.Dense(a["d_vector_dim"])
         self.hifigan_decoder = HifiganGenerator(
             in_channels=a["decoder_input_dim"],
             out_channels=1,
@@ -81,14 +96,25 @@ class XttsNet(nn.Module):
             resblock_kernel_sizes=(3, 7, 11),
             resblock_dilation_sizes=((1, 3, 5), (1, 3, 5), (1, 3, 5)),
             cond_channels=a["d_vector_dim"],
+            cond_in_each_up_layer=True,
         )
 
     # ---------------------------------------------------------- conditioning
-    def compute_conditioning(self, mel):
-        """Reference mel `[B, T, C]` → (gpt cond latents, speaker embedding)."""
-        latents = self.conditioning_encoder(mel)
-        spk = self.speaker_proj(jnp.mean(latents, axis=1))
-        spk = spk / jnp.maximum(jnp.linalg.norm(spk, axis=-1, keepdims=True), 1e-12)
+    def compute_conditioning(self, mel, spk_mel=None):
+        """Reference mel `[B, T, C]` → (gpt cond latents, speaker embedding).
+
+        Flow mirrors ref gpt.py:353 get_style_emb: conv/attn conditioning
+        encoder, then the perceiver resampler down to 32 latents. The
+        speaker embedding comes from the reference ResNet encoder on
+        `spk_mel` (converted checkpoints) or a projection of the latents
+        (fresh training)."""
+        feats = self.conditioning_encoder(mel)
+        latents = self.conditioning_perceiver(feats)
+        if self.use_ref_speaker_encoder:
+            spk = self.speaker_encoder(spk_mel if spk_mel is not None else mel[..., :64], l2_norm=True)
+        else:
+            spk = self.speaker_proj(jnp.mean(latents, axis=1))
+            spk = spk / jnp.maximum(jnp.linalg.norm(spk, axis=-1, keepdims=True), 1e-12)
         return latents, spk
 
     # -------------------------------------------------------------- training
@@ -170,21 +196,59 @@ class Xtts(BaseTTSModel):
         self.params = self.net.init(rng, mel, text, codes, method=XttsNet.init_all)["params"]
         return self.params
 
+    # ------------------------------------------------------- torch ingest
+    def convert_torch_state_dict(self, state_dict):
+        """Reference `Xtts` (v2 perceiver variant) torch weights → our tree
+        (parity-tested in tests/test_torch_parity_xtts.py). Switches the net
+        to the reference decoder-side ResNet speaker encoder when present."""
+        from tpu_tts.models.xtts_convert import convert_xtts_torch_state_dict
+
+        params = convert_xtts_torch_state_dict(state_dict)
+        if "conditioning_perceiver" not in params:
+            raise NotImplementedError(
+                "this checkpoint is the legacy (non-perceiver) XTTS variant — "
+                "only XTTS-v2 checkpoints (gpt_use_perceiver_resampler=True) "
+                "are supported"
+            )
+        if "speaker_encoder" in params and not dict(self.net.args).get("_ref_speaker_encoder"):
+            net_args = dict(self.net.args)
+            net_args["_ref_speaker_encoder"] = True
+            self.net = XttsNet(args=tuple(sorted(net_args.items(), key=lambda kv: str(kv[0]))))
+            self._jit = {}
+        return params
+
     # ---------------------------------------------------------- conditioning
     def get_conditioning_latents(self, audio: np.ndarray, sr: int = 22050):
         """Cloning audio → (gpt_cond_latent, speaker_embedding)
-        (ref xtts.py:326)."""
+        (ref xtts.py:326 / get_speaker_embedding:317)."""
         wav = jnp.asarray(audio, dtype=jnp.float32)[None]
         mel = jt.wav_to_mel(
             wav, fft_size=1024, num_mels=80, sample_rate=sr, hop_length=256,
             win_length=1024, fmin=0, fmax=None, center=False,
         )
         mel = jnp.swapaxes(mel, 1, 2)
+        spk_mel = None
+        if dict(self.net.args).get("_ref_speaker_encoder"):
+            # reference speaker-encoder frontend: 16 kHz, preemphasis 0.97,
+            # fft 512 / win 400 / hop 160, 64 log-mels
+            # (ref hifigan_decoder.py:631 speaker_encoder_audio_config)
+            T16 = int(wav.shape[1] * 16000 / sr)
+            wav16 = jax.image.resize(wav, (1, T16), method="linear")
+            wav16 = jnp.concatenate([wav16[:, :1], wav16[:, 1:] - 0.97 * wav16[:, :-1]], axis=1)
+            spk_mel = jt.wav_to_mel(
+                wav16, fft_size=512, num_mels=64, sample_rate=16000, hop_length=160,
+                win_length=400, fmin=0, fmax=None, center=True,
+            )
+            spk_mel = jnp.swapaxes(spk_mel, 1, 2)
         fn = self._jit.setdefault(
-            ("cond", mel.shape),
-            jax.jit(lambda p, m: self.net.apply({"params": p}, m, method=XttsNet.compute_conditioning)),
+            ("cond", mel.shape, None if spk_mel is None else spk_mel.shape),
+            jax.jit(
+                lambda p, m, sm: self.net.apply(
+                    {"params": p}, m, sm, method=XttsNet.compute_conditioning
+                )
+            ),
         )
-        return fn(self.params, mel)
+        return fn(self.params, mel, spk_mel)
 
     # ---------------------------------------------------------- fine-tuning
     def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):

@@ -101,6 +101,9 @@ class HifiganGenerator(nn.Module):
     conv_pre_weight_norm: bool = True
     conv_post_weight_norm: bool = True
     conv_post_bias: bool = True
+    # XTTS HifiDecoder variant: re-inject speaker conditioning after every
+    # upsample stage (ref tts/layers/xtts/hifigan_decoder.py `conds`)
+    cond_in_each_up_layer: bool = False
 
     @nn.compact
     def __call__(self, x, g=None):
@@ -114,6 +117,8 @@ class HifiganGenerator(nn.Module):
             o = lrelu(o)
             ch = self.upsample_initial_channel // (2 ** (i + 1))
             o = WNConvTranspose1d(ch, k, u, name=f"ups_{i}")(o)
+            if self.cond_in_each_up_layer and g is not None:
+                o = o + nn.Dense(ch, name=f"conds_{i}")(g)
             z_sum = None
             for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)):
                 rb = resblock_cls(ch, rk, tuple(rd), name=f"resblocks_{i*num_kernels + j}")(o)
