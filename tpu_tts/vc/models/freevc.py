@@ -79,15 +79,19 @@ class ContentEncoder(nn.Module):
 
 
 class MelSpeakerEncoder(nn.Module):
-    """Reference-style mel speaker encoder (LSTM over mels → embedding)
-    (ref modules/freevc/speaker_encoder)."""
+    """Reference-style mel speaker encoder: 3-layer LSTM → linear → relu →
+    L2-norm (ref freevc.py:256 SpeakerEncoder; hidden/embedding sizes track
+    gin_channels per freevc.py:368)."""
 
     dim: int = 256
+    hidden: int = 256
+    num_layers: int = 3
 
     @nn.compact
     def __call__(self, mel):
-        h = nn.RNN(nn.OptimizedLSTMCell(256), name="lstm0")(mel)
-        h = nn.RNN(nn.OptimizedLSTMCell(256), name="lstm1")(h)
+        h = mel
+        for _ in range(self.num_layers):
+            h = nn.RNN(nn.OptimizedLSTMCell(self.hidden))(h)
         d = nn.relu(nn.Dense(self.dim, name="proj")(h[:, -1]))
         return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
 
@@ -141,7 +145,7 @@ class FreeVCNet(nn.Module):
             upsample_initial_channel=a["upsample_initial_channel"],
             cond_channels=a["gin_channels"],
         )
-        self.speaker_encoder = MelSpeakerEncoder(a["gin_channels"])
+        self.speaker_encoder = MelSpeakerEncoder(a["gin_channels"], hidden=a["gin_channels"])
 
     def __call__(self, ssl_feats, feat_lengths, spec, spec_lengths, mel_ref, train: bool = True) -> Dict:
         g = self.speaker_encoder(mel_ref)[:, None, :]
@@ -190,6 +194,29 @@ class Freevc(BaseTTSModel):
             args = FreeVCArgs.from_dict(args)
         self.args = args
         self.net = FreeVCNet(args=tuple(sorted(args.to_dict().items(), key=lambda kv: str(kv[0]))))
+
+    # ------------------------------------------------------- torch ingest
+    def convert_torch_state_dict(self, state_dict):
+        """Reference `FreeVC` torch weights → our flax tree (parity-tested in
+        tests/test_torch_parity_freevc.py). WavLM weights are skipped — our
+        content encoder stands in for WavLM (documented deviation); ssl
+        features fed to enc_p convert exactly. The content encoder keeps its
+        fresh init (merge-filled)."""
+        from tpu_tts.vc.models.freevc_convert import convert_freevc_torch_state_dict
+
+        params = convert_freevc_torch_state_dict(state_dict)
+        if self.params is None:
+            self.init_params(jax.random.PRNGKey(0))
+
+        def fill(template, got):
+            for k, v in template.items():
+                if isinstance(v, dict):
+                    fill(v, got.setdefault(k, {}))
+                elif k not in got:
+                    got[k] = np.asarray(v)
+
+        fill(self.params, params)
+        return params
 
     def init_params(self, rng):
         a = self.args
