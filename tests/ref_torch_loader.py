@@ -156,6 +156,15 @@ def load_reference():
         "matplotlib", "matplotlib.pyplot", "umap", "pandas", "aiohttp", "flask",
         "unidecode", "spacy", "encodec", "encodec.utils",
     ]:
+        # only stub what isn't actually installed — overriding a real module
+        # (e.g. matplotlib) breaks unrelated tests that later import it
+        root = name.split(".")[0]
+        if root in ("matplotlib", "pandas"):
+            try:
+                if importlib.util.find_spec(root) is not None:
+                    continue
+            except (ImportError, ValueError):
+                pass
         _stub(name)
 
     # installed transformers is newer than the reference expects — backfill

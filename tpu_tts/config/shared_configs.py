@@ -147,6 +147,10 @@ class TrainerConfig(Coqpit):
     # shape bucketing (TPU-specific: avoids retrace storms from dynamic shapes)
     shape_bucket_text: Optional[List[int]] = None
     shape_bucket_frames: Optional[List[int]] = None
+    # jax.profiler trace window (TPU-specific; see tpu_tts/utils/profiling.py)
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 10
+    profile_end_step: int = 15
 
 
 @dataclass

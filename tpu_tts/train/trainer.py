@@ -236,15 +236,25 @@ class Trainer:
             eval_loader = self.model.get_data_loader(
                 self.config, self.assets, is_eval=True, samples=self.eval_samples, verbose=False, num_gpus=self.n_devices
             )
+        # optional jax.profiler window (SURVEY §5: new-on-TPU requirement)
+        from tpu_tts.utils.profiling import StepProfiler
+
+        profiler = StepProfiler(
+            getattr(self.config, "profile_dir", None) or os.environ.get("TPU_TTS_PROFILE_DIR"),
+            start_step=int(getattr(self.config, "profile_start_step", 10) or 10),
+            end_step=int(getattr(self.config, "profile_end_step", 15) or 15),
+        )
         for epoch in range(self.epochs_done, self.config.epochs):
             self.keep_avg_train = KeepAverage()
             epoch_start = time.time()
             print(f"\n > EPOCH: {epoch}/{self.config.epochs} --> {self.output_path}", flush=True)
             for batch in train_loader:
                 step_start = time.time()
-                batch = self.model.format_batch(batch)
+                profiler.maybe_start(self.total_steps_done)
+                batch = self.model.format_batch(batch) if hasattr(self.model, "format_batch") else batch
                 logs = self.train_step(batch)
                 self.total_steps_done += 1
+                profiler.maybe_stop(self.total_steps_done)
                 self.keep_avg_train.update_values({f"avg_{k}": v for k, v in logs.items()})
                 if self.total_steps_done % self.config.print_step == 0:
                     logs["step_time"] = round(time.time() - step_start, 4)
@@ -279,6 +289,7 @@ class Trainer:
                 self.best_loss = ckpt_io.save_best_model(
                     target, self.best_loss, self._state_dict(), self.output_path, self.total_steps_done, self.config
                 )
+        profiler.close()
         self.save_checkpoint()
         if self.dashboard_logger:
             self.dashboard_logger.flush()
@@ -286,7 +297,7 @@ class Trainer:
     def eval_epoch(self, eval_loader) -> float:
         losses = []
         for batch in eval_loader:
-            batch = self.model.format_batch(batch)
+            batch = self.model.format_batch(batch) if hasattr(self.model, "format_batch") else batch
             dbatch = self._device_batch(batch)
             self.rng, rng = jax.random.split(self.rng)
             total = 0.0
