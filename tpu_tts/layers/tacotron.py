@@ -164,12 +164,109 @@ class GravesAttention(nn.Module):
         return context, {"mu_prev": mu_t, "attention_weights": alpha_t}
 
 
+def _betabinom_pmf(n: int, a: float, b: float):
+    """Beta-binomial pmf over k=0..n (stdlib lgamma; no scipy dependency)."""
+    import math
+
+    def lbeta(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    pmf = []
+    for k in range(n + 1):
+        logp = (
+            math.lgamma(n + 1)
+            - math.lgamma(k + 1)
+            - math.lgamma(n - k + 1)
+            + lbeta(k + a, n - k + b)
+            - lbeta(a, b)
+        )
+        pmf.append(math.exp(logp))
+    return pmf
+
+
+class MonotonicDynamicConvolutionAttention(nn.Module):
+    """Dynamic convolution attention (arXiv:1910.10288; ref attentions.py:323):
+    alignment energies from static + dynamically-predicted conv filters over the
+    previous attention weights, plus a causal beta-binomial prior that keeps the
+    alignment moving forward. Pure per-step function with explicit state."""
+
+    query_dim: int
+    embedding_dim: int
+    attention_dim: int = 128
+    static_filter_dim: int = 8
+    static_kernel_size: int = 21
+    dynamic_filter_dim: int = 8
+    dynamic_kernel_size: int = 21
+    prior_filter_len: int = 11
+    alpha: float = 0.1
+    beta: float = 0.9
+
+    def setup(self):
+        self.query_layer = nn.Dense(self.attention_dim)
+        self.key_layer = nn.Dense(self.dynamic_filter_dim * self.dynamic_kernel_size, use_bias=False)
+        self.static_filter_conv = nn.Conv(
+            self.static_filter_dim, (self.static_kernel_size,), padding="SAME", use_bias=False
+        )
+        self.static_filter_layer = nn.Dense(self.attention_dim, use_bias=False)
+        self.dynamic_filter_layer = nn.Dense(self.attention_dim)
+        self.v = nn.Dense(1, use_bias=False)
+        # prior, reversed for causal cross-correlation (ref :389 flip(0))
+        prior = _betabinom_pmf(self.prior_filter_len - 1, self.alpha, self.beta)
+        self.prior = jnp.asarray(prior[::-1], dtype=jnp.float32)
+
+    def init_state(self, B: int, T: int) -> Dict:
+        w = jnp.zeros((B, T)).at[:, 0].set(1.0)
+        return {"attention_weights": w}
+
+    def preprocess_inputs(self, inputs):
+        return None
+
+    @staticmethod
+    def _unfold(w: jnp.ndarray, k: int, causal: bool) -> jnp.ndarray:
+        """[B, T] → sliding windows [B, T, k] (left-pad k-1 if causal, else SAME)."""
+        pad = (k - 1, 0) if causal else ((k - 1) // 2, k // 2)
+        wp = jnp.pad(w, ((0, 0), pad))
+        idx = jnp.arange(w.shape[1])[:, None] + jnp.arange(k)[None, :]
+        return wp[:, idx]
+
+    def __call__(self, query, inputs, processed_inputs, mask, state: Dict):
+        w_prev = state["attention_weights"]  # [B, T]
+        # causal beta-binomial prior (ref :394-399)
+        prior_win = self._unfold(w_prev, self.prior_filter_len, causal=True)
+        prior_filter = jnp.log(jnp.clip(prior_win @ self.prior, a_min=1e-6))
+        # dynamic filters predicted from the query (ref :400-408)
+        G = self.key_layer(jnp.tanh(self.query_layer(query)))  # [B, dyn*k]
+        G = G.reshape(-1, self.dynamic_filter_dim, self.dynamic_kernel_size)
+        dyn_win = self._unfold(w_prev, self.dynamic_kernel_size, causal=False)  # [B,T,k]
+        dynamic_filter = jnp.einsum("btk,bdk->btd", dyn_win, G)
+        # static filters (ref :410)
+        static_filter = self.static_filter_conv(w_prev[:, :, None])  # [B,T,static]
+        energies = (
+            self.v(
+                jnp.tanh(self.static_filter_layer(static_filter) + self.dynamic_filter_layer(dynamic_filter))
+            )[:, :, 0]
+            + prior_filter
+        )
+        alignment = jax.nn.softmax(energies, axis=-1)
+        if mask is not None:
+            # ref :423 masks AFTER the softmax with a small floor value
+            alignment = jnp.where(mask, alignment, 1e-8)
+        context = jnp.einsum("bt,btc->bc", alignment, inputs)
+        return context, {"attention_weights": alignment}
+
+
 def init_attn(attn_type: str, **kwargs):
     if attn_type == "original":
         kwargs.pop("K", None)
         return OriginalAttention(**kwargs)
     if attn_type == "graves":
         return GravesAttention(query_dim=kwargs["query_dim"], K=kwargs.get("K", 5))
+    if attn_type == "dynamic_convolution":
+        return MonotonicDynamicConvolutionAttention(
+            query_dim=kwargs["query_dim"],
+            embedding_dim=kwargs["embedding_dim"],
+            attention_dim=kwargs.get("attention_dim", 128),
+        )
     raise ValueError(f" [!] Unknown attention type {attn_type}")
 
 
@@ -266,7 +363,13 @@ class Tacotron2DecoderCell(nn.Module):
             forward_attn=kw.get("forward_attn", False),
             trans_agent=kw.get("trans_agent", False),
             forward_attn_mask=kw.get("forward_attn_mask", False),
-        ) if self.attn_type == "original" else init_attn(self.attn_type, query_dim=self.attn_rnn_dim)
+        ) if self.attn_type == "original" else init_attn(
+            self.attn_type,
+            query_dim=self.attn_rnn_dim,
+            embedding_dim=self.encoder_dim,
+            attention_dim=kw.get("attention_dim", 128),
+            K=kw.get("K", 5),
+        )
         self.decoder_rnn = nn.OptimizedLSTMCell(self.decoder_rnn_dim)
         self.linear_projection = nn.Dense(self.frame_channels * self.r)
         self.stopnet = nn.Dense(1)

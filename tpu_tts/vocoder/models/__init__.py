@@ -112,7 +112,25 @@ def setup_discriminator(c):
 
         return UnivnetDiscriminator()
     if base == "parallel_wavegan":
-        from tpu_tts.vocoder.models.parallel_wavegan_discriminator import ParallelWaveganDiscriminator
+        from tpu_tts.vocoder.models.parallel_wavegan import ParallelWaveganDiscriminator
 
         return ParallelWaveganDiscriminator()
+    if base == "random_window":
+        from tpu_tts.vocoder.models.random_window_discriminator import RandomWindowDiscriminator
+
+        p = c.discriminator_model_params or {}
+        kw = {}
+        for k in (
+            "uncond_disc_downsample_factors",
+            "cond_disc_downsample_factors",
+            "cond_disc_out_channels",
+            "window_sizes",
+        ):
+            if k in p:
+                kw[k] = tuple(tuple(v) if isinstance(v, (list, tuple)) else v for v in p[k]) if isinstance(
+                    p[k][0], (list, tuple)
+                ) else tuple(p[k])
+        return RandomWindowDiscriminator(
+            cond_channels=c.audio.num_mels, hop_length=c.audio.hop_length, **kw
+        )
     raise NotImplementedError(f" [!] Discriminator model {name} is not implemented.")

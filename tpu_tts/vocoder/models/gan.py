@@ -65,13 +65,19 @@ class GAN(BaseTTSModel):
     def init_params(self, rng):
         B, T_mel, C = 2, 8, self.config.audio.num_mels
         hop = self.config.audio.hop_length
+        if self._disc_needs_cond:
+            # random-window D slices fixed window sizes; init needs ≥ max window
+            T_mel = max(self.discriminator.window_sizes) // hop + 1
         mel = jnp.zeros((B, T_mel, C))
         g_rng, d_rng = jax.random.split(rng)
         g_params = self.generator.init(g_rng, mel)["params"]
         y = self._gen_apply(g_params, mel)
         if self.pqmf is not None:
             y = self.pqmf.synthesis(y)
-        d_params = self.discriminator.init(d_rng, y)["params"]
+        if self._disc_needs_cond:
+            d_params = self.discriminator.init(d_rng, y, mel, None)["params"]
+        else:
+            d_params = self.discriminator.init(d_rng, y)["params"]
         self.params = {"generator": g_params, "discriminator": d_params}
         return self.params
 
@@ -87,8 +93,17 @@ class GAN(BaseTTSModel):
     def _gen_apply(self, g_params, mel):
         return self.generator.apply({"params": g_params}, mel)
 
-    def _disc_apply(self, d_params, y):
-        out = self.discriminator.apply({"params": d_params}, y)
+    @property
+    def _disc_needs_cond(self) -> bool:
+        from tpu_tts.vocoder.models.random_window_discriminator import RandomWindowDiscriminator
+
+        return isinstance(self.discriminator, RandomWindowDiscriminator)
+
+    def _disc_apply(self, d_params, y, cond=None, rng=None):
+        if self._disc_needs_cond:
+            out = self.discriminator.apply({"params": d_params}, y, cond, rng)
+        else:
+            out = self.discriminator.apply({"params": d_params}, y)
         if isinstance(out, tuple):
             scores, feats = out
         else:
@@ -110,15 +125,15 @@ class GAN(BaseTTSModel):
         if optimizer_idx == 0:
             # ---- discriminator pass (fake detached) -------------------------
             y_hat_d = jax.lax.stop_gradient(y_hat)
-            scores_fake, _ = self._disc_apply(params["discriminator"], y_hat_d)
-            scores_real, _ = self._disc_apply(params["discriminator"], y_real)
+            scores_fake, _ = self._disc_apply(params["discriminator"], y_hat_d, mel, rng)
+            scores_real, _ = self._disc_apply(params["discriminator"], y_real, mel, rng)
             losses = discriminator_loss(self.config, scores_fake, scores_real)
             return losses["loss"], losses
 
         # ---- generator pass -------------------------------------------------
         d_params = jax.lax.stop_gradient(params["discriminator"])
-        scores_fake, feats_fake = self._disc_apply(d_params, y_hat)
-        _, feats_real = self._disc_apply(d_params, y_real)
+        scores_fake, feats_fake = self._disc_apply(d_params, y_hat, mel, rng)
+        _, feats_real = self._disc_apply(d_params, y_real, mel, rng)
         y_sub = None
         if self.pqmf is not None:
             y_sub = self.pqmf.analysis(y_real)
