@@ -224,6 +224,32 @@ class Wavegrad:
         y = jax.lax.fori_loop(0, self.num_steps, body, y_n)
         return np.asarray(y)
 
+    def get_data_loader(self, config, assets, is_eval, samples, verbose, num_gpus, rank=0):
+        """ref wavegrad.py:318 get_data_loader → WaveGradDataset."""
+        from tpu_tts.audio.processor import AudioProcessor
+        from tpu_tts.vocoder.datasets.wavegrad_dataset import WaveGradDataLoader, WaveGradDataset
+
+        ap = getattr(self, "ap", None) or AudioProcessor.init_from_config(config)
+        dataset = WaveGradDataset(
+            ap=ap,
+            items=samples,
+            seq_len=config.seq_len,
+            hop_len=ap.hop_length,
+            pad_short=config.pad_short,
+            conv_pad=config.conv_pad,
+            is_training=not is_eval,
+            use_noise_augment=config.use_noise_augment and not is_eval,
+            use_cache=config.use_cache,
+            seed=getattr(config, "training_seed", 0),
+        )
+        return WaveGradDataLoader(
+            dataset,
+            batch_size=config.eval_batch_size if is_eval else config.batch_size,
+            shuffle=not is_eval,
+            drop_last=not is_eval,
+            seed=getattr(config, "training_seed", 0),
+        )
+
     @staticmethod
     def init_from_config(config, samples=None):
         return Wavegrad(config)

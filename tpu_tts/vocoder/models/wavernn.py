@@ -354,6 +354,31 @@ class Wavernn:
             wav = samples[0][: mels.shape[1] * hop]
         return wav
 
+    def get_data_loader(self, config, assets, is_eval, samples, verbose, num_gpus, rank=0):
+        """ref wavernn.py:622 get_data_loader → WaveRNNDataset."""
+        from tpu_tts.audio.processor import AudioProcessor
+        from tpu_tts.vocoder.datasets.wavernn_dataset import WaveRNNDataLoader, WaveRNNDataset
+
+        ap = getattr(self, "ap", None) or AudioProcessor.init_from_config(config)
+        dataset = WaveRNNDataset(
+            ap=ap,
+            items=samples,
+            seq_len=config.seq_len,
+            hop_len=ap.hop_length,
+            pad=self.args.pad,
+            mode=self.args.mode,
+            mulaw=self.args.mulaw,
+            is_training=not is_eval,
+            seed=getattr(config, "training_seed", 0),
+        )
+        return WaveRNNDataLoader(
+            dataset,
+            batch_size=config.eval_batch_size if is_eval else config.batch_size,
+            shuffle=not is_eval,
+            drop_last=not is_eval,
+            seed=getattr(config, "training_seed", 0),
+        )
+
     @staticmethod
     def init_from_config(config, samples=None):
         return Wavernn(config)
