@@ -5,6 +5,7 @@ from tpu_tts.configs.bark_tortoise_configs import BarkConfig, TortoiseConfig
 from tpu_tts.configs.overflow_config import NeuralhmmTTSConfig, OverflowConfig
 from tpu_tts.configs.xtts_config import XttsConfig
 from tpu_tts.configs.align_tts_config import AlignTTSConfig
+from tpu_tts.configs.delightful_tts_config import DelightfulTTSConfig
 from tpu_tts.configs.tacotron2_config import Tacotron2Config, TacotronConfig
 from tpu_tts.configs.forward_tts_configs import (
     FastPitchConfig,
@@ -18,6 +19,7 @@ __all__ = [
     "GSTConfig",
     "CapacitronVAEConfig",
     "GlowTTSConfig",
+    "DelightfulTTSConfig",
     "VitsConfig",
     "FastPitchConfig",
     "FastSpeechConfig",

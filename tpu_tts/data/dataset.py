@@ -78,6 +78,8 @@ class TTSDataset:
         d_vector_mapping: Optional[Dict] = None,
         language_id_mapping: Optional[Dict] = None,
         use_noise_augment: bool = False,
+        use_attn_prior: bool = False,
+        attn_prior_cache_path: Optional[str] = None,
         start_by_longest: bool = False,
         text_bucket: int = 32,
         mel_bucket: int = 64,
@@ -101,6 +103,8 @@ class TTSDataset:
         self.d_vector_mapping = d_vector_mapping
         self.language_id_mapping = language_id_mapping
         self.use_noise_augment = use_noise_augment
+        self.use_attn_prior = use_attn_prior
+        self.attn_prior_cache = FeatureCache(attn_prior_cache_path, "_attn_prior.npy")
         self.start_by_longest = start_by_longest
         self.text_bucket = text_bucket
         self.mel_bucket = max(mel_bucket, outputs_per_step)
@@ -258,6 +262,20 @@ class TTSDataset:
                 waveform[i, : len(w)] = w
             out["waveform"] = waveform[:, :, None]
             out["waveform_lengths"] = np.minimum(wav_lens, T_wav)
+
+        if self.use_attn_prior:
+            # beta-binomial aligner prior [B, T_mel, T_text]
+            # (ref delightful_tts.py ForwardTTSE2eDataset.load_or_compute_attn_prior:438)
+            from tpu_tts.ops.helpers import compute_attn_prior
+
+            priors = np.zeros((B, T_mel, T_text), dtype=np.float32)
+            for i, d in enumerate(batch):
+                key = d["audio_unique_name"]
+                pr = self.attn_prior_cache.get(
+                    key, lambda: compute_attn_prior(int(token_lens[i]), int(mel_lens[i])).astype(np.float32)
+                )
+                priors[i, : pr.shape[0], : pr.shape[1]] = pr[:T_mel, :T_text]
+            out["attn_priors"] = priors
 
         for key, feat_t in (("pitch", "pitch"), ("energy", "energy")):
             if batch[0][feat_t] is not None:

@@ -98,6 +98,8 @@ class BaseTTSModel:
             phoneme_cache_path=config.phoneme_cache_path,
             precompute_num_workers=config.precompute_num_workers,
             use_noise_augment=False if is_eval else config.use_noise_augment,
+            use_attn_prior=getattr(config, "use_attn_priors", False),
+            attn_prior_cache_path=getattr(config, "attn_prior_cache_path", None),
             speaker_id_mapping=(self.speaker_manager.name_to_id if self.speaker_manager else None),
             d_vector_mapping=(
                 self.speaker_manager.embeddings_by_names()
