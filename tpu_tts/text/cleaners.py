@@ -17,8 +17,15 @@ _whitespace_re = re.compile(r"\s+")
 
 def expand_abbreviations(text: str, lang: str = "en") -> str:
     if lang == "en":
-        for regex, replacement in abbreviations_en:
-            text = re.sub(regex, replacement, text)
+        abbreviations = abbreviations_en
+    elif lang == "fr":
+        from tpu_tts.text.french.abbreviations import abbreviations_fr
+
+        abbreviations = abbreviations_fr
+    else:
+        return text
+    for regex, replacement in abbreviations:
+        text = re.sub(regex, replacement, text)
     return text
 
 
@@ -114,7 +121,11 @@ def portuguese_cleaners(text: str) -> str:
 
 
 def chinese_mandarin_cleaners(text: str) -> str:
-    return text
+    """Basic pipeline for chinese (ref cleaners.py:153): expand arabic
+    numbers to hanzi."""
+    from tpu_tts.text.chinese_mandarin.numbers import replace_numbers_to_characters_in_text
+
+    return replace_numbers_to_characters_in_text(text)
 
 
 def multilingual_cleaners(text: str) -> str:

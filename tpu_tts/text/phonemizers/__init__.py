@@ -67,7 +67,8 @@ except ImportError:
 
 
 PHONEMIZERS = {
-    b.name(): b for b in (ESpeak, Gruut, EnglishRules, KO_KR_Phonemizer, BN_Phonemizer, ZH_CN_Phonemizer)
+    b.name(): b
+    for b in (ESpeak, Gruut, EnglishRules, KO_KR_Phonemizer, BN_Phonemizer, ZH_CN_Phonemizer, JA_JP_Phonemizer, BEL_Phonemizer)
 }
 
 ESPEAK_LANGS = list(ESpeak.supported_languages().keys())
@@ -83,6 +84,7 @@ if "en-us" in DEF_LANG_TO_PHONEMIZER:
     DEF_LANG_TO_PHONEMIZER["en"] = DEF_LANG_TO_PHONEMIZER["en-us"]
 DEF_LANG_TO_PHONEMIZER["zh-cn"] = ZH_CN_Phonemizer.name()
 DEF_LANG_TO_PHONEMIZER["ko-kr"] = KO_KR_Phonemizer.name()
+DEF_LANG_TO_PHONEMIZER["ja-jp"] = JA_JP_Phonemizer.name()
 DEF_LANG_TO_PHONEMIZER["bn"] = BN_Phonemizer.name()
 DEF_LANG_TO_PHONEMIZER["be"] = BEL_Phonemizer.name()
 
