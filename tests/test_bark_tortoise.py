@@ -56,8 +56,9 @@ def test_gst_and_capacitron():
     text = jax.random.normal(jax.random.PRNGKey(2), (2, 10, 12))
     pc = cap.init({"params": jax.random.PRNGKey(3), "capacitron": jax.random.PRNGKey(4)},
                   reference_mel=mel, text_summary=text)
-    z, mu, logvar = cap.apply(pc, reference_mel=mel, text_summary=text,
-                              rngs={"capacitron": jax.random.PRNGKey(5)})
+    z, mu, logvar, beta_raw = cap.apply(pc, reference_mel=mel, text_summary=text,
+                                        rngs={"capacitron": jax.random.PRNGKey(5)})
     assert z.shape == (2, 16)
+    assert abs(float(jax.nn.softplus(beta_raw)[0]) - 1.0) < 1e-5
     loss, kl = capacitron_kl_loss(mu, logvar, capacity=5.0, beta=jnp.asarray(1.0))
     assert np.isfinite(float(loss)) and np.isfinite(float(kl))

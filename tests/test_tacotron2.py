@@ -122,3 +122,13 @@ def test_tacotron2_capacitron():
     loss, logs = model.loss_fn(params, _batch(), jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     assert "capacitron_kl" in logs
+    assert abs(float(logs["capacitron_beta"]) - 1.0) < 1e-4
+    # beta leaf gets gradient from the Lagrangian term
+    g = jax.grad(lambda p: model.loss_fn(p, _batch(), jax.random.PRNGKey(1))[0])(params)
+    assert float(np.abs(np.asarray(g["capacitron_vae_layer"]["beta"])).sum()) > 0
+    # dual optimizer: beta routed to SGD via multi_transform
+    import optax
+    opt = model.get_optimizer()
+    state = opt.init(params)
+    upd, _ = opt.update(g, state, params)
+    assert np.isfinite(np.asarray(upd["capacitron_vae_layer"]["beta"])).all()

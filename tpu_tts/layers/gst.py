@@ -11,6 +11,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class ReferenceEncoder(nn.Module):
@@ -105,10 +106,13 @@ class CapacitronVAE(nn.Module):
         h = jnp.concatenate(feats, axis=-1)
         stats = nn.Dense(2 * self.capacitron_VAE_embedding_dim, name="post_proj")(h)
         mu, logvar = jnp.split(stats, 2, axis=-1)
+        # Lagrange multiplier for the KL capacity constraint, init so
+        # softplus(beta_raw) == 1 (ref capacitron_layers.py:31)
+        beta_raw = self.param("beta", lambda k: jnp.asarray([float(np.log(np.e - 1.0))], dtype=jnp.float32))
         if rng is None:
             rng = self.make_rng("capacitron")
         z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mu.shape)
-        return z, mu, logvar
+        return z, mu, logvar, beta_raw
 
 
 def capacitron_kl_loss(mu, logvar, capacity: float, beta: jnp.ndarray):
