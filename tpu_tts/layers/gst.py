@@ -119,3 +119,52 @@ def capacitron_kl_loss(mu, logvar, capacity: float, beta: jnp.ndarray):
     """|KL - capacity| Lagrangian term (ref capacitron optimizer scheme)."""
     kl = -0.5 * jnp.mean(jnp.sum(1 + logvar - mu**2 - jnp.exp(logvar), axis=-1))
     return beta * (kl - capacity), kl
+
+
+def capacitron_loss_terms(outputs, cap_cfg: dict):
+    """Shared Lagrangian loss terms for Tacotron-family models
+    (ref losses.py:394-440). Returns (loss_term, logs): the value added to the
+    primary loss plus a grad-only beta term (see Tacotron2.loss_fn)."""
+    cap = float(cap_cfg.get("capacitron_capacity", 150))
+    alpha = float(cap_cfg.get("capacitron_VAE_loss_alpha", 0.25))
+    beta = jax.nn.softplus(outputs["capacitron_beta_raw"].astype(jnp.float32))[0]
+    _, kl = capacitron_kl_loss(outputs["capacitron_mu"], outputs["capacitron_logvar"], cap, 1.0)
+    kl_capacity = kl - cap
+    T_D = outputs["decoder_outputs"].shape[1] * outputs["decoder_outputs"].shape[2]
+    l_cap = jax.lax.stop_gradient(beta) * kl_capacity / T_D * alpha
+    beta_loss = -beta * jax.lax.stop_gradient(kl_capacity)
+    term = l_cap + (beta_loss - jax.lax.stop_gradient(beta_loss))
+    logs = {
+        "capacitron_vae_loss": l_cap,
+        "capacitron_vae_beta_loss": beta_loss,
+        "capacitron_kl": kl,
+        "capacitron_beta": beta,
+    }
+    return term, logs
+
+
+def capacitron_dual_optimizer(config, primary_fallback):
+    """optax.multi_transform: `capacitron_vae_layer.beta` → SGD, rest → primary
+    (ref utils/capacitron_optimizer.py:6)."""
+    import optax
+
+    from tpu_tts.train.optimizers import get_optimizer
+
+    params_cfg = config.optimizer_params or {}
+    names = [k for k in params_cfg if isinstance(params_cfg.get(k), dict)]
+    if len(names) >= 2:
+        primary = get_optimizer(names[0], dict(params_cfg[names[0]]), config.lr, config)
+        secondary = dict(params_cfg[names[1]])
+    else:
+        primary = primary_fallback()
+        secondary = {"lr": 1e-5, "momentum": 0.9}
+    sgd = optax.sgd(secondary.get("lr", 1e-5), momentum=secondary.get("momentum", 0.0) or None)
+
+    def label_fn(params):
+        def label(path, _):
+            keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+            return "beta" if ("capacitron_vae_layer" in keys and keys[-1] == "beta") else "primary"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform({"primary": primary, "beta": sgd}, label_fn)

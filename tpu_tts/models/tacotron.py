@@ -145,6 +145,8 @@ class TacotronNet(nn.Module):
     memory_size: int = -1
     use_gst: bool = False
     gst: Optional[tuple] = None  # frozen GSTConfig items (ref tacotron.py GST concat)
+    use_capacitron: bool = False
+    capacitron: Optional[tuple] = None  # frozen CapacitronVAEConfig items
 
     def setup(self):
         self.embedding = nn.Embed(self.num_chars, 256, embedding_init=nn.initializers.normal(0.3))
@@ -163,11 +165,25 @@ class TacotronNet(nn.Module):
                 gst_embedding_dim=self.gst_dim,
             )
             encoder_dim += self.gst_dim
+        if self.use_capacitron:
+            from tpu_tts.layers.gst import CapacitronVAE
+
+            c = dict(self.capacitron or ())
+            self.cap_dim = c.get("capacitron_VAE_embedding_dim", 128)
+            self.capacitron_vae_layer = CapacitronVAE(
+                num_mel=self.decoder_output_dim,
+                capacitron_VAE_embedding_dim=self.cap_dim,
+                text_summary_embedding_dim=c.get("capacitron_text_summary_embedding_dim", 128)
+                if c.get("capacitron_use_text_summary_embeddings", False)
+                else None,
+            )
+            encoder_dim += self.cap_dim
         self.cell = TacotronDecoderCell(
             frame_channels=self.decoder_output_dim, r=self.r, encoder_dim=encoder_dim, attn_kwargs=self.attn_kwargs
         )
         self.postnet_cbhg = CBHG(
-            K=8, conv_bank_features=128, conv_projections=(256, 80), highway_features=128, gru_features=128
+            K=8, conv_bank_features=128, conv_projections=(256, self.decoder_output_dim),
+            highway_features=128, gru_features=128,
         )
         self.last_linear = nn.Dense(self.out_channels)
 
@@ -175,6 +191,7 @@ class TacotronNet(nn.Module):
         emb = self.embedding(text)
         h = self.encoder_prenet(emb, train=train)
         enc = self.encoder_cbhg(h)
+        cap_stats = None
         if self.use_gst:
             if style_mel is not None:
                 gst_out = self.gst_layer(style_mel=style_mel)
@@ -184,14 +201,26 @@ class TacotronNet(nn.Module):
                 [enc, jnp.broadcast_to(gst_out[:, None], (enc.shape[0], enc.shape[1], self.gst_dim))],
                 axis=-1,
             )
-        return enc
+        if self.use_capacitron:
+            if style_mel is not None:
+                z, mu, logvar, beta_raw = self.capacitron_vae_layer(reference_mel=style_mel, text_summary=emb)
+                cap_stats = (mu, logvar, beta_raw)
+            else:
+                z = jnp.zeros((enc.shape[0], self.cap_dim), dtype=enc.dtype)
+            enc = jnp.concatenate(
+                [enc, jnp.broadcast_to(z[:, None], (enc.shape[0], enc.shape[1], self.cap_dim))],
+                axis=-1,
+            )
+        return enc, cap_stats
 
     def _postnet(self, mel):
         h = self.postnet_cbhg(mel)
         return self.last_linear(h)
 
     def __call__(self, text, text_lengths, mel, mel_lengths, train: bool = True) -> Dict:
-        enc = self._encode(text, train, style_mel=mel if self.use_gst else None)
+        enc, cap_stats = self._encode(
+            text, train, style_mel=mel if (self.use_gst or self.use_capacitron) else None
+        )
         key_mask = sequence_mask(text_lengths, text.shape[1])
         B, T_de, _ = mel.shape
         r = self.r
@@ -214,17 +243,20 @@ class TacotronNet(nn.Module):
         _, (frames, stops, attns) = scan(self.cell, carry, mem_in)
         decoder_outputs = frames.reshape(B, steps * r, self.decoder_output_dim)
         postnet_outputs = self._postnet(decoder_outputs)
-        return {
+        out = {
             "decoder_outputs": decoder_outputs,
             "model_outputs": postnet_outputs,
             "stop_tokens": stops,
             "alignments": attns,
         }
+        if cap_stats is not None:
+            out["capacitron_mu"], out["capacitron_logvar"], out["capacitron_beta_raw"] = cap_stats
+        return out
 
     def inference(self, text, text_lengths=None, style_mel=None) -> Dict:
         if text_lengths is None:
             text_lengths = jnp.full((text.shape[0],), text.shape[1], dtype=jnp.int32)
-        enc = self._encode(text, False, style_mel=style_mel)
+        enc, _ = self._encode(text, False, style_mel=style_mel)
         key_mask = sequence_mask(text_lengths, text.shape[1])
         B = text.shape[0]
         processed = self.cell.preprocess_inputs(enc)
@@ -283,13 +315,25 @@ class Tacotron(BaseTTSModel):
                     if isinstance(v, (int, float, str, bool, type(None)))
                 )
             ) or None,
+            use_capacitron=bool(getattr(config, "use_capacitron_vae", False)),
+            capacitron=tuple(
+                sorted(
+                    (k, v)
+                    for k, v in (
+                        getattr(config, "capacitron_vae", None).to_dict()
+                        if getattr(config, "capacitron_vae", None)
+                        else {}
+                    ).items()
+                    if isinstance(v, (int, float, str, bool, type(None)))
+                )
+            ) or None,
         )
         self._infer_cache = {}
 
     def init_params(self, rng):
         B, T_en, T_de = 2, 8, 10
         variables = self.net.init(
-            {"params": rng, "dropout": jax.random.fold_in(rng, 3)},
+            {"params": rng, "dropout": jax.random.fold_in(rng, 3), "capacitron": jax.random.fold_in(rng, 7)},
             jnp.zeros((B, T_en), dtype=jnp.int32),
             jnp.full((B,), T_en, dtype=jnp.int32),
             jnp.zeros((B, T_de, self.net.decoder_output_dim)),
@@ -307,7 +351,7 @@ class Tacotron(BaseTTSModel):
             batch["mel_input"],
             batch["mel_lengths"],
             train=True,
-            rngs={"dropout": rng},
+            rngs={"dropout": rng, "capacitron": jax.random.fold_in(rng, 7)},
         )
         T = min(outputs["decoder_outputs"].shape[1], batch["mel_input"].shape[1])
         l_decoder = masked_l1_loss(outputs["decoder_outputs"][:, :T], batch["mel_input"][:, :T], batch["mel_lengths"])
@@ -324,21 +368,44 @@ class Tacotron(BaseTTSModel):
             l_ga = guided_attention_loss(outputs["alignments"], batch["text_lengths"], stop_lens)
             loss += c.ga_alpha * l_ga
             losses["ga_loss"] = l_ga
+        if "capacitron_mu" in outputs:
+            from tpu_tts.layers.gst import capacitron_loss_terms
+
+            cap_cfg = getattr(c, "capacitron_vae", None)
+            cap_dict = cap_cfg.to_dict() if hasattr(cap_cfg, "to_dict") else dict(cap_cfg or {})
+            term, cap_logs = capacitron_loss_terms(outputs, cap_dict)
+            loss += term
+            losses.update(cap_logs)
         losses["loss"] = loss
         return loss, losses
 
+    def get_optimizer(self):
+        """Capacitron dual optimizer (ref utils/capacitron_optimizer.py:6)."""
+        from tpu_tts.layers.gst import capacitron_dual_optimizer
+
+        if not getattr(self.config, "use_capacitron_vae", False):
+            return super().get_optimizer()
+        return capacitron_dual_optimizer(self.config, super().get_optimizer)
+
     def inference(self, x: np.ndarray, aux_input=None) -> Dict:
+        aux_input = aux_input or {}
         x = jnp.asarray(x)
         if x.ndim == 1:
             x = x[None]
-        key = x.shape
+        style_mel = aux_input.get("style_mel")
+        if style_mel is not None:
+            style_mel = jnp.asarray(style_mel)
+            if style_mel.ndim == 2:
+                style_mel = style_mel[None]
+        key = (x.shape, None if style_mel is None else style_mel.shape)
         if key not in self._infer_cache:
             self._infer_cache[key] = jax.jit(
-                lambda p, xi: self.net.apply(
-                    {"params": p}, xi, method=TacotronNet.inference, rngs={"dropout": jax.random.PRNGKey(0)}
+                lambda p, xi, sm: self.net.apply(
+                    {"params": p}, xi, style_mel=sm, method=TacotronNet.inference,
+                    rngs={"dropout": jax.random.PRNGKey(0), "capacitron": jax.random.PRNGKey(1)},
                 )
             )
-        return self._infer_cache[key](self.params, x)
+        return self._infer_cache[key](self.params, x, style_mel)
 
     @staticmethod
     def init_from_config(config, samples=None):

@@ -283,24 +283,13 @@ class Tacotron2(BaseTTSModel):
             # (ref losses.py:394-440 + utils/capacitron_optimizer.py). The
             # reference's dual-optimizer two-step becomes a single loss with
             # disjoint gradient paths: the main term sees stop_grad(beta), the
-            # beta term sees stop_grad(kl) — optax.multi_transform routes the
-            # beta leaf to SGD (see get_optimizer).
-            cap_cfg = dict(_cfg_items(getattr(c, "capacitron_vae", None)))
-            cap = float(cap_cfg.get("capacitron_capacity", 150))
-            alpha = float(cap_cfg.get("capacitron_VAE_loss_alpha", 0.25))
-            beta = jax.nn.softplus(outputs["capacitron_beta_raw"].astype(jnp.float32))[0]
-            _, kl = capacitron_kl_loss(outputs["capacitron_mu"], outputs["capacitron_logvar"], cap, 1.0)
-            kl_capacity = kl - cap
-            T_D = outputs["decoder_outputs"].shape[1] * outputs["decoder_outputs"].shape[2]
-            l_cap = jax.lax.stop_gradient(beta) * kl_capacity / T_D * alpha
-            beta_loss = -beta * jax.lax.stop_gradient(kl_capacity)
-            # beta_loss enters with zero value (grad-only) so the reported
-            # total matches the reference's primary loss
-            loss += l_cap + (beta_loss - jax.lax.stop_gradient(beta_loss))
-            losses["capacitron_vae_loss"] = l_cap
-            losses["capacitron_vae_beta_loss"] = beta_loss
-            losses["capacitron_kl"] = kl
-            losses["capacitron_beta"] = beta
+            # beta term enters grad-only (zero value) — optax.multi_transform
+            # routes the beta leaf to SGD (see get_optimizer).
+            from tpu_tts.layers.gst import capacitron_loss_terms
+
+            term, cap_logs = capacitron_loss_terms(outputs, dict(_cfg_items(getattr(c, "capacitron_vae", None))))
+            loss += term
+            losses.update(cap_logs)
         losses["loss"] = loss
         return loss, losses
 
@@ -327,38 +316,12 @@ class Tacotron2(BaseTTSModel):
 
     def get_optimizer(self):
         """Capacitron's dual optimizer (ref utils/capacitron_optimizer.py:6):
-        the VAE's Lagrange multiplier `beta` trains with SGD while every other
-        param uses the primary optimizer — expressed as one
-        `optax.multi_transform` over labeled leaves."""
-        import optax
-
-        from tpu_tts.train.optimizers import get_optimizer
+        beta → SGD, everything else → primary, via optax.multi_transform."""
+        from tpu_tts.layers.gst import capacitron_dual_optimizer
 
         if not getattr(self.config, "use_capacitron_vae", False):
             return super().get_optimizer()
-        params_cfg = self.config.optimizer_params or {}
-        # reference capacitron configs: {"RAdam": {...}, "SGD": {"lr": ..}}
-        names = [k for k in params_cfg if isinstance(params_cfg.get(k), dict)]
-        if len(names) >= 2:
-            primary_name, secondary_name = names[0], names[1]
-            primary_params = dict(params_cfg[primary_name])
-            secondary = dict(params_cfg[secondary_name])
-        else:
-            primary_name, primary_params = self.config.optimizer, params_cfg
-            secondary = {"lr": 1e-5, "momentum": 0.9}
-        primary = get_optimizer(primary_name, primary_params, self.config.lr, self.config)
-        sgd = optax.sgd(secondary.get("lr", 1e-5), momentum=secondary.get("momentum", 0.0) or None)
-
-        def label_fn(params):
-            import jax
-
-            def label(path, _):
-                keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-                return "beta" if ("capacitron_vae_layer" in keys and keys[-1] == "beta") else "primary"
-
-            return jax.tree_util.tree_map_with_path(label, params)
-
-        return optax.multi_transform({"primary": primary, "beta": sgd}, label_fn)
+        return capacitron_dual_optimizer(self.config, super().get_optimizer)
 
     @staticmethod
     def init_from_config(config, samples=None):
