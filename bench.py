@@ -63,13 +63,37 @@ def main():
     x = jnp.asarray(np.random.default_rng(0).integers(1, 160, (B, T_en)), dtype=jnp.int32)
     xl = jnp.full((B,), T_en, dtype=jnp.int32)
 
-    fn = jax.jit(
-        lambda p, xi, xli, rng: model.net.apply(
-            {"params": p}, xi, xli, Y_MAX,
-            method=VitsNet.inference,
-            rngs={"noise": rng, "sdp": jax.random.fold_in(rng, 1)},
-        )["model_outputs"]
-    )
+    use_pallas = os.environ.get("BENCH_DECODER", "xla") == "pallas"
+    if use_pallas:
+        # fused Pallas MRF decoder (tpu_tts/ops/hifigan_pallas.py): the
+        # waveform decoder is ~100% of inference time and bandwidth-bound in
+        # the XLA path; the fused kernel keeps each stage VMEM-resident
+        from tpu_tts.ops.hifigan_pallas import hifigan_apply_pallas
+
+        a = cfg.model_args
+
+        def _infer(p, xi, xli, rng):
+            out = model.net.apply(
+                {"params": p}, xi, xli, Y_MAX,
+                method=VitsNet.inference, decode=False,
+                rngs={"noise": rng, "sdp": jax.random.fold_in(rng, 1)},
+            )
+            return hifigan_apply_pallas(
+                p["waveform_decoder"], out["z_in"], None,
+                resblock_kernel_sizes=tuple(a.resblock_kernel_sizes_decoder),
+                resblock_dilation_sizes=tuple(tuple(d) for d in a.resblock_dilation_sizes_decoder),
+                upsample_factors=tuple(a.upsample_rates_decoder),
+            )
+
+        fn = jax.jit(_infer)
+    else:
+        fn = jax.jit(
+            lambda p, xi, xli, rng: model.net.apply(
+                {"params": p}, xi, xli, Y_MAX,
+                method=VitsNet.inference,
+                rngs={"noise": rng, "sdp": jax.random.fold_in(rng, 1)},
+            )["model_outputs"]
+        )
 
     g = params["generator"]
     # warmup / compile; force a real device->host sync via data fetch

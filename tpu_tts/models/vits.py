@@ -14,6 +14,7 @@ Layout: channels-last `[B, T, C]` everywhere.
 """
 
 import math
+import os
 from typing import Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -250,6 +251,7 @@ class VitsNet(nn.Module):
         noise_scale: float = None,
         length_scale: float = None,
         sdp_noise_scale: float = None,
+        decode: bool = True,
     ) -> Dict:
         a = self.a
         noise_scale = a["inference_noise_scale"] if noise_scale is None else noise_scale
@@ -277,13 +279,18 @@ class VitsNet(nn.Module):
         noise = jax.random.normal(self.make_rng("noise"), m_p_ex.shape)
         z_p = m_p_ex + noise * jnp.exp(logs_p_ex) * noise_scale
         z = self.flow(z_p * y_mask, y_mask, g=g, reverse=True)
-        o = self.waveform_decoder(self._upsample_z(z * y_mask), g=g)
-        return {
-            "model_outputs": o,
+        z_in = self._upsample_z(z * y_mask)
+        out = {
             "alignments": jnp.swapaxes(attn, 1, 2),
             "y_lengths": y_lengths * self.interp_factor,
             "durations": w_ceil[:, :, 0],
         }
+        if decode:
+            out["model_outputs"] = self.waveform_decoder(z_in, g=g)
+        else:
+            out["z_in"] = z_in
+            out["g"] = g if g is not None else 0
+        return out
 
     def infer_durations(self, x, x_lengths, length_scale: float = None, sdp_noise_scale: float = None,
                         speaker_ids=None, d_vectors=None, language_ids=None):
@@ -309,8 +316,12 @@ class VitsNet(nn.Module):
         return {"w_ceil": w_ceil[:, :, 0], "y_lengths": y_lengths, "m_p": m_p, "logs_p": logs_p, "x_mask": x_mask}
 
     def infer_decode(self, w_ceil, y_lengths, m_p, logs_p, x_mask, y_max_length: int,
-                     noise_scale: float = None, speaker_ids=None, d_vectors=None, language_ids=None):
-        """Stage 2: expand, flow reverse, waveform decode at a bucketed length."""
+                     noise_scale: float = None, speaker_ids=None, d_vectors=None, language_ids=None,
+                     decode: bool = True):
+        """Stage 2: expand, flow reverse, waveform decode at a bucketed length.
+        With `decode=False` returns the decoder input latent instead (serving
+        fast path decodes it with the fused Pallas MRF kernel — see
+        tpu_tts/ops/hifigan_pallas.py)."""
         a = self.a
         noise_scale = a["inference_noise_scale"] if noise_scale is None else noise_scale
         g, _ = self._cond_embeddings(speaker_ids, d_vectors, language_ids)
@@ -323,12 +334,17 @@ class VitsNet(nn.Module):
         noise = jax.random.normal(self.make_rng("noise"), m_p_ex.shape)
         z_p = m_p_ex + noise * jnp.exp(logs_p_ex) * noise_scale
         z = self.flow(z_p * y_mask, y_mask, g=g, reverse=True)
-        o = self.waveform_decoder(self._upsample_z(z * y_mask), g=g)
-        return {
-            "model_outputs": o,
+        z_in = self._upsample_z(z * y_mask)
+        out = {
             "alignments": jnp.swapaxes(attn, 1, 2),
             "y_lengths": y_lengths * self.interp_factor,
         }
+        if decode:
+            out["model_outputs"] = self.waveform_decoder(z_in, g=g)
+        else:
+            out["z_in"] = z_in
+            out["g"] = g if g is not None else 0
+        return out
 
     def voice_conversion(self, spec, spec_lengths, g_src, g_tgt):
         """Spec of source speaker → waveform of target speaker
@@ -585,15 +601,42 @@ class Vits(BaseTTSModel):
         if self.args.max_inference_len:
             y_max = min(y_max, self.args.max_inference_len)
 
-        key2 = ("stage2", x.shape, int(y_max))
+        use_pallas = aux_input.get("use_pallas_decoder")
+        if use_pallas is None:
+            use_pallas = os.environ.get("TPU_TTS_PALLAS_DECODER", "0") == "1"
+        use_pallas = bool(use_pallas) and self.net.interp_factor == 1 and str(self.args.resblock_type_decoder) == "1"
+
+        key2 = ("stage2", x.shape, int(y_max), use_pallas)
         if key2 not in self._infer_cache:
-            self._infer_cache[key2] = jax.jit(
+            decode = not use_pallas
+            stage2 = jax.jit(
                 lambda p, w, yl, m, ls, xm, s, d, l, r: self.net.apply(
                     {"params": p}, w, yl, m, ls, xm, y_max,
-                    speaker_ids=s, d_vectors=d, language_ids=l,
+                    speaker_ids=s, d_vectors=d, language_ids=l, decode=decode,
                     method=VitsNet.infer_decode, rngs={"noise": r},
                 )
             )
+            if use_pallas:
+                from tpu_tts.ops.hifigan_pallas import hifigan_apply_pallas
+
+                a = self.args
+                dec = jax.jit(
+                    lambda p, z_in, g: hifigan_apply_pallas(
+                        p["waveform_decoder"], z_in, None if g.ndim == 0 else g,
+                        resblock_kernel_sizes=tuple(a.resblock_kernel_sizes_decoder),
+                        resblock_dilation_sizes=tuple(tuple(d) for d in a.resblock_dilation_sizes_decoder),
+                        upsample_factors=tuple(a.upsample_rates_decoder),
+                    )
+                )
+
+                def run(p, w, yl, m, ls, xm, s, d, l, r):
+                    out = stage2(p, w, yl, m, ls, xm, s, d, l, r)
+                    out["model_outputs"] = dec(p, out.pop("z_in"), out.pop("g"))
+                    return out
+
+                self._infer_cache[key2] = run
+            else:
+                self._infer_cache[key2] = stage2
         out = self._infer_cache[key2](
             self.params["generator"], s1["w_ceil"], s1["y_lengths"], s1["m_p"], s1["logs_p"],
             s1["x_mask"], sid, dvec, lid, rng,
