@@ -118,3 +118,18 @@ def test_vits_inference_pallas_decoder_matches(monkeypatch):
     b = np.asarray(got["model_outputs"])
     assert a.shape == b.shape
     assert float(np.max(np.abs(a - b))) < 2e-4
+
+
+def test_delightful_inference_pallas_decoder_matches(monkeypatch):
+    monkeypatch.setenv("TPU_TTS_PALLAS_INTERPRET", "1")
+    from tests.test_delightful_tts import _model, _tiny_config
+
+    cfg = _tiny_config()
+    model = _model(cfg)
+    model.init_params(jax.random.PRNGKey(0))
+    ids = np.asarray(model.tokenizer.text_to_ids("hello"), dtype=np.int32)
+    ref = model.inference(ids, aux_input={"use_pallas_decoder": False})
+    got = model.inference(ids, aux_input={"use_pallas_decoder": True})
+    a, b = np.asarray(ref["model_outputs"]), np.asarray(got["model_outputs"])
+    assert a.shape == b.shape
+    assert float(np.max(np.abs(a - b))) < 2e-4

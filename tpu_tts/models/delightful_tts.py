@@ -424,13 +424,18 @@ class DelightfulNet(nn.Module):
         outputs["slice_ids"] = slice_ids
         return outputs
 
-    def infer(self, tokens, src_lens, y_max_length: int, d_vectors=None, speaker_ids=None) -> Dict:
+    def infer(self, tokens, src_lens, y_max_length: int, d_vectors=None, speaker_ids=None,
+              decode: bool = True) -> Dict:
         out = self.acoustic_model.infer(
             tokens, src_lens, y_max_length, d_vectors=d_vectors, speaker_ids=speaker_ids
         )
         g = out["spk_emb"]
         g_in = g[:, None, :] if g is not None else None
-        out["model_outputs"] = self.waveform_decoder(out["model_outputs"], g=g_in)
+        if decode:
+            out["model_outputs"] = self.waveform_decoder(out["model_outputs"], g=g_in)
+        else:
+            out["mel"] = out["model_outputs"]
+            out["g"] = g_in if g_in is not None else 0
         return out
 
     def infer_spec(self, tokens, src_lens, y_max_length: int, d_vectors=None, speaker_ids=None) -> Dict:
@@ -709,13 +714,44 @@ class DelightfulTTS(BaseTTSModel):
                 kwargs["d_vectors"] = kwargs["d_vectors"][None]
         if aux_input.get("speaker_ids") is not None:
             kwargs["speaker_ids"] = jnp.atleast_1d(jnp.asarray(aux_input["speaker_ids"], dtype=jnp.int32))
-        key = (T_src, y_max, tuple(sorted(kwargs.keys())))
+        use_pallas = aux_input.get("use_pallas_decoder")
+        if use_pallas is None:
+            import os
+
+            use_pallas = os.environ.get("TPU_TTS_PALLAS_DECODER", "0") == "1"
+        use_pallas = bool(use_pallas) and str(self.config.vocoder.resblock_type_decoder) == "1"
+        key = (T_src, y_max, tuple(sorted(kwargs.keys())), use_pallas)
         if key not in self._infer_cache:
-            self._infer_cache[key] = jax.jit(
-                lambda p, t, sl, **kw: self.net.apply(
-                    {"params": p}, t, sl, y_max, method=DelightfulNet.infer, **kw
+            if use_pallas:
+                from tpu_tts.ops.hifigan_pallas import hifigan_apply_pallas
+
+                v = self.config.vocoder
+                acoustic = jax.jit(
+                    lambda p, t, sl, **kw: self.net.apply(
+                        {"params": p}, t, sl, y_max, decode=False, method=DelightfulNet.infer, **kw
+                    )
                 )
-            )
+                dec = jax.jit(
+                    lambda p, mel, g: hifigan_apply_pallas(
+                        p["waveform_decoder"], mel, None if g.ndim == 0 else g,
+                        resblock_kernel_sizes=tuple(v.resblock_kernel_sizes_decoder),
+                        resblock_dilation_sizes=tuple(tuple(d) for d in v.resblock_dilation_sizes_decoder),
+                        upsample_factors=tuple(v.upsample_rates_decoder),
+                    )
+                )
+
+                def run(p, t, sl, **kw):
+                    out = acoustic(p, t, sl, **kw)
+                    out["model_outputs"] = dec(p, out.pop("mel"), out.pop("g"))
+                    return out
+
+                self._infer_cache[key] = run
+            else:
+                self._infer_cache[key] = jax.jit(
+                    lambda p, t, sl, **kw: self.net.apply(
+                        {"params": p}, t, sl, y_max, method=DelightfulNet.infer, **kw
+                    )
+                )
         out = self._infer_cache[key](self.params["generator"], jnp.asarray(x_pad), jnp.asarray(src_lens), **kwargs)
         wav = np.asarray(out["model_outputs"])
         n_frames = int(np.asarray(out["mel_lens"])[0])
