@@ -31,15 +31,22 @@ def bangla_text_to_phonemes(text: str) -> str:
     bnnumerizer = _try_import("bnnumerizer")
     if bnnumerizer is not None:
         try:
-            text = bnnumerizer.numerize(text)
+            t = bnnumerizer.numerize(text)
+            # only trust a real string (test harnesses may stub the package)
+            if isinstance(t, str) and t:
+                text = t
         except Exception:
             pass
     bnorm = _try_import("bnunicodenormalizer")
     if bnorm is not None:
         try:
             norm = bnorm.Normalizer()
-            words = [norm(w)["normalized"] or w for w in text.split()]
-            text = " ".join(w for w in words if w)
+            words = []
+            for w in text.split():
+                n = norm(w)
+                n = n.get("normalized") if isinstance(n, dict) else None
+                words.append(n if isinstance(n, str) and n else w)
+            text = " ".join(words)
         except Exception:
             pass
     # strip non-bangla, keep sentence punctuation (ref keeps the bangla block)
