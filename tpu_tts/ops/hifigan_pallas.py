@@ -49,36 +49,38 @@ def fold_wn(v: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return v / norm * g[None, None, :]
 
 
-def _mrf_kernel(x_ref, *refs, units, halo, t_tile, T_total, n_blocks, out_dtype):
-    """One (batch, tile) grid step. x_ref: [1, 1, C, W0]; refs: 4 per unit
-    (w1_2d, b1, w2_2d, b2) then o_ref [1, 1, C, t_tile].
+def _mrf_kernel(x_ref, *refs, units, halo, t_tile, W0, T_total, n_blocks, out_dtype):
+    """One (batch-group, tile) grid step. x_ref: [1, 1, C, bg·W0] — `bg` batch
+    items side by side along lanes; refs: 4 per unit (w1_2d, b1, w2_2d, b2)
+    then o_ref [1, 1, C, bg·W0].
 
-    Every intermediate stays at the full tile width W0, center-aligned: conv
-    taps are cyclic lane rolls (the wrapped garbage lands inside the halo,
-    which the final center slice discards), so Mosaic sees identical layouts
-    on every concat/add and the only slice is the lane-aligned final one."""
+    Every intermediate stays at the full width, center-aligned: conv taps are
+    cyclic lane rolls (wrapped/cross-item garbage lands inside each item's
+    halo, which the host-side de-halo slice discards), so Mosaic sees
+    identical layouts on every concat/add and the kernel never slices."""
     o_ref = refs[-1]
     w_refs = refs[:-1]
     t_idx = pl.program_id(1)
-    x = x_ref[0, 0]  # [C, W0]
-    W0 = x.shape[1]
+    x = x_ref[0, 0]  # [C, bg*W0]
+    Wfull = x.shape[1]
 
     def _mask(arr):
         # zero everything outside the true sequence, replicating the
         # reference's per-conv SAME zero padding at utterance edges
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, W0), 1) + (t_idx * t_tile - halo)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wfull), 1)
+        pos = lane % W0 + (t_idx * t_tile - halo)
         ok = (pos >= 0) & (pos < T_total)
         return jnp.where(ok, arr, 0)
 
     def _conv(h, w2d_ref, b_ref, k, d):
         # center-aligned im2col via cyclic rolls: tap j reads offset (j-pad)·d
         pad = (k - 1) // 2
-        taps = [pltpu.roll(h, (W0 - (j - pad) * d) % W0, 1) for j in range(k)]
-        X = jnp.concatenate(taps, axis=0)  # [k*C, W0], rows ordered (j, c)
+        taps = [pltpu.roll(h, (Wfull - (j - pad) * d) % Wfull, 1) for j in range(k)]
+        X = jnp.concatenate(taps, axis=0)  # [k*C, Wfull], rows ordered (j, c)
         w2d = w2d_ref[...]  # [k*C, C]
         y = jax.lax.dot_general(
             w2d, X, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [C, W0]
+        )  # [C, Wfull]
         return (y + b_ref[...][:, None]).astype(h.dtype)
 
     lrelu = lambda t: jnp.where(t >= 0, t, t * LRELU_SLOPE)
@@ -96,8 +98,7 @@ def _mrf_kernel(x_ref, *refs, units, halo, t_tile, T_total, n_blocks, out_dtype)
             c2 = _conv(t2, w2, b2, k, 1)
             h = h + c2
         acc = h.astype(jnp.float32) if acc is None else acc + h.astype(jnp.float32)
-    out = (acc / n_blocks).astype(out_dtype)
-    o_ref[0, 0] = jax.lax.slice(out, (0, halo), (out.shape[0], halo + t_tile))
+    o_ref[0, 0] = (acc / n_blocks).astype(out_dtype)
 
 
 def mrf_stack_pallas(
@@ -115,6 +116,11 @@ def mrf_stack_pallas(
     """
     if interpret is None:
         interpret = os.environ.get("TPU_TTS_PALLAS_INTERPRET", "0") == "1"
+    # compute in the weight dtype (bf16 in serving) — a f32 activation leaking
+    # in doubles VMEM and halves the matmul rate
+    w_dtype = stage_weights[0][0][0].dtype
+    if x.dtype != w_dtype:
+        x = x.astype(w_dtype)
     B, T, C = x.shape
     halo = max(_block_halo(k, d) for k, d in zip(kernel_sizes, dilations))
     halo = int(np.ceil(halo / 128) * 128)  # lane-aligned final slice
@@ -122,12 +128,36 @@ def mrf_stack_pallas(
     assert T % t_tile == 0, f"T={T} must divide t_tile={t_tile}"
     n_tiles = T // t_tile
     W0 = t_tile + 2 * halo
+    # batch-group: pack several items side by side along lanes so each grid
+    # step runs one large matmul instead of many tiny ones (grid-step overhead
+    # dominated the single-item version). Cross-item roll contamination lands
+    # inside the per-item halo, which the de-halo slice discards. Group size
+    # is bounded by VMEM: the im2col buffer is k_max·C wide, so the working
+    # set is ≈ (k_max + 8 live activations) · C · bg · W0 elements.
+    itemsize = x.dtype.itemsize
+    k_max = max(kernel_sizes)
+
+    def _est_vmem(bg_):
+        return (k_max + 8) * C * bg_ * W0 * itemsize
+
+    bg = max(1, 512 // C)
+    while B % bg != 0:
+        bg //= 2
+    while bg > 1 and _est_vmem(bg) > 60 * 2**20:
+        bg //= 2
+    n_bg = B // bg
 
     xt = jnp.swapaxes(x, 1, 2)  # [B, C, T]
     xp = jnp.pad(xt, ((0, 0), (0, 0), (halo, halo)))
     # overlapping tile view [B, n_tiles, C, W0] via static slices
     tiles = jnp.stack(
         [jax.lax.slice_in_dim(xp, i * t_tile, i * t_tile + W0, axis=2) for i in range(n_tiles)], axis=1
+    )
+    # [n_bg, n_tiles, C, bg*W0]: items of a group contiguous along lanes
+    tiles = (
+        tiles.reshape(n_bg, bg, n_tiles, C, W0)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(n_bg, n_tiles, C, bg * W0)
     )
 
     units = tuple((int(k), tuple(int(d) for d in dils)) for k, dils in zip(kernel_sizes, dilations))
@@ -146,26 +176,26 @@ def mrf_stack_pallas(
         units=units,
         halo=halo,
         t_tile=t_tile,
+        W0=W0,
         T_total=T,
         n_blocks=len(units),
         out_dtype=x.dtype,
     )
-    vmem_bytes = 0
-    for arr in flat_w:
-        vmem_bytes += arr.size * arr.dtype.itemsize
-    vmem_bytes += 10 * C * W0 * x.dtype.itemsize  # activation working set
+    vmem_bytes = _est_vmem(bg) + sum(arr.size * arr.dtype.itemsize for arr in flat_w)
     out = pl.pallas_call(
         kernel,
-        grid=(B, n_tiles),
-        in_specs=[pl.BlockSpec((1, 1, C, W0), lambda b, t: (b, t, 0, 0))] + w_specs,
-        out_specs=pl.BlockSpec((1, 1, C, t_tile), lambda b, t: (b, t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n_tiles, C, t_tile), x.dtype),
+        grid=(n_bg, n_tiles),
+        in_specs=[pl.BlockSpec((1, 1, C, bg * W0), lambda b, t: (b, t, 0, 0))] + w_specs,
+        out_specs=pl.BlockSpec((1, 1, C, bg * W0), lambda b, t: (b, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_bg, n_tiles, C, bg * W0), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(min(max(vmem_bytes * 2, 8 * 2**20), 100 * 2**20))
+            vmem_limit_bytes=int(min(max(vmem_bytes * 3 // 2, 16 * 2**20), 110 * 2**20))
         ),
         interpret=interpret,
     )(tiles, *flat_w)
-    y = out.transpose(0, 2, 1, 3).reshape(B, C, T)
+    # de-halo: [n_bg, n_tiles, C, bg*W0] -> per-item center slices -> [B, T, C]
+    out = out.reshape(n_bg, n_tiles, C, bg, W0)[..., halo : halo + t_tile]
+    y = out.transpose(0, 3, 2, 1, 4).reshape(B, C, T)
     return jnp.swapaxes(y, 1, 2)
 
 
@@ -193,8 +223,11 @@ def extract_stage_weights(gen_params, stage: int, num_kernels: int, dtype=None):
 
 
 def _wn_conv(params, x, dilation=1, use_bias=True):
-    """WNConv1d forward from raw params (x `[B, T, C]`, SAME padding)."""
-    kernel = fold_wn(params["v"], params["g"]).astype(x.dtype)
+    """WNConv1d forward from raw params (x `[B, T, C]`, SAME padding).
+    Computes in the KERNEL dtype, matching WNConv1d's `x.astype(kernel.dtype)`
+    (bf16 serving params keep the whole path bf16)."""
+    kernel = fold_wn(params["v"], params["g"])
+    x = x.astype(kernel.dtype)
     k = kernel.shape[0]
     pad = (k // 2) * dilation
     y = jax.lax.conv_general_dilated(
@@ -207,7 +240,8 @@ def _wn_conv(params, x, dilation=1, use_bias=True):
 
 
 def _wn_conv_transpose(params, x, stride):
-    kernel = fold_wn(params["v"], params["g"]).astype(x.dtype)
+    kernel = fold_wn(params["v"], params["g"])
+    x = x.astype(kernel.dtype)
     k = kernel.shape[0]
     crop = (k - stride) // 2
     pad = k - 1 - crop
