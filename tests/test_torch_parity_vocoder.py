@@ -94,3 +94,68 @@ def test_hifigan_discriminator_parity(pair):
             ref_scores[i].numpy().reshape(-1),
             atol=2e-4, rtol=1e-3,
         )
+
+
+def test_melgan_generator_parity():
+    mg = ref_import("TTS.vocoder.models.melgan_generator")
+    if mg is None:
+        pytest.skip("reference melgan not importable")
+    import torch
+
+    torch.manual_seed(0)
+    kw = dict(in_channels=40, out_channels=1, proj_kernel=7, base_channels=64,
+              upsample_factors=(8, 2), num_res_blocks=3)
+    ref_gen = mg.MelganGenerator(**kw)
+    ref_gen.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_gen.state_dict().items()}
+
+    from tpu_tts.vocoder.models.vocoder_convert import convert_gan_torch_state_dict
+
+    params = convert_gan_torch_state_dict(sd, generator_name="melgan")["generator"]
+
+    from tpu_tts.vocoder.models.melgan_generator import MelganGenerator
+
+    mine = MelganGenerator(
+        in_channels=40, out_channels=1, proj_kernel=7, base_channels=64,
+        upsample_factors=(8, 2), num_res_blocks=3,
+    )
+    mel = np.random.default_rng(0).standard_normal((2, 40, 19)).astype(np.float32)
+    with torch.no_grad():
+        ref_wav = ref_gen(torch.from_numpy(mel)).numpy()
+    my_wav = mine.apply({"params": params}, jnp.asarray(np.transpose(mel, (0, 2, 1))))
+    my_wav = np.transpose(np.asarray(my_wav), (0, 2, 1))
+    assert my_wav.shape == ref_wav.shape
+    np.testing.assert_allclose(my_wav, ref_wav, atol=2e-4, rtol=1e-3)
+
+
+def test_multiband_melgan_generator_parity():
+    mg = ref_import("TTS.vocoder.models.multiband_melgan_generator")
+    if mg is None:
+        pytest.skip("reference multiband melgan not importable")
+    import torch
+
+    torch.manual_seed(1)
+    ref_gen = mg.MultibandMelganGenerator(
+        in_channels=40, out_channels=4, proj_kernel=7, base_channels=48,
+        upsample_factors=(2, 2), num_res_blocks=2,
+    )
+    ref_gen.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_gen.state_dict().items()}
+
+    from tpu_tts.vocoder.models.vocoder_convert import convert_gan_torch_state_dict
+
+    params = convert_gan_torch_state_dict(sd, generator_name="multiband_melgan")["generator"]
+
+    from tpu_tts.vocoder.models.melgan_generator import MelganGenerator
+
+    mine = MelganGenerator(
+        in_channels=40, out_channels=4, proj_kernel=7, base_channels=48,
+        upsample_factors=(2, 2), num_res_blocks=2,
+    )
+    mel = np.random.default_rng(1).standard_normal((1, 40, 23)).astype(np.float32)
+    with torch.no_grad():
+        ref_mb = ref_gen(torch.from_numpy(mel)).numpy()  # [B, 4, T*4]
+    my_mb = mine.apply({"params": params}, jnp.asarray(np.transpose(mel, (0, 2, 1))))
+    my_mb = np.transpose(np.asarray(my_mb), (0, 2, 1))
+    assert my_mb.shape == ref_mb.shape
+    np.testing.assert_allclose(my_mb, ref_mb, atol=2e-4, rtol=1e-3)

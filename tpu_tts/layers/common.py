@@ -55,6 +55,7 @@ class WNConv1d(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     zero_init: bool = False
+    pad_mode: str = "zeros"  # "zeros" | "reflect" (MelGAN uses ReflectionPad1d)
 
     @nn.compact
     def __call__(self, x):
@@ -72,6 +73,9 @@ class WNConv1d(nn.Module):
         kernel = v / norm * g[None, None, :]
         pad = (self.kernel_size // 2) * self.dilation
         x = x.astype(kernel.dtype)
+        if self.pad_mode == "reflect" and pad:
+            x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+            pad = 0
         y = jax.lax.conv_general_dilated(
             x,
             kernel,

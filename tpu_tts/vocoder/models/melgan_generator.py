@@ -28,7 +28,7 @@ class ResidualStack(nn.Module):
         for i in range(self.num_res_blocks):
             d = 3**i
             xt = jax.nn.leaky_relu(x, 0.2)
-            xt = WNConv1d(self.channels, 3, dilation=d, name=f"block_{i}_conv1")(xt)
+            xt = WNConv1d(self.channels, 3, dilation=d, pad_mode="reflect", name=f"block_{i}_conv1")(xt)
             xt = jax.nn.leaky_relu(xt, 0.2)
             xt = WNConv1d(self.channels, 1, name=f"block_{i}_conv2")(xt)
             sc = WNConv1d(self.channels, 1, name=f"shortcut_{i}")(x)
@@ -48,14 +48,14 @@ class MelganGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        o = WNConv1d(self.base_channels, self.proj_kernel, name="conv_pre")(x)
+        o = WNConv1d(self.base_channels, self.proj_kernel, pad_mode="reflect", name="conv_pre")(x)
         for i, u in enumerate(self.upsample_factors):
             ch = self.base_channels // (2 ** (i + 1))
             o = jax.nn.leaky_relu(o, 0.2)
             o = WNConvTranspose1d(ch, 2 * u, u, name=f"up_{i}")(o)
             o = ResidualStack(ch, self.num_res_blocks, name=f"resstack_{i}")(o)
         o = jax.nn.leaky_relu(o, 0.2)
-        o = WNConv1d(self.out_channels, self.proj_kernel, name="conv_post")(o)
+        o = WNConv1d(self.out_channels, self.proj_kernel, pad_mode="reflect", name="conv_post")(o)
         return jnp.tanh(o)
 
     def inference(self, c):

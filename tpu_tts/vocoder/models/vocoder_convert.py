@@ -80,15 +80,61 @@ def convert_hifigan_discriminator_state_dict(sd: Dict[str, Any]) -> Dict[str, An
     return out
 
 
+def map_melgan_generator(sd: Dict[str, np.ndarray], tree: Dict, dst: str):
+    """Reference `MelganGenerator` (vocoder/models/melgan_generator.py:9,
+    torch `layers.N` Sequential indices) → our flax names. Layout: index 1 is
+    the first conv; then per upsample stage i: index 3+3i = ConvTranspose,
+    4+3i = ResidualStack; the final conv is the second-to-last module."""
+    from tpu_tts.models.vits_convert import _convtr1d
+
+    conv_idx = sorted(
+        {int(m.group(1)) for k in sd if (m := re.match(r"layers\.(\d+)\.", k))}
+    )
+    first, last = conv_idx[0], conv_idx[-1]
+    stages = [i for i in conv_idx if i not in (first, last) and f"layers.{i}.weight" in sd]
+    # transposes carry a plain .weight; residual stacks have .blocks keys
+    ups = [i for i in stages if not any(k.startswith(f"layers.{i}.blocks") for k in sd)]
+    stacks = [i for i in conv_idx if any(k.startswith(f"layers.{i}.blocks") for k in sd)]
+
+    def put_conv(src_key, dst_name, transpose=False):
+        w = sd[src_key + ".weight"]
+        kv, g = _wn_decompose(_convtr1d(w) if transpose else _conv1d(w))
+        _set(tree, f"{dst}/{dst_name}/v", kv)
+        _set(tree, f"{dst}/{dst_name}/g", g)
+        if src_key + ".bias" in sd:
+            _set(tree, f"{dst}/{dst_name}/bias", sd[src_key + ".bias"])
+
+    put_conv(f"layers.{first}", "conv_pre")
+    put_conv(f"layers.{last}", "conv_post")
+    for si, idx in enumerate(sorted(ups)):
+        put_conv(f"layers.{idx}", f"up_{si}", transpose=True)
+    for si, idx in enumerate(sorted(stacks)):
+        n_blocks = len({int(m.group(1)) for k in sd if (m := re.match(rf"layers\.{idx}\.blocks\.(\d+)\.", k))})
+        for b in range(n_blocks):
+            put_conv(f"layers.{idx}.blocks.{b}.2", f"resstack_{si}/block_{b}_conv1")
+            put_conv(f"layers.{idx}.blocks.{b}.4", f"resstack_{si}/block_{b}_conv2")
+            put_conv(f"layers.{idx}.shortcuts.{b}", f"resstack_{si}/shortcut_{b}")
+
+
 def convert_gan_torch_state_dict(state_dict: Dict[str, Any], generator_name: str = "hifigan") -> Dict[str, Any]:
-    """Reference vocoder `GAN` torch state dict → `{"generator", "discriminator"}`."""
+    """Reference vocoder `GAN` torch state dict → `{"generator", "discriminator"}`.
+
+    Generators: hifigan, melgan / fullband_melgan / multiband_melgan. For
+    melgan-family checkpoints the discriminator (multiscale) is not converted:
+    released checkpoints ship generator-only, and fine-tuning re-inits D.
+    """
     gen_sd, disc_sd = _split_gan({k: np.asarray(v) for k, v in state_dict.items()})
-    if generator_name not in ("hifigan", "hifigan_generator"):
-        raise NotImplementedError(f"no vocoder converter for generator '{generator_name}' yet")
+    base = generator_name.lower().replace("_generator", "")
     gen_folded = _fold_param_pairs(gen_sd)
     gen_tree: Dict[str, Any] = {}
-    map_hifigan_generator(gen_folded, gen_tree, "", "g")
-    out: Dict[str, Any] = {"generator": gen_tree.get("g", {})}
-    if disc_sd:
-        out["discriminator"] = convert_hifigan_discriminator_state_dict(disc_sd)
+    out: Dict[str, Any] = {}
+    if base in ("hifigan",):
+        map_hifigan_generator(gen_folded, gen_tree, "", "g")
+        if disc_sd:
+            out["discriminator"] = convert_hifigan_discriminator_state_dict(disc_sd)
+    elif base in ("melgan", "fullband_melgan", "multiband_melgan"):
+        map_melgan_generator(gen_folded, gen_tree, "g")
+    else:
+        raise NotImplementedError(f"no vocoder converter for generator '{generator_name}' yet")
+    out["generator"] = gen_tree.get("g", {})
     return out
