@@ -159,3 +159,56 @@ def test_multiband_melgan_generator_parity():
     my_mb = np.transpose(np.asarray(my_mb), (0, 2, 1))
     assert my_mb.shape == ref_mb.shape
     np.testing.assert_allclose(my_mb, ref_mb, atol=2e-4, rtol=1e-3)
+
+
+def test_wavegrad_parity():
+    wg = ref_import("TTS.vocoder.models.wavegrad")
+    if wg is None:
+        pytest.skip("reference wavegrad not importable")
+    import torch
+
+    torch.manual_seed(0)
+    kw = dict(
+        in_channels=20, out_channels=1, use_weight_norm=True,
+        y_conv_channels=4, x_conv_channels=8,
+        dblock_out_channels=[4, 4, 4, 8], ublock_out_channels=[8, 8, 4, 4, 4],
+        upsample_factors=[2, 2, 2, 2, 2], upsample_dilations=[[1, 2, 1, 2]] * 5,
+    )
+
+    class RefWavegradConfig:  # name must contain "Config" (ref base_vocoder.py:36)
+        def __contains__(self, k):
+            return k in self.__dict__
+
+    from tpu_tts.vocoder.models.wavegrad import WavegradArgs
+
+    cfg = RefWavegradConfig()
+    cfg.model_params = WavegradArgs(**kw)
+    ref_model = wg.Wavegrad(cfg)
+    ref_model.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    from tpu_tts.vocoder.configs.wavegrad_config import WavegradConfig
+    from tpu_tts.vocoder.models.wavegrad import Wavegrad
+
+    my_cfg = WavegradConfig()
+    my_cfg.model_args = WavegradArgs(**kw)
+    mine = Wavegrad(my_cfg)
+    mine.params = mine.convert_torch_state_dict(sd)
+
+    rng = np.random.default_rng(0)
+    B, Tm = 2, 6
+    hop = 32
+    spec = rng.standard_normal((B, 20, Tm)).astype(np.float32)
+    y_noisy = (rng.standard_normal((B, 1, Tm * hop)) * 0.3).astype(np.float32)
+    noise = np.array([0.3, 0.7], dtype=np.float32)
+    with torch.no_grad():
+        ref_out = ref_model(torch.from_numpy(y_noisy), torch.from_numpy(spec), torch.from_numpy(noise)).numpy()
+    my_out = mine.net.apply(
+        {"params": mine.params},
+        jnp.asarray(np.transpose(y_noisy, (0, 2, 1))),
+        jnp.asarray(np.transpose(spec, (0, 2, 1))),
+        jnp.asarray(noise),
+    )
+    my_out = np.transpose(np.asarray(my_out), (0, 2, 1))
+    assert my_out.shape == ref_out.shape
+    np.testing.assert_allclose(my_out, ref_out, atol=3e-4, rtol=1e-3)

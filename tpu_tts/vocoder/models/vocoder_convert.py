@@ -138,3 +138,49 @@ def convert_gan_torch_state_dict(state_dict: Dict[str, Any], generator_name: str
         raise NotImplementedError(f"no vocoder converter for generator '{generator_name}' yet")
     out["generator"] = gen_tree.get("g", {})
     return out
+
+
+def convert_wavegrad_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference `Wavegrad` torch weights (vocoder/models/wavegrad.py:61,
+    layers/wavegrad.py DBlock/UBlock/FiLM) → our flax tree. Weight-norm keys
+    are folded; FiLM's single chunked `output_conv` splits into our
+    shift/scale convs; 1×1 convs land on Dense kernels `[in, out]`."""
+    sd = _fold_param_pairs({k: np.asarray(v) for k, v in state_dict.items()})
+    tree: Dict[str, Any] = {}
+
+    def put(src, dst):
+        w = sd[src + ".weight"]
+        kw = _conv1d(w)  # [k, in, out]
+        if kw.shape[0] == 1:  # 1x1 -> Dense
+            _set(tree, f"{dst}/conv/kernel", kw[0])
+        else:
+            _set(tree, f"{dst}/conv/kernel", kw)
+        if src + ".bias" in sd:
+            _set(tree, f"{dst}/conv/bias", sd[src + ".bias"])
+
+    put("y_conv", "y_conv")
+    put("x_conv", "x_conv")
+    put("out_conv", "out_conv")
+    n_d = len({int(m.group(1)) for k in sd if (m := re.match(r"dblocks\.(\d+)\.", k))})
+    for i in range(n_d):
+        put(f"dblocks.{i}.res_block", f"dblock_{i}/res_conv")
+        for j in range(3):
+            put(f"dblocks.{i}.main_block.{j}", f"dblock_{i}/conv_{j}")
+    n_f = len({int(m.group(1)) for k in sd if (m := re.match(r"film\.(\d+)\.", k))})
+    for i in range(n_f):
+        put(f"film.{i}.input_conv", f"film_{i}/input_conv")
+        w = sd[f"film.{i}.output_conv.weight"]
+        b = sd[f"film.{i}.output_conv.bias"]
+        half = w.shape[0] // 2
+        _set(tree, f"film_{i}/shift_conv/conv/kernel", _conv1d(w[:half]))
+        _set(tree, f"film_{i}/shift_conv/conv/bias", b[:half])
+        _set(tree, f"film_{i}/scale_conv/conv/kernel", _conv1d(w[half:]))
+        _set(tree, f"film_{i}/scale_conv/conv/bias", b[half:])
+    n_u = len({int(m.group(1)) for k in sd if (m := re.match(r"ublocks\.(\d+)\.", k))})
+    for i in range(n_u):
+        put(f"ublocks.{i}.res_block", f"ublock_{i}/res_conv")
+        put(f"ublocks.{i}.main_block.0", f"ublock_{i}/conv_0")
+        put(f"ublocks.{i}.main_block.1", f"ublock_{i}/conv_1")
+        put(f"ublocks.{i}.out_block.0", f"ublock_{i}/conv_2")
+        put(f"ublocks.{i}.out_block.1", f"ublock_{i}/conv_3")
+    return tree

@@ -33,28 +33,30 @@ class WavegradArgs(Coqpit):
     )
 
 
-class PositionalEncodingDiff(nn.Module):
-    """Noise-level conditioning encoding (ref layers/wavegrad.py)."""
-
-    channels: int
-
-    def __call__(self, x, noise_level):
-        half = self.channels // 2
-        exponents = jnp.arange(half, dtype=jnp.float32) / half
-        exponents = 1e-4**exponents
-        ang = exponents[None, :] * noise_level[:, None] * 5000.0
-        pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)  # [B, C]
-        return x + pe[:, None, :]
+def positional_encoding_wavegrad(x, noise_level):
+    """Noise-level + time positional conditioning (ref layers/wavegrad.py:15):
+    `x + noise_level + pe/5000` with the classic sin/cos table over time."""
+    B, T, C = x.shape
+    div = jnp.power(10000.0, jnp.arange(0, C, 2, dtype=jnp.float32) / C)  # [C/2]
+    pos = jnp.arange(T, dtype=jnp.float32)[:, None]
+    pe = jnp.stack([jnp.sin(pos / div), jnp.cos(pos / div)], axis=-1).reshape(T, -1)[:, :C]
+    return x + noise_level[:, None, None] + pe[None] / 5000.0
 
 
 class FiLM(nn.Module):
+    """shift/scale conditioning (ref layers/wavegrad.py:40): input conv keeps
+    the input width; the reference's single `output_conv` (2·out channels,
+    chunked) is stored as separate shift/scale convs — the converter splits
+    the torch tensor rows."""
+
     out_channels: int
 
     @nn.compact
     def __call__(self, x, noise_scale):
-        h = Conv1d(self.out_channels, 3, name="input_conv")(x)
+        cin = x.shape[-1]
+        h = Conv1d(cin, 3, name="input_conv")(x)
         h = jax.nn.leaky_relu(h, 0.2)
-        h = PositionalEncodingDiff(self.out_channels)(h, noise_scale)
+        h = positional_encoding_wavegrad(h, noise_scale)
         shift = Conv1d(self.out_channels, 3, name="shift_conv")(h)
         scale = Conv1d(self.out_channels, 3, name="scale_conv")(h)
         return shift, scale
@@ -120,14 +122,16 @@ class WavegradNet(nn.Module):
         factors = list(a["upsample_factors"])
         dilations = [tuple(d) for d in a["upsample_dilations"]]
 
-        # downsample path over the noisy audio
+        # downsample path over the noisy audio; FiLM out-channels follow the
+        # reversed ublock widths (ref wavegrad.py:84-88)
+        film_out = list(reversed(ublock_out))
         x = Conv1d(a["y_conv_channels"], 5, name="y_conv")(y_noisy)
-        shift_and_scale = [FiLM(dblock_out[0] if False else a["y_conv_channels"], name="film_0")(x, noise_scale)]
+        shift_and_scale = [FiLM(film_out[0], name="film_0")(x, noise_scale)]
         d_factors = list(reversed(factors[1:]))  # 4 dblocks
         h = x
         for i, (oc, df) in enumerate(zip(dblock_out, d_factors)):
             h = DBlock(oc, df, name=f"dblock_{i}")(h)
-            shift_and_scale.append(FiLM(oc, name=f"film_{i+1}")(h, noise_scale))
+            shift_and_scale.append(FiLM(film_out[i + 1], name=f"film_{i+1}")(h, noise_scale))
 
         # upsample path over the mel
         z = Conv1d(a["x_conv_channels"], 3, name="x_conv")(spectrogram)
@@ -249,6 +253,24 @@ class Wavegrad:
             drop_last=not is_eval,
             seed=getattr(config, "training_seed", 0),
         )
+
+    # ------------------------------------------------------- torch ingest
+    def convert_torch_state_dict(self, state_dict):
+        from tpu_tts.vocoder.models.vocoder_convert import convert_wavegrad_state_dict
+
+        return convert_wavegrad_state_dict(state_dict)
+
+    def load_checkpoint(self, config, checkpoint_path, eval=True, strict=True, cache=False):
+        """Orbax dir or reference torch `.pth` (same contract as
+        BaseTTSModel.load_checkpoint)."""
+        from tpu_tts.models.base_tts import BaseTTSModel
+
+        return BaseTTSModel.load_checkpoint(self, config, checkpoint_path, eval=eval, strict=strict, cache=cache)
+
+    def load_torch_checkpoint(self, checkpoint_path):
+        from tpu_tts.models.base_tts import BaseTTSModel
+
+        return BaseTTSModel.load_torch_checkpoint(self, checkpoint_path)
 
     @staticmethod
     def init_from_config(config, samples=None):
