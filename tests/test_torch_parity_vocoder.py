@@ -212,3 +212,48 @@ def test_wavegrad_parity():
     my_out = np.transpose(np.asarray(my_out), (0, 2, 1))
     assert my_out.shape == ref_out.shape
     np.testing.assert_allclose(my_out, ref_out, atol=3e-4, rtol=1e-3)
+
+
+def test_univnet_generator_parity(monkeypatch):
+    ug = ref_import("TTS.vocoder.models.univnet_generator")
+    if ug is None:
+        pytest.skip("reference univnet not importable")
+    import torch
+
+    torch.manual_seed(0)
+    kw = dict(
+        in_channels=16, out_channels=1, hidden_channels=8, cond_channels=20,
+        upsample_factors=[4, 4], lvc_layers_each_block=2, lvc_kernel_size=3,
+        kpnet_hidden_channels=8, kpnet_conv_size=3, dropout=0.0,
+    )
+    ref_gen = ug.UnivnetGenerator(**kw, use_weight_norm=True)
+    ref_gen.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_gen.state_dict().items()}
+
+    rng = np.random.default_rng(0)
+    B, Tm = 2, 6
+    mel = rng.standard_normal((B, 20, Tm)).astype(np.float32)
+    noise = rng.standard_normal((B, 16, Tm)).astype(np.float32)
+
+    # the reference draws torch.randn internally — inject a fixed noise
+    monkeypatch.setattr(torch, "randn", lambda *a, **k: torch.from_numpy(noise))
+    with torch.no_grad():
+        ref_wav = ref_gen(torch.from_numpy(mel)).numpy()
+
+    from tpu_tts.vocoder.models.univnet_generator import UnivnetGenerator
+    from tpu_tts.vocoder.models.vocoder_convert import convert_univnet_state_dict
+
+    params = convert_univnet_state_dict(sd)
+    mine = UnivnetGenerator(
+        in_channels=16, out_channels=1, hidden_channels=8, cond_channels=20,
+        upsample_factors=(4, 4), lvc_layers_each_block=2, lvc_kernel_size=3,
+        kpnet_hidden_channels=8, kpnet_conv_size=3,
+    )
+    my_wav = mine.apply(
+        {"params": params},
+        jnp.asarray(np.transpose(mel, (0, 2, 1))),
+        z=jnp.asarray(np.transpose(noise, (0, 2, 1))),
+    )
+    my_wav = np.transpose(np.asarray(my_wav), (0, 2, 1))
+    assert my_wav.shape == ref_wav.shape
+    np.testing.assert_allclose(my_wav, ref_wav, atol=3e-4, rtol=1e-3)

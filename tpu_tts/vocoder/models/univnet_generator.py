@@ -34,14 +34,15 @@ class KernelPredictor(nn.Module):
         kpnet_bias_channels = self.conv_out_channels * self.conv_layers
         h = WNConv1d(self.kpnet_hidden_channels, 5, name="input_conv")(c)
         h = jax.nn.leaky_relu(h, 0.1)
+        # ONE residual over the whole 6-conv chain (ref lvc_block.py:45-63)
+        res = h
         for i in range(3):
-            res = h
-            h = nn.Dropout(self.dropout, deterministic=not train)(h)
-            h = WNConv1d(self.kpnet_hidden_channels, self.kpnet_conv_size, name=f"res{i}_conv1")(h)
-            h = jax.nn.leaky_relu(h, 0.1)
-            h = WNConv1d(self.kpnet_hidden_channels, self.kpnet_conv_size, name=f"res{i}_conv2")(h)
-            h = jax.nn.leaky_relu(h, 0.1)
-            h = h + res
+            res = nn.Dropout(self.dropout, deterministic=not train)(res)
+            res = WNConv1d(self.kpnet_hidden_channels, self.kpnet_conv_size, name=f"res{i}_conv1")(res)
+            res = jax.nn.leaky_relu(res, 0.1)
+            res = WNConv1d(self.kpnet_hidden_channels, self.kpnet_conv_size, name=f"res{i}_conv2")(res)
+            res = jax.nn.leaky_relu(res, 0.1)
+        h = h + res
         kernels = WNConv1d(kpnet_kernel_channels, self.kpnet_conv_size, name="kernel_conv")(h)
         bias = WNConv1d(kpnet_bias_channels, self.kpnet_conv_size, name="bias_conv")(h)
         B, T = kernels.shape[0], kernels.shape[1]
@@ -109,8 +110,9 @@ class LVCBlock(nn.Module):
             y = WNConv1d(self.in_channels, self.conv_kernel_size, dilation=dilation, name=f"conv_{i}")(y)
             y = jax.nn.leaky_relu(y, 0.2)
             y = location_variable_convolution(y, kernels[:, :, i], bias[:, :, i], dilation=1, hop_size=hop)
+            # ref lvc_block.py:158: sigmoid on the FIRST half, tanh on the second
             xa, xb = jnp.split(y, 2, axis=-1)
-            x = x + jnp.tanh(xa) * jax.nn.sigmoid(xb)
+            x = x + jax.nn.sigmoid(xa) * jnp.tanh(xb)
         return x
 
 
@@ -147,7 +149,7 @@ class UnivnetGenerator(nn.Module):
                 dropout=self.dropout,
                 name=f"lvc_{i}",
             )(x, c, train=train)
-        x = jax.nn.leaky_relu(x, 0.2)
+        x = jax.nn.leaky_relu(x, 0.1)  # ref univnet_generator.py:10 LRELU_SLOPE
         x = WNConv1d(self.out_channels, 7, name="conv_post")(x)
         return jnp.tanh(x)
 

@@ -134,6 +134,8 @@ def convert_gan_torch_state_dict(state_dict: Dict[str, Any], generator_name: str
             out["discriminator"] = convert_hifigan_discriminator_state_dict(disc_sd)
     elif base in ("melgan", "fullband_melgan", "multiband_melgan"):
         map_melgan_generator(gen_folded, gen_tree, "g")
+    elif base == "univnet":
+        map_univnet_generator(gen_folded, gen_tree, "g")
     else:
         raise NotImplementedError(f"no vocoder converter for generator '{generator_name}' yet")
     out["generator"] = gen_tree.get("g", {})
@@ -184,3 +186,43 @@ def convert_wavegrad_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         put(f"ublocks.{i}.out_block.0", f"ublock_{i}/conv_2")
         put(f"ublocks.{i}.out_block.1", f"ublock_{i}/conv_3")
     return tree
+
+
+def map_univnet_generator(sd: Dict[str, np.ndarray], tree: Dict, dst: str):
+    """Reference `UnivnetGenerator` (vocoder/models/univnet_generator.py:13 +
+    layers/lvc_block.py) → our flax names. The kernel predictor's
+    residual_conv Sequential convs sit at indices 1,3,6,8,11,13 →
+    res{i}_conv{1,2}."""
+    from tpu_tts.models.vits_convert import _convtr1d
+
+    def put(src, dst_name, transpose=False):
+        w = sd[src + ".weight"]
+        kv, g = _wn_decompose(_convtr1d(w) if transpose else _conv1d(w))
+        _set(tree, f"{dst}/{dst_name}/v", kv)
+        _set(tree, f"{dst}/{dst_name}/g", g)
+        if src + ".bias" in sd:
+            _set(tree, f"{dst}/{dst_name}/bias", sd[src + ".bias"])
+
+    put("first_conv", "conv_pre")
+    put("last_conv_layers.0", "conv_post")
+    n_blocks = len({int(m.group(1)) for k in sd if (m := re.match(r"lvc_blocks\.(\d+)\.", k))})
+    res_idx = [(0, 1, 1), (0, 3, 2), (1, 6, 1), (1, 8, 2), (2, 11, 1), (2, 13, 2)]
+    for n in range(n_blocks):
+        base = f"lvc_blocks.{n}"
+        put(f"{base}.upsample", f"lvc_{n}/convt_pre", transpose=True)
+        n_convs = len({int(m.group(1)) for k in sd if (m := re.match(rf"lvc_blocks\.{n}\.convs\.(\d+)\.", k))})
+        for i in range(n_convs):
+            put(f"{base}.convs.{i}", f"lvc_{n}/conv_{i}")
+        kp = f"{base}.kernel_predictor"
+        put(f"{kp}.input_conv.0", f"lvc_{n}/kernel_predictor/input_conv")
+        for ri, si, which in res_idx:
+            put(f"{kp}.residual_conv.{si}", f"lvc_{n}/kernel_predictor/res{ri}_conv{which}")
+        put(f"{kp}.kernel_conv", f"lvc_{n}/kernel_predictor/kernel_conv")
+        put(f"{kp}.bias_conv", f"lvc_{n}/kernel_predictor/bias_conv")
+
+
+def convert_univnet_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    sd = _fold_param_pairs({k: np.asarray(v) for k, v in state_dict.items()})
+    tree: Dict[str, Any] = {}
+    map_univnet_generator(sd, tree, "g")
+    return tree.get("g", {})
