@@ -66,16 +66,21 @@ def _mrf_kernel(x_ref, *refs, units, halo, t_tile, W0, T_total, n_blocks, out_dt
 
     def _mask(arr):
         # zero everything outside the true sequence, replicating the
-        # reference's per-conv SAME zero padding at utterance edges
+        # reference's per-conv SAME zero padding at utterance edges.
+        # int32 compare + f32 multiply: Mosaic lacks bf16 compare/select.
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wfull), 1)
         pos = lane % W0 + (t_idx * t_tile - halo)
-        ok = (pos >= 0) & (pos < T_total)
-        return jnp.where(ok, arr, 0)
+        ok = ((pos >= 0) & (pos < T_total)).astype(jnp.float32)
+        return (arr.astype(jnp.float32) * ok).astype(arr.dtype)
 
     def _conv(h, w2d_ref, b_ref, k, d):
-        # center-aligned im2col via cyclic rolls: tap j reads offset (j-pad)·d
+        # center-aligned im2col via cyclic rolls: tap j reads offset (j-pad)·d.
+        # Mosaic's rotate only handles 32-bit data — roll in f32, cast back.
         pad = (k - 1) // 2
-        taps = [pltpu.roll(h, (Wfull - (j - pad) * d) % Wfull, 1) for j in range(k)]
+        h32 = h if h.dtype == jnp.float32 else h.astype(jnp.float32)
+        taps = [
+            pltpu.roll(h32, (Wfull - (j - pad) * d) % Wfull, 1).astype(h.dtype) for j in range(k)
+        ]
         X = jnp.concatenate(taps, axis=0)  # [k*C, Wfull], rows ordered (j, c)
         w2d = w2d_ref[...]  # [k*C, C]
         y = jax.lax.dot_general(
@@ -83,7 +88,8 @@ def _mrf_kernel(x_ref, *refs, units, halo, t_tile, W0, T_total, n_blocks, out_dt
         )  # [C, Wfull]
         return (y + b_ref[...][:, None]).astype(h.dtype)
 
-    lrelu = lambda t: jnp.where(t >= 0, t, t * LRELU_SLOPE)
+    # compare-free leaky relu (Mosaic lacks bf16 compare/select)
+    lrelu = lambda t: jnp.maximum(t, 0) + jnp.minimum(t, 0) * LRELU_SLOPE
 
     acc = None
     for b, (k, dils) in enumerate(units):
