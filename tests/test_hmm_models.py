@@ -56,3 +56,50 @@ def test_hmm_likelihood_sane():
     far = dict(batch, mel_input=batch["mel_input"] + 100.0)
     loss_far, _ = m.loss_fn(m.params, far, jax.random.PRNGKey(1))
     assert float(loss_far) > float(loss_near)
+
+
+def test_hmm_mel_statistics_compute_load_and_normalize(tmp_path):
+    """on_init_start computes dataset statistics, rebuilds the flat start at
+    N(0,1) with the data transition prob, and loss/inference use them
+    (ref tts/models/neuralhmm_tts.py:263)."""
+    from tpu_tts.models.neuralhmm_tts import _load_statistics, _save_statistics
+
+    m = _small("neuralhmm_tts")
+    batch = _batch()
+
+    class _T:  # minimal trainer stand-in for the hook
+        config = m.config
+        assets = {}
+        train_samples = [1, 2]
+
+    m.config.mel_statistics_parameter_path = str(tmp_path / "stats.json")
+    loader = [
+        {k: np.asarray(v) for k, v in dict(batch, mel_input=batch["mel_input"] + 3.0).items()}
+    ]
+    m.get_data_loader = lambda *a, **k: loader
+    m.on_init_start(_T())
+    assert abs(m.mel_mean - 3.0) < 0.2
+    assert m.params is None  # forces re-init with the new flat start
+    assert m.args.flat_start_params["mean"] == 0.0
+    # transition prob = state_per_phone / avg frames-per-state
+    assert 0 < m.args.flat_start_params["transition_p"] < 1
+
+    m.init_params(jax.random.PRNGKey(0))
+    shifted = dict(batch, mel_input=batch["mel_input"] + 3.0)
+    loss_norm, _ = m.loss_fn(m.params, shifted, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss_norm))
+    out = m.inference(np.arange(1, 6, dtype=np.int32), max_steps=8)
+    assert np.isfinite(np.asarray(out["model_outputs"])).all()
+
+    # round-trips through both file formats
+    stats = _load_statistics(m.config.mel_statistics_parameter_path)
+    pt = str(tmp_path / "stats.pt")
+    _save_statistics(pt, stats)
+    assert _load_statistics(pt)["mean"] == pytest.approx(stats["mean"])
+
+    # a second model loads the saved statistics instead of recomputing
+    m2 = _small("neuralhmm_tts")
+    m2.config.mel_statistics_parameter_path = m.config.mel_statistics_parameter_path
+    m2.get_data_loader = lambda *a, **k: (_ for _ in ()).throw(AssertionError("should load, not compute"))
+    m2.on_init_start(_T())
+    assert m2.mel_mean == pytest.approx(m.mel_mean)

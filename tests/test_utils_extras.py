@@ -48,3 +48,54 @@ def test_hubconf_importable():
 
     assert callable(hubconf.tts)
     assert "jax" in hubconf.dependencies
+
+
+def test_stepwise_gradual_lr_schedule():
+    """StepwiseGradualLR (Capacitron recipes): piecewise-constant lr by step."""
+    from tpu_tts.train.optimizers import get_scheduler
+
+    sched = get_scheduler(
+        "StepwiseGradualLR",
+        {"gradual_learning_rates": [[0, 1e-3], [100, 5e-4], [200, 1e-4]]},
+        1e-3,
+    )
+    import pytest
+
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(99)) == pytest.approx(1e-3)
+    assert float(sched(100)) == pytest.approx(5e-4)
+    assert float(sched(250)) == pytest.approx(1e-4)
+
+
+def test_capacitron_optimizer_recipe_config_builds():
+    """The reference Capacitron recipe's optimizer block must build: primary
+    RAdam from optimizer_params['RAdam'], beta leaf → SGD, capacitron_grad_clip
+    applied when grad_clip is 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_tts.configs.tacotron2_config import Tacotron2Config
+    from tpu_tts.configs.shared_configs import CapacitronVAEConfig
+    from tpu_tts.layers.gst import capacitron_dual_optimizer
+
+    cfg = Tacotron2Config(
+        use_capacitron_vae=True,
+        capacitron_vae=CapacitronVAEConfig(),
+        optimizer="CapacitronOptimizer",
+        optimizer_params={
+            "RAdam": {"betas": [0.9, 0.998], "weight_decay": 1e-6},
+            "SGD": {"lr": 1e-5, "momentum": 0.9},
+        },
+        grad_clip=0.0,
+        lr=1e-3,
+    )
+    tx = capacitron_dual_optimizer(cfg, lambda: (_ for _ in ()).throw(AssertionError))
+    params = {
+        "capacitron_vae_layer": {"beta": jnp.zeros(()), "w": jnp.ones((2,))},
+        "encoder": {"kernel": jnp.ones((2, 2))},
+    }
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    flat = jax.tree_util.tree_leaves(updates)
+    assert all(jnp.isfinite(u).all() for u in flat)

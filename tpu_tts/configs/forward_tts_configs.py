@@ -54,6 +54,7 @@ class _ForwardBase(BaseTTSConfig):
     r: int = 1
     compute_f0: bool = False
     f0_cache_path: str = None
+    energy_cache_path: str = None
     test_sentences: List[str] = field(default_factory=lambda: list(_TEST_SENTENCES))
 
 

@@ -19,6 +19,10 @@ class NeuralhmmTTSConfig(BaseTTSConfig):
     optimizer_params: dict = field(default_factory=lambda: {"weight_decay": 1e-6})
     lr: float = 1e-3
     grad_clip: float = 40000.0
+    # dataset normalization statistics (ref tts/models/neuralhmm_tts.py:263:
+    # computed over the training set on first run, then loaded)
+    mel_statistics_parameter_path: Optional[str] = None
+    force_generate_statistics: bool = False
     min_seq_len: int = 3
     max_seq_len: int = 500
     r: int = 1
@@ -36,6 +40,10 @@ class OverflowConfig(BaseTTSConfig):
     optimizer_params: dict = field(default_factory=lambda: {"weight_decay": 1e-6})
     lr: float = 1e-3
     grad_clip: float = 40000.0
+    # dataset normalization statistics (ref tts/models/neuralhmm_tts.py:263:
+    # computed over the training set on first run, then loaded)
+    mel_statistics_parameter_path: Optional[str] = None
+    force_generate_statistics: bool = False
     min_seq_len: int = 3
     max_seq_len: int = 500
     r: int = 1

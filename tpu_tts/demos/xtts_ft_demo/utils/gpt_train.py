@@ -22,7 +22,7 @@ def train_gpt(
     from tpu_tts.configs.xtts_config import XttsConfig
     from tpu_tts.data import load_tts_samples
     from tpu_tts.models.xtts import Xtts
-    from tpu_tts.train.trainer import Trainer
+    from tpu_tts.train.trainer import Trainer, TrainerArgs
 
     dataset = BaseDatasetConfig(
         formatter="coqui",
@@ -52,7 +52,7 @@ def train_gpt(
         config.datasets, eval_split=True, eval_split_size=0.1
     )
     trainer = Trainer(
-        model, config, output_path=output_path,
+        TrainerArgs(), config, output_path, model=model,
         train_samples=train_samples, eval_samples=eval_samples,
     )
     trainer.fit()

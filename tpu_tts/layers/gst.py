@@ -158,6 +158,14 @@ def capacitron_dual_optimizer(config, primary_fallback):
     else:
         primary = primary_fallback()
         secondary = {"lr": 1e-5, "momentum": 0.9}
+    # Capacitron recipes set grad_clip=0 and rely on capacitron_grad_clip
+    # (ref tts/models/tacotron2.py:377): apply it around the primary transform.
+    cap_clip = float(getattr(getattr(config, "capacitron_vae", None), "capacitron_grad_clip", 0.0) or 0.0)
+    base_clip = config.grad_clip
+    if isinstance(base_clip, (list, tuple)):
+        base_clip = max(base_clip)
+    if cap_clip > 0 and not (base_clip and base_clip > 0):
+        primary = optax.chain(optax.clip_by_global_norm(cap_clip), primary)
     sgd = optax.sgd(secondary.get("lr", 1e-5), momentum=secondary.get("momentum", 0.0) or None)
 
     def label_fn(params):

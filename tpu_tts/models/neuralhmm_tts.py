@@ -9,6 +9,7 @@ TransitionModel:483, EmissionModel:519). The per-frame forward recursion is a
 sampling inference is a second scan with stochastic state advancement.
 """
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
@@ -23,6 +24,32 @@ from tpu_tts.models.base_tts import BaseTTSModel
 from tpu_tts.ops.helpers import sequence_mask
 
 LOG_EPS = -1e4
+
+
+def _load_statistics(path: str) -> Dict:
+    """Load mel statistics; supports the reference's torch .pt files
+    (e.g. recipes/ljspeech/overflow/lj_parameters.pt) and json."""
+    if path.endswith(".pt") or path.endswith(".pth"):
+        import torch
+
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+        return {k: float(v) for k, v in raw.items()}
+    import json
+
+    with open(path) as f:
+        return json.load(f)
+
+
+def _save_statistics(path: str, stats: Dict) -> None:
+    if path.endswith(".pt") or path.endswith(".pth"):
+        import torch
+
+        torch.save({k: float(v) for k, v in stats.items()}, path)
+        return
+    import json
+
+    with open(path, "w") as f:
+        json.dump(stats, f)
 
 
 @dataclass
@@ -230,6 +257,69 @@ class NeuralhmmTTS(BaseTTSModel):
         self.args = args
         self.net = NeuralhmmTTSNet(args=tuple(sorted(args.to_dict().items(), key=lambda kv: str(kv[0]))))
         self._infer_cache = {}
+        # dataset normalization statistics (ref tts/models/neuralhmm_tts.py:98:
+        # `mean`/`std` buffers; mels are z-normalized before the HMM)
+        self.mel_mean = 0.0
+        self.mel_std = 1.0
+
+    # ------------------------------------------------- dataset statistics
+    def update_mean_std(self, statistics: Dict):
+        self.mel_mean = float(statistics["mean"])
+        self.mel_std = float(statistics["std"])
+
+    def on_init_start(self, trainer):
+        """Compute-or-load the flat-start statistics before param init
+        (ref tts/models/neuralhmm_tts.py:263 `on_init_start`). Sets the
+        flat-start output bias to N(0, 1) with the dataset transition prob and
+        stores mean/std for batch normalization."""
+        path = getattr(trainer.config, "mel_statistics_parameter_path", None)
+        if not path:
+            return
+        force = getattr(trainer.config, "force_generate_statistics", False)
+        if os.path.isfile(path) and not force:
+            stats = _load_statistics(path)
+            print(f" | > Loaded mel statistics from {path}: {stats}", flush=True)
+        else:
+            print(f" | > Computing mel statistics over the training set → {path}", flush=True)
+            loader = self.get_data_loader(
+                trainer.config, trainer.assets, is_eval=False,
+                samples=trainer.train_samples, verbose=False, num_gpus=1,
+            )
+            stats = self._compute_statistics(loader, len(trainer.train_samples))
+            _save_statistics(path, stats)
+            print(f" | > Saved mel statistics to {path}: {stats}", flush=True)
+        self.update_mean_std(stats)
+        # flat-start over *normalized* mels at the dataset transition prob
+        # (ref common_layers.py:264 `update_flat_start_transition`)
+        self.args.flat_start_params = {
+            "mean": 0.0, "std": 1.0, "transition_p": float(stats["init_transition_prob"]),
+        }
+        net_args = tuple(sorted(self.args.to_dict().items(), key=lambda kv: str(kv[0])))
+        self.net = type(self.net)(args=net_args)
+        self._infer_cache = {}
+        if self.params is not None:  # re-init so the new flat start takes effect
+            self.params = None
+
+    def _compute_statistics(self, loader, num_samples: int) -> Dict:
+        """Streaming mean/std over masked mel frames + init transition prob
+        (ref common_layers.py:224 `get_data_parameters_for_flat_start`)."""
+        C = self.args.out_channels
+        total_state_len = total_mel_len = 0
+        mel_sum = mel_sq_sum = 0.0
+        for batch in loader:
+            tl = np.asarray(batch["text_lengths"])
+            ml = np.asarray(batch["mel_lengths"])
+            mel = np.asarray(batch["mel_input"], dtype=np.float64)
+            mask = (np.arange(mel.shape[1])[None, :] < ml[:, None])[..., None]
+            total_state_len += int(tl.sum())
+            total_mel_len += int(ml.sum())
+            mel_sum += float((mel * mask).sum())
+            mel_sq_sum += float(((mel**2) * mask).sum())
+        mean = mel_sum / (total_mel_len * C)
+        std = float(np.sqrt(mel_sq_sum / (total_mel_len * C) - mean**2))
+        avg_duration_per_state = (total_mel_len / num_samples) / (total_state_len / num_samples)
+        init_transition_prob = self.args.state_per_phone / avg_duration_per_state
+        return {"mean": mean, "std": std, "init_transition_prob": init_transition_prob}
 
     def init_params(self, rng):
         a = self.args
@@ -245,11 +335,14 @@ class NeuralhmmTTS(BaseTTSModel):
         return self.params
 
     def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
+        # z-normalize mels with the dataset statistics (ref
+        # tts/models/neuralhmm_tts.py:105 `preprocess_batch`/`normalize`)
+        mel = (batch["mel_input"] - self.mel_mean) / self.mel_std
         out = self.net.apply(
             {"params": params},
             batch["text_input"],
             batch["text_lengths"],
-            batch["mel_input"],
+            mel,
             batch["mel_lengths"],
             train=True,
             rngs={"dropout": rng},
@@ -269,7 +362,10 @@ class NeuralhmmTTS(BaseTTSModel):
                     rngs={"dropout": jax.random.PRNGKey(0)},
                 )
             )
-        return self._infer_cache[key](self.params, x, xl, jax.random.PRNGKey(0))
+        out = self._infer_cache[key](self.params, x, xl, jax.random.PRNGKey(0))
+        # back to dataset scale (ref neuralhmm_tts.py:117 `inverse_normalize`)
+        out["model_outputs"] = out["model_outputs"] * self.mel_std + self.mel_mean
+        return out
 
     @staticmethod
     def init_from_config(config, samples=None):

@@ -92,6 +92,8 @@ class Overflow(NeuralhmmTTS):
         self.args = args
         self.net = OverflowNet(args=tuple(sorted(args.to_dict().items(), key=lambda kv: str(kv[0]))))
         self._infer_cache = {}
+        self.mel_mean = 0.0
+        self.mel_std = 1.0
 
     def inference(self, x: np.ndarray, aux_input=None, max_steps: int = 512) -> Dict:
         x = jnp.asarray(x)
@@ -106,7 +108,10 @@ class Overflow(NeuralhmmTTS):
                     rngs={"dropout": jax.random.PRNGKey(0)},
                 )
             )
-        return self._infer_cache[key](self.params, x, xl, jax.random.PRNGKey(0))
+        out = self._infer_cache[key](self.params, x, xl, jax.random.PRNGKey(0))
+        # back to dataset scale (ref models/overflow.py inverse_normalize)
+        out["model_outputs"] = out["model_outputs"] * self.mel_std + self.mel_mean
+        return out
 
     @staticmethod
     def init_from_config(config, samples=None):

@@ -44,6 +44,16 @@ def get_scheduler(name: Optional[str], params: Dict, base_lr: float) -> Union[fl
         )
     if name in ("cosine", "cosinedecay"):
         return optax.cosine_decay_schedule(base_lr, params.get("decay_steps", 100000))
+    if name in ("stepwisegradual",):  # "StepwiseGradualLR" with the LR suffix stripped
+        # piecewise-constant lr from [[step, lr], ...] (trainer StepwiseGradualLR,
+        # used by the Capacitron recipes)
+        rates = sorted((int(s), float(r)) for s, r in (params.get("gradual_learning_rates") or [[0, base_lr]]))
+        init = rates[0][1] if rates[0][0] <= 0 else base_lr
+        later = [(s, r) for s, r in rates if s > 0]
+        return optax.join_schedules(
+            [optax.constant_schedule(init)] + [optax.constant_schedule(r) for _, r in later],
+            [s for s, _ in later],
+        )
     raise ValueError(f" [!] Unknown lr scheduler {name}")
 
 

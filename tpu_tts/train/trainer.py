@@ -100,6 +100,10 @@ class Trainer:
         self.n_devices = len(devices)
 
         # ---- params ----------------------------------------------------------
+        # model init hook before param init (ref trainer `on_init_start`, used
+        # by NeuralhmmTTS/Overflow to compute flat-start statistics)
+        if hasattr(self.model, "on_init_start") and self.train_samples:
+            self.model.on_init_start(self)
         rng = jax.random.PRNGKey(getattr(config, "training_seed", 54321) or 54321)
         self.rng, init_rng = jax.random.split(rng)
         if self.model.params is None:
@@ -291,6 +295,10 @@ class Trainer:
                 )
         profiler.close()
         self.save_checkpoint()
+        # hand the trained weights back: the originals on the model were
+        # donated into the jitted train step and are deleted by now
+        self.model.params = self.params
+        self.model._infer_cache = {}
         if self.dashboard_logger:
             self.dashboard_logger.flush()
 
