@@ -643,6 +643,58 @@ class Vits(BaseTTSModel):
         )
         return out
 
+    def export_serving(
+        self,
+        output_path: str,
+        batch_size: int = 1,
+        text_len: int = 128,
+        y_max: int = 768,
+        use_speaker_id: bool = False,
+        use_language_id: bool = False,
+        seed: int = 0,
+    ) -> str:
+        """Serialize single-pass inference to a portable StableHLO artifact —
+        the TPU-native counterpart of the reference's ONNX export (ref
+        vits.py:1806 `export_onnx`). Weights are embedded; shapes are fixed at
+        export (one artifact per serving bucket — the ONNX dynamic-axes role is
+        played by exporting several buckets). Inputs: (text_ids [B, T_en],
+        text_lengths [B], seed []); optional speaker/language id vectors [B].
+        Load with `tpu_tts.utils.export.load_serving_fn`."""
+        from tpu_tts.utils.export import export_serving_fn
+
+        params = self.params["generator"]
+
+        def fn(text, text_lengths, seed_, *extra):
+            sid = extra[0] if use_speaker_id else None
+            lid = extra[-1] if use_language_id else None
+            rng = jax.random.PRNGKey(0)
+            rng = jax.random.fold_in(rng, seed_)
+            out = self.net.apply(
+                {"params": params}, text, text_lengths, y_max,
+                speaker_ids=sid, language_ids=lid, method=VitsNet.inference,
+                rngs={"noise": rng, "sdp": jax.random.fold_in(rng, 1)},
+            )
+            return out["model_outputs"], out["y_lengths"]
+
+        args = [
+            jnp.zeros((batch_size, text_len), dtype=jnp.int32),
+            jnp.full((batch_size,), text_len, dtype=jnp.int32),
+            jnp.asarray(seed, dtype=jnp.int32),
+        ]
+        if use_speaker_id:
+            args.append(jnp.zeros((batch_size,), dtype=jnp.int32))
+        if use_language_id:
+            args.append(jnp.zeros((batch_size,), dtype=jnp.int32))
+        meta = {
+            "model": "vits",
+            "sample_rate": int(self.config.audio.sample_rate),
+            "hop_length": int(self.config.audio.hop_length),
+            "y_max": int(y_max),
+            "batch_size": int(batch_size),
+            "text_len": int(text_len),
+        }
+        return export_serving_fn(fn, args, output_path, meta)
+
     def voice_conversion(self, source_wav: np.ndarray, speaker_cond_src, speaker_cond_tgt) -> np.ndarray:
         """Host entry for VC (ref vits.py:1176)."""
         wav = jnp.asarray(source_wav, dtype=jnp.float32).reshape(1, -1, 1)
