@@ -23,6 +23,15 @@ re-masking each conv input outside the true sequence (see `_mask`).
 Behavior spec: tpu_tts/vocoder/models/hifigan_generator.py ResBlock1 (ref
 hifigan_generator.py:18); numerically parity-tested against the flax module in
 tests/test_hifigan_pallas.py.
+
+STATUS (measured 1×v5e bf16, B=128, Y=768, full generator — see
+scripts/tpu_validate_pallas_decoder.py): compiles and matches XLA numerically
+(mean |Δ| 0.004), but runs 1.8× SLOWER than the XLA path (0.814 s vs 0.454 s
+per call). Per-stage MFU of the XLA path is ~88% at C=128, so only the
+small-channel stages (C=32 ≈ 20%, C=64 ≈ 58% — MXU output-row padding) have
+headroom, and the f32 roll/mask VPU work in this kernel more than eats it.
+Kept as an opt-in experimental path (TPU_TTS_PALLAS_DECODER=1 /
+aux_input["use_pallas_decoder"]); the serving default remains XLA.
 """
 
 import functools
