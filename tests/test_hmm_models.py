@@ -103,3 +103,18 @@ def test_hmm_mel_statistics_compute_load_and_normalize(tmp_path):
     m2.get_data_loader = lambda *a, **k: (_ for _ in ()).throw(AssertionError("should load, not compute"))
     m2.on_init_start(_T())
     assert m2.mel_mean == pytest.approx(m.mel_mean)
+
+
+def test_hmm_statistics_hook_tolerates_no_managers():
+    """super().on_init_start (speakers/language persistence) must no-op for
+    single-speaker HMM models."""
+    m = _small("neuralhmm_tts")
+
+    class _T:
+        config = m.config
+        assets = {}
+        train_samples = [1]
+        output_path = "/tmp/nhmm_hook_out"
+
+    m.config.mel_statistics_parameter_path = None
+    m.on_init_start(_T())  # no statistics path → returns after super()

@@ -177,3 +177,44 @@ def test_vits_speaker_consistency_loss():
     assert "loss_spk_encoder" in logs
     assert np.isfinite(float(loss))
     assert -1.0 <= float(logs["loss_spk_encoder"]) <= 1.0
+
+
+def test_vits_multilingual():
+    """Language embedding widens the text-encoder transformer to hidden+lang
+    (ref networks.py:62-64) and conditions the duration predictor."""
+    model = Vits(
+        _tiny_config(
+            use_speaker_embedding=True,
+            num_speakers=4,
+            speaker_embedding_channels=16,
+            use_language_embedding=True,
+            num_languages=3,
+            embedded_language_dim=4,
+        )
+    )
+    model.init_params(jax.random.PRNGKey(0))
+    batch = _batch()
+    batch["speaker_ids"] = jnp.array([0, 3], dtype=jnp.int32)
+    batch["language_ids"] = jnp.array([0, 2], dtype=jnp.int32)
+    for idx in (0, 1):
+        loss, _ = model.loss_fn(model.params, batch, jax.random.PRNGKey(1), optimizer_idx=idx)
+        assert np.isfinite(float(loss))
+    out = model.inference(
+        np.arange(1, 8, dtype=np.int32),
+        aux_input={
+            "speaker_ids": jnp.array([1], dtype=jnp.int32),
+            "language_ids": jnp.array([2], dtype=jnp.int32),
+        },
+    )
+    assert np.isfinite(np.asarray(out["model_outputs"])).all()
+    # different language id → different audio (embedding actually used)
+    out2 = model.inference(
+        np.arange(1, 8, dtype=np.int32),
+        aux_input={
+            "speaker_ids": jnp.array([1], dtype=jnp.int32),
+            "language_ids": jnp.array([0], dtype=jnp.int32),
+        },
+    )
+    a, b = np.asarray(out["model_outputs"]), np.asarray(out2["model_outputs"])
+    n = min(a.size, b.size)
+    assert not np.allclose(a.ravel()[:n], b.ravel()[:n])

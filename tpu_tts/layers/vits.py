@@ -361,9 +361,13 @@ class VitsTextEncoder(nn.Module):
         if lang_emb is not None:
             x = jnp.concatenate([x, jnp.broadcast_to(lang_emb, (x.shape[0], x.shape[1], lang_emb.shape[-1]))], axis=-1)
         x_mask = sequence_mask(x_lengths, x.shape[1]).astype(x.dtype)[:, :, None]
+        # with a language embedding the whole transformer runs at the widened
+        # hidden+lang width (ref networks.py:62-64: `hidden_channels +=
+        # language_emb_dim` BEFORE building the encoder and proj)
+        width = self.hidden_channels + self.language_emb_dim
         h = RelativePositionTransformer(
-            out_channels=self.hidden_channels,
-            hidden_channels=self.hidden_channels,
+            out_channels=width,
+            hidden_channels=width,
             hidden_channels_ffn=self.hidden_channels_ffn,
             num_heads=self.num_heads,
             num_layers=self.num_layers,

@@ -255,10 +255,13 @@ class LanguageManager(BaseIDManager):
 
     @staticmethod
     def init_from_config(config) -> Optional["LanguageManager"]:
-        if getattr(config, "use_language_embedding", False):
-            if getattr(config, "language_ids_file", None):
-                return LanguageManager(language_ids_file_path=config.language_ids_file)
-            return LanguageManager(config=config)
+        """Accepts the full model config (language flags may live on
+        `model_args` while the dataset list lives at the top level)."""
+        args = getattr(config, "model_args", None) or config
+        if getattr(args, "use_language_embedding", False):
+            if getattr(args, "language_ids_file", None):
+                return LanguageManager(language_ids_file_path=args.language_ids_file)
+            return LanguageManager(config=config if hasattr(config, "datasets") else None)
         return None
 
 

@@ -45,6 +45,29 @@ class BaseTTSModel:
     def get_aux_input(self, **kwargs) -> Dict:
         return {"speaker_id": None, "style_wav": None, "d_vector": None, "language_id": None}
 
+    def on_init_start(self, trainer):
+        """Persist `speakers.pth` / `language_ids.json` next to the run config
+        and point the config at them (ref tts/models/base_tts.py:420-441), so a
+        checkpoint directory is self-contained for later synthesis."""
+        import os
+
+        if self.speaker_manager is not None and self.speaker_manager.name_to_id:
+            path = os.path.join(trainer.output_path, "speakers.pth")
+            self.speaker_manager.save_ids_to_file(path)
+            if trainer.config.has("speakers_file"):
+                trainer.config.speakers_file = path
+            if trainer.config.has("model_args") and trainer.config.model_args.has("speakers_file"):
+                trainer.config.model_args.speakers_file = path
+            print(f" > `speakers.pth` saved to {path}.", flush=True)
+        if self.language_manager is not None and self.language_manager.name_to_id:
+            path = os.path.join(trainer.output_path, "language_ids.json")
+            self.language_manager.save_ids_to_file(path)
+            if trainer.config.has("language_ids_file"):
+                trainer.config.language_ids_file = path
+            if trainer.config.has("model_args") and trainer.config.model_args.has("language_ids_file"):
+                trainer.config.model_args.language_ids_file = path
+            print(f" > `language_ids.json` saved to {path}.", flush=True)
+
     # ------------------------------------------------------------- pure fns
     def init_params(self, rng: jax.Array):
         raise NotImplementedError

@@ -272,6 +272,7 @@ class NeuralhmmTTS(BaseTTSModel):
         (ref tts/models/neuralhmm_tts.py:263 `on_init_start`). Sets the
         flat-start output bias to N(0, 1) with the dataset transition prob and
         stores mean/std for batch normalization."""
+        super().on_init_start(trainer)
         path = getattr(trainer.config, "mel_statistics_parameter_path", None)
         if not path:
             return

@@ -743,5 +743,5 @@ class Vits(BaseTTSModel):
         ap = AudioProcessor.init_from_config(config, verbose=False)
         tokenizer, new_config = TTSTokenizer.init_from_config(config)
         speaker_manager = SpeakerManager.init_from_config(new_config.model_args, samples)
-        language_manager = LanguageManager.init_from_config(new_config.model_args)
+        language_manager = LanguageManager.init_from_config(new_config)
         return Vits(new_config, ap, tokenizer, speaker_manager, language_manager)
