@@ -1,0 +1,81 @@
+"""Time-sharded HiFi-GAN inference vs the unsharded generator (8-device CPU
+mesh). Covers the BASELINE north-star "vocoder sharded across chips" path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from tpu_tts.parallel.sharded_decoder import decoder_input_halo, hifigan_apply_sharded
+from tpu_tts.vocoder.models.hifigan_generator import HifiganGenerator
+
+
+def _gen_and_params(C_in=16, init_ch=32, ups=(4, 4), kups=(8, 8), ks=(3, 7), dils=((1, 3), (1, 3, 5))):
+    gen = HifiganGenerator(
+        in_channels=C_in,
+        out_channels=1,
+        resblock_type="1",
+        resblock_dilation_sizes=[list(d) for d in dils],
+        resblock_kernel_sizes=list(ks),
+        upsample_kernel_sizes=list(kups),
+        upsample_initial_channel=init_ch,
+        upsample_factors=list(ups),
+    )
+    z0 = jnp.zeros((1, 8, C_in), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), z0)["params"]
+    return gen, params
+
+
+def test_input_halo_formula_v1_shape():
+    h = decoder_input_halo((8, 8, 2, 2), (16, 16, 4, 4), (3, 7, 11), ((1, 3, 5),) * 3)
+    assert 10 <= h <= 25  # ~15 frames for the full-size v1 stack
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_sharded_matches_unsharded(n_shards):
+    devs = jax.devices()
+    assert len(devs) >= n_shards, "conftest should provide 8 virtual cpu devices"
+    mesh = Mesh(np.array(devs[:n_shards]), ("model",))
+
+    gen, params = _gen_and_params()
+    kw = dict(
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3, 5)),
+        upsample_factors=(4, 4),
+        upsample_kernel_sizes=(8, 8),
+    )
+    T = n_shards * 48  # each shard must cover 2x the receptive-field halo
+    z = jnp.asarray(np.random.default_rng(0).standard_normal((2, T, 16)) * 0.5, jnp.float32)
+
+    ref = gen.apply({"params": params}, z)
+    got = hifigan_apply_sharded(params, z, mesh, "model", **kw)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_sharded_with_speaker_conditioning():
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:4]), ("model",))
+    gen = HifiganGenerator(
+        in_channels=16,
+        out_channels=1,
+        resblock_type="1",
+        resblock_dilation_sizes=[[1, 3], [1, 3, 5]],
+        resblock_kernel_sizes=[3, 7],
+        upsample_kernel_sizes=[8, 8],
+        upsample_initial_channel=32,
+        upsample_factors=[4, 4],
+        cond_channels=8,
+    )
+    z0 = jnp.zeros((1, 8, 16), jnp.float32)
+    g = jnp.asarray(np.random.default_rng(1).standard_normal((2, 1, 8)) * 0.3, jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), z0, g=g[:1])["params"]
+    z = jnp.asarray(np.random.default_rng(0).standard_normal((2, 192, 16)) * 0.5, jnp.float32)
+    ref = gen.apply({"params": params}, z, g=g)
+    got = hifigan_apply_sharded(
+        params, z, mesh, "model", g=g,
+        resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3), (1, 3, 5)),
+        upsample_factors=(4, 4), upsample_kernel_sizes=(8, 8),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -1,0 +1,119 @@
+"""Time-sharded HiFi-GAN inference across a device mesh axis.
+
+BASELINE.json north star: "the vocoder sharded across chips when its
+upsampling stack exceeds one chip's HBM". The decoder's activations scale as
+T·hop·C (e.g. B=128 × 768 frames × hop 256 ≈ 25M samples/stage at C=32..256
+— the thing that OOMs first when batching up); the weights are tiny. So the
+natural sharding is TIME: split the mel/z frames across the mesh axis, halo-
+exchange the receptive field via `ppermute` over ICI, run the full generator
+locally on each padded shard, and crop the halo from the waveform.
+
+Cost model: the halo is ~15 input frames per side (receptive field of the
+MRF stacks pulled back through the upsampling), so at 96+ frames per shard
+the redundant compute is <30% and the exchange is one small bidirectional
+ppermute — the activations never materialize globally.
+
+Parity-tested against the unsharded generator on a virtual 8-device CPU mesh
+(tests/test_sharded_decoder.py).
+"""
+
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_tts.ops.hifigan_pallas import _block_halo
+
+
+def decoder_input_halo(
+    upsample_factors: Sequence[int],
+    upsample_kernel_sizes: Sequence[int],
+    resblock_kernel_sizes: Sequence[int],
+    resblock_dilation_sizes: Sequence[Sequence[int]],
+    conv_pre_kernel: int = 7,
+    conv_post_kernel: int = 7,
+) -> int:
+    """Input-frame halo that covers the generator's full receptive field:
+    pull the per-stage MRF halo + transposed-conv support back through each
+    upsampling stride (conservative ceil at every stage)."""
+    mrf_halo = max(_block_halo(k, d) for k, d in zip(resblock_kernel_sizes, resblock_dilation_sizes))
+    h = conv_post_kernel // 2
+    for s, k in zip(reversed(upsample_factors), reversed(upsample_kernel_sizes)):
+        h = math.ceil((h + mrf_halo + k) / s)
+    return h + conv_pre_kernel // 2
+
+
+def hifigan_apply_sharded(
+    gen_params,
+    z: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+    g: jnp.ndarray = None,
+    *,
+    resblock_kernel_sizes=(3, 7, 11),
+    resblock_dilation_sizes=((1, 3, 5),) * 3,
+    upsample_factors=(8, 8, 2, 2),
+    upsample_kernel_sizes=(16, 16, 4, 4),
+    apply_fn=None,
+) -> jnp.ndarray:
+    """Run a HiFi-GAN-style generator with `z` `[B, T, C]` time-sharded over
+    `mesh[axis]`. Returns the waveform `[B, T·hop, 1]`, still sharded on the
+    same axis. `apply_fn(params, z, g) -> wav` is the local generator forward
+    (defaults to `hifigan_apply_pallas`'s XLA fallback math, which mirrors
+    `HifiganGenerator.__call__`)."""
+    from jax.experimental.shard_map import shard_map
+
+    if apply_fn is None:
+        from tpu_tts.ops.hifigan_pallas import hifigan_apply_pallas
+
+        apply_fn = partial(
+            hifigan_apply_pallas,
+            resblock_kernel_sizes=resblock_kernel_sizes,
+            resblock_dilation_sizes=resblock_dilation_sizes,
+            upsample_factors=upsample_factors,
+            max_pallas_channels=0,  # XLA math everywhere (sharding-agnostic)
+        )
+
+    n = mesh.shape[axis]
+    B, T, C = z.shape
+    assert T % n == 0, f"T={T} must divide the '{axis}' axis size {n}"
+    L = T // n
+    hop = int(np.prod(upsample_factors))
+    if n == 1:
+        return apply_fn(gen_params, z, g)
+    halo = decoder_input_halo(
+        upsample_factors, upsample_kernel_sizes, resblock_kernel_sizes, resblock_dilation_sizes
+    )
+    assert L >= 2 * halo, (
+        f"shard length {L} < 2x receptive-field halo ({2 * halo}): "
+        f"use fewer shards or longer sequences"
+    )
+
+    def local(params, z_sh, g_arr):
+        # z_sh: [B, L, C] local shard. Every shard evaluates a (L+2·halo)
+        # window; interior shards center it, edge shards shift it INWARD so the
+        # true sequence edge is handled by the generator's own SAME padding
+        # (an explicit zero halo would differ: deeper layers see conv(0)+bias,
+        # not zeros, in halo regions).
+        idx = jax.lax.axis_index(axis)
+        from_prev = jax.lax.ppermute(z_sh[:, -2 * halo :], axis, [(i, (i + 1) % n) for i in range(n)])
+        from_next = jax.lax.ppermute(z_sh[:, : 2 * halo], axis, [(i, (i - 1) % n) for i in range(n)])
+        win_int = jnp.concatenate([from_prev[:, halo:], z_sh, from_next[:, :halo]], axis=1)
+        win_first = jnp.concatenate([z_sh, from_next], axis=1)
+        win_last = jnp.concatenate([from_prev, z_sh], axis=1)
+        win = jnp.where(idx == 0, win_first, jnp.where(idx == n - 1, win_last, win_int))
+        wav = apply_fn(params, win, None if g_arr.ndim == 0 else g_arr)
+        start = jnp.where(idx == 0, 0, jnp.where(idx == n - 1, 2 * halo, halo)) * hop
+        return jax.lax.dynamic_slice_in_dim(wav, start, L * hop, axis=1)
+
+    g_in = g if g is not None else jnp.zeros((), z.dtype)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P()),
+        out_specs=P(None, axis, None),
+    )(gen_params, z, g_in)
