@@ -27,3 +27,26 @@ def test_batched_synthesizer_fans_out():
     for w in wavs:
         assert w.ndim == 1 and len(w) > 0
         assert np.isfinite(w).all()
+
+
+def test_batched_synthesizer_2d_mesh_matches_1d():
+    """data × model serving: the time-sharded decoder must produce the same
+    audio as plain DP serving."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_vits import _tiny_config
+
+    from tpu_tts.models.vits import Vits
+
+    model = Vits(_tiny_config())
+    model.init_params(jax.random.PRNGKey(0))
+    model.ap = None
+
+    rng = np.random.default_rng(0)
+    reqs = [rng.integers(1, 30, size=n).astype(np.int32) for n in (5, 9, 7)]
+    ref = BatchedSynthesizer(model, text_bucket=16, mel_bucket=64).synthesize_batch(reqs)
+    got = BatchedSynthesizer(model, text_bucket=16, mel_bucket=64, model_shards=2).synthesize_batch(reqs)
+    assert len(got) == len(ref)
+    for w_ref, w_got in zip(ref, got):
+        assert w_got.shape == w_ref.shape
+        np.testing.assert_allclose(w_got, w_ref, atol=3e-5)

@@ -15,13 +15,30 @@ import numpy as np
 class BatchedSynthesizer:
     """Fan batched token requests across the mesh for a VITS-family model."""
 
-    def __init__(self, model, devices=None, text_bucket: int = 64, mel_bucket: int = 256):
+    def __init__(
+        self,
+        model,
+        devices=None,
+        text_bucket: int = 64,
+        mel_bucket: int = 256,
+        model_shards: int = 1,
+    ):
+        """`model_shards` > 1 builds a 2D (data × model) mesh and runs the
+        waveform decoder time-sharded over the model axis (halo exchange via
+        `hifigan_apply_sharded`) — for when the decoder's activations at the
+        target batch exceed one chip's HBM."""
         import jax
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         self.model = model
         devices = np.array(devices if devices is not None else jax.devices())
-        self.mesh = Mesh(devices, ("data",))
+        self.model_shards = int(model_shards)
+        assert len(devices) % self.model_shards == 0
+        self.n_data = len(devices) // self.model_shards
+        if self.model_shards > 1:
+            self.mesh = Mesh(devices.reshape(self.n_data, self.model_shards), ("data", "model"))
+        else:
+            self.mesh = Mesh(devices, ("data",))
         self.n_devices = len(devices)
         self.data_sh = NamedSharding(self.mesh, P("data"))
         self.repl_sh = NamedSharding(self.mesh, P())
@@ -48,7 +65,7 @@ class BatchedSynthesizer:
         n_req = len(token_ids_list)
         lens = [len(t) for t in token_ids_list]
         T_text = self._bucketed(max(lens), self.text_bucket)
-        B = self._bucketed(n_req, self.n_devices)
+        B = self._bucketed(n_req, self.n_data)
         x = np.zeros((B, T_text), dtype=np.int32)
         xl = np.ones((B,), dtype=np.int32)
         for i, t in enumerate(token_ids_list):
@@ -60,13 +77,57 @@ class BatchedSynthesizer:
         if key not in self._fns:
             net = self.model.net
 
-            def fn(params, xi, xli, rng):
-                out = net.apply(
-                    {"params": params}, xi, xli, y_max,
-                    method=VitsNet.inference,
-                    rngs={"noise": rng, "sdp": jax.random.fold_in(rng, 1)},
+            if self.model_shards > 1:
+                from tpu_tts.parallel.sharded_decoder import hifigan_apply_sharded
+                from tpu_tts.vocoder.models.hifigan_generator import HifiganGenerator
+
+                a = self.model.args
+                mesh = self.mesh
+                mp = self.model_shards
+                # standalone module mirroring VitsNet.setup's waveform_decoder
+                gen_params_tree = self.params["generator"]["waveform_decoder"]
+                gen_mod = HifiganGenerator(
+                    in_channels=a.hidden_channels,
+                    out_channels=1,
+                    resblock_type=str(a.resblock_type_decoder),
+                    resblock_dilation_sizes=tuple(tuple(d) for d in a.resblock_dilation_sizes_decoder),
+                    resblock_kernel_sizes=tuple(a.resblock_kernel_sizes_decoder),
+                    upsample_kernel_sizes=tuple(a.upsample_kernel_sizes_decoder),
+                    upsample_initial_channel=a.upsample_initial_channel_decoder,
+                    upsample_factors=tuple(a.upsample_rates_decoder),
+                    cond_channels=0 if "cond_layer" not in gen_params_tree else a.d_vector_dim or a.speaker_embedding_channels,
                 )
-                return out["model_outputs"], out["y_lengths"]
+                apply_fn = lambda p, zz, gg: gen_mod.apply({"params": p}, zz, g=gg)
+
+                def fn(params, xi, xli, rng):
+                    out = net.apply(
+                        {"params": params}, xi, xli, y_max,
+                        method=VitsNet.inference, decode=False,
+                        rngs={"noise": rng, "sdp": jax.random.fold_in(rng, 1)},
+                    )
+                    g_arr = jnp.asarray(out["g"])  # python 0 when unconditioned
+                    wav = hifigan_apply_sharded(
+                        params["waveform_decoder"], out["z_in"], mesh, "model",
+                        g=None if g_arr.ndim == 0 else g_arr,
+                        resblock_kernel_sizes=tuple(a.resblock_kernel_sizes_decoder),
+                        resblock_dilation_sizes=tuple(tuple(d) for d in a.resblock_dilation_sizes_decoder),
+                        upsample_factors=tuple(a.upsample_rates_decoder),
+                        upsample_kernel_sizes=tuple(a.upsample_kernel_sizes_decoder),
+                        batch_axis="data",
+                        apply_fn=apply_fn,
+                    )
+                    return wav, out["y_lengths"]
+
+                assert y_max % mp == 0, f"mel bucket {y_max} must divide model_shards {mp}"
+            else:
+
+                def fn(params, xi, xli, rng):
+                    out = net.apply(
+                        {"params": params}, xi, xli, y_max,
+                        method=VitsNet.inference,
+                        rngs={"noise": rng, "sdp": jax.random.fold_in(rng, 1)},
+                    )
+                    return out["model_outputs"], out["y_lengths"]
 
             self._fns[key] = jax.jit(fn)
 

@@ -59,12 +59,14 @@ def hifigan_apply_sharded(
     upsample_factors=(8, 8, 2, 2),
     upsample_kernel_sizes=(16, 16, 4, 4),
     apply_fn=None,
+    batch_axis: str = None,
 ) -> jnp.ndarray:
     """Run a HiFi-GAN-style generator with `z` `[B, T, C]` time-sharded over
     `mesh[axis]`. Returns the waveform `[B, T·hop, 1]`, still sharded on the
     same axis. `apply_fn(params, z, g) -> wav` is the local generator forward
     (defaults to `hifigan_apply_pallas`'s XLA fallback math, which mirrors
-    `HifiganGenerator.__call__`)."""
+    `HifiganGenerator.__call__`). `batch_axis` optionally shards the batch dim
+    over another mesh axis (2D data x model serving)."""
     from jax.experimental.shard_map import shard_map
 
     if apply_fn is None:
@@ -111,9 +113,10 @@ def hifigan_apply_sharded(
         return jax.lax.dynamic_slice_in_dim(wav, start, L * hop, axis=1)
 
     g_in = g if g is not None else jnp.zeros((), z.dtype)
+    g_spec = P() if (g is None or g.ndim == 0) else P(batch_axis)
     return shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(None, axis, None), P()),
-        out_specs=P(None, axis, None),
+        in_specs=(P(), P(batch_axis, axis, None), g_spec),
+        out_specs=P(batch_axis, axis, None),
     )(gen_params, z, g_in)
