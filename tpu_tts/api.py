@@ -70,6 +70,11 @@ class TTS:
         from tpu_tts.infer.synthesizer import Synthesizer
 
         model_path, config_path, model_item = self.manager.download_model(model_name)
+        if config_path is None:
+            # multi-file release (fairseq / XTTS-style): the model loads
+            # itself from the directory (ref api.py:130)
+            self.synthesizer = Synthesizer(model_dir=model_path)
+            return
         vocoder_path, vocoder_config_path = None, None
         if model_item.get("default_vocoder"):
             vocoder_path, vocoder_config_path, _ = self.manager.download_model(model_item["default_vocoder"])

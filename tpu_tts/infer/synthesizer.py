@@ -5,6 +5,7 @@ stage :411-429 incl. the denorm/renorm handshake between TTS and vocoder
 audio configs, silence trim :437, sentence joining :441, RTF print :500).
 """
 
+import os
 import time
 from typing import List, Optional
 
@@ -49,6 +50,11 @@ class Synthesizer:
             self._load_vocoder(vocoder_checkpoint, vocoder_config)
         if vc_checkpoint:
             self._load_vc(vc_checkpoint, vc_config)
+        if model_dir:
+            if "fairseq" in model_dir:
+                self._load_fairseq_from_dir(model_dir)
+            else:
+                self._load_tts_from_dir(model_dir)
 
     # ----------------------------------------------------------------- loads
     def _load_tts(self, checkpoint: str, config_path: str) -> None:
@@ -70,6 +76,34 @@ class Synthesizer:
         self.vocoder_model = setup_vocoder(self.vocoder_config)
         self.vocoder_model.load_checkpoint(self.vocoder_config, checkpoint, eval=True)
         self.output_sample_rate = self.vocoder_config.audio["sample_rate"]
+
+    def _load_fairseq_from_dir(self, model_dir: str) -> None:
+        """Load a fairseq-MMS VITS release directory (ref synthesizer.py:144):
+        the model builds its own tokenizer from the shipped vocab."""
+        from tpu_tts.configs.vits_config import VitsConfig
+        from tpu_tts.models.vits import Vits
+
+        self.tts_config = VitsConfig()
+        self.tts_model = Vits.init_from_config(self.tts_config)
+        self.tts_model.load_fairseq_checkpoint(self.tts_config, checkpoint_dir=model_dir, eval=True)
+        self.tts_config = self.tts_model.config
+        self.output_sample_rate = self.tts_config.audio["sample_rate"]
+
+    def _load_tts_from_dir(self, model_dir: str) -> None:
+        """Load a multi-file model directory with its own `config.json`
+        (XTTS-style releases; ref synthesizer.py:156)."""
+        import glob as _glob
+
+        from tpu_tts.models import setup_model
+
+        self.tts_config = load_config(os.path.join(model_dir, "config.json"))
+        self.tts_model = setup_model(self.tts_config)
+        ckpts = [p for p in ("model.pth", "model_file.pth", "checkpoint.pth") if os.path.exists(os.path.join(model_dir, p))]
+        ckpt = os.path.join(model_dir, ckpts[0]) if ckpts else next(iter(sorted(_glob.glob(os.path.join(model_dir, "*.pth")))), model_dir)
+        self.tts_model.load_checkpoint(self.tts_config, ckpt, eval=True)
+        self.speaker_manager = getattr(self.tts_model, "speaker_manager", None)
+        self.language_manager = getattr(self.tts_model, "language_manager", None)
+        self.output_sample_rate = self.tts_config.audio["sample_rate"]
 
     def _load_vc(self, checkpoint: str, config_path: str) -> None:
         from tpu_tts.vc.models import setup_model as setup_vc

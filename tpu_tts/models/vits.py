@@ -36,6 +36,7 @@ from tpu_tts.layers.vits import (
 )
 from tpu_tts.layers.common import DurationPredictor
 from tpu_tts.models.base_tts import BaseTTSModel
+from tpu_tts.text.characters import BaseVocabulary
 from tpu_tts.ops.helpers import generate_path, rand_segments, segment, sequence_mask
 from tpu_tts.ops.mas import maximum_path_jax
 from tpu_tts.vocoder.models.hifigan_generator import HifiganGenerator
@@ -368,16 +369,19 @@ class Vits(BaseTTSModel):
         if language_manager is not None:
             args.num_languages = max(args.num_languages, language_manager.num_languages)
         self.args = args
-        net_args = args.to_dict()
-        # encoder_sample_rate variant (ref vits.py:809): posterior/flow run at
-        # the lower rate; z is interpolated ×factor before the decoder
-        net_args["_output_sample_rate"] = config.audio.sample_rate
-        self.net = VitsNet(args=tuple(sorted(net_args.items(), key=lambda kv: kv[0])))
+        self._build_net()
         self.disc = VitsDiscriminator(
             periods=tuple(args.periods_multi_period_discriminator),
             use_spectral_norm=args.use_spectral_norm_disriminator,
         )
         self._infer_cache = {}
+
+    def _build_net(self):
+        net_args = self.args.to_dict()
+        # encoder_sample_rate variant (ref vits.py:809): posterior/flow run at
+        # the lower rate; z is interpolated ×factor before the decoder
+        net_args["_output_sample_rate"] = self.config.audio.sample_rate
+        self.net = VitsNet(args=tuple(sorted(net_args.items(), key=lambda kv: kv[0])))
 
     def num_optimizers(self) -> int:
         return 2
@@ -729,6 +733,81 @@ class Vits(BaseTTSModel):
 
         return convert_vits_torch_state_dict(state_dict)
 
+    def load_fairseq_checkpoint(self, config, checkpoint_dir: str, eval: bool = True, strict: bool = True):
+        """Load a fairseq-MMS VITS release directory (ref vits.py:1727
+        `load_fairseq_checkpoint`): `config.json` + `G_100000.pth` +
+        `vocab.txt`. Rekeys the fairseq state dict onto reference names and
+        runs it through the regular torch→flax converter; rebuilds the
+        tokenizer from the released vocab (`basic_cleaners`, no phonemes,
+        blank interspersal per the fairseq config)."""
+        import json
+
+        from tpu_tts.models.vits_convert import (
+            convert_vits_torch_state_dict,
+            rehash_fairseq_vits_state_dict,
+        )
+        from tpu_tts.text.cleaners import basic_cleaners
+        from tpu_tts.text.tokenizer import TTSTokenizer
+        from tpu_tts.train.torch_convert import load_torch_checkpoint
+
+        config_file = os.path.join(checkpoint_dir, "config.json")
+        checkpoint_file = os.path.join(checkpoint_dir, "G_100000.pth")
+        vocab_file = os.path.join(checkpoint_dir, "vocab.txt")
+        with open(config_file, "r", encoding="utf-8") as f:
+            config_org = json.load(f)
+        data_org = config_org.get("data", {})
+        self.config.audio.sample_rate = data_org["sampling_rate"]
+        if "hop_length" in data_org:
+            self.config.audio.hop_length = data_org["hop_length"]
+        if "win_length" in data_org:
+            self.config.audio.win_length = data_org["win_length"]
+        if "filter_length" in data_org:
+            self.config.audio.fft_size = data_org["filter_length"]
+            self.args.out_channels = data_org["filter_length"] // 2 + 1
+        # the fairseq config carries the architecture — adopt it so any MMS
+        # release shape loads (the reference assumes the default dims)
+        _ARCH = {
+            "inter_channels": "hidden_channels",
+            "filter_channels": "hidden_channels_ffn_text_encoder",
+            "n_heads": "num_heads_text_encoder",
+            "n_layers": "num_layers_text_encoder",
+            "kernel_size": "kernel_size_text_encoder",
+            "p_dropout": "dropout_p_text_encoder",
+            "resblock": "resblock_type_decoder",
+            "resblock_kernel_sizes": "resblock_kernel_sizes_decoder",
+            "resblock_dilation_sizes": "resblock_dilation_sizes_decoder",
+            "upsample_rates": "upsample_rates_decoder",
+            "upsample_initial_channel": "upsample_initial_channel_decoder",
+            "upsample_kernel_sizes": "upsample_kernel_sizes_decoder",
+            "n_layers_q": "num_layers_posterior_encoder",
+        }
+        for src, dst in _ARCH.items():
+            if src in config_org.get("model", {}):
+                setattr(self.args, dst, config_org["model"][src])
+        vocab = FairseqVocab(vocab_file)
+        self.args.num_chars = vocab.num_chars
+        self.config.model_args.num_chars = vocab.num_chars
+        self._build_net()
+        self.tokenizer = TTSTokenizer(
+            use_phonemes=False,
+            text_cleaner=basic_cleaners,
+            characters=vocab,
+            phonemizer=None,
+            add_blank=config_org["data"]["add_blank"],
+            use_eos_bos=False,
+        )
+        ckpt = load_torch_checkpoint(checkpoint_file)
+        sd = ckpt.get("torch_state_dict")
+        if sd is None:
+            sd = {k: v for k, v in ckpt.items() if hasattr(v, "shape")}
+        params = convert_vits_torch_state_dict(rehash_fairseq_vits_state_dict(sd))
+        if strict and "generator" not in params:
+            raise ValueError(f"no generator weights recovered from {checkpoint_file}")
+        params.setdefault("discriminator", {})  # inference-only release
+        self.params = params
+        self._infer_cache = {}
+        return ckpt
+
     # -------------------------------------------------------------- factory
     @staticmethod
     def init_from_config(config, samples=None):
@@ -745,3 +824,15 @@ class Vits(BaseTTSModel):
         speaker_manager = SpeakerManager.init_from_config(new_config.model_args, samples)
         language_manager = LanguageManager.init_from_config(new_config)
         return Vits(new_config, ap, tokenizer, speaker_manager, language_manager)
+
+
+class FairseqVocab(BaseVocabulary):
+    """Character vocabulary loaded from a fairseq-MMS `vocab.txt` (one symbol
+    per line; line 0 is the blank symbol, pad is the space character) —
+    ref vits.py:1982."""
+
+    def __init__(self, vocab_file: str):
+        with open(vocab_file, encoding="utf-8") as f:
+            symbols = [line.rstrip("\n") for line in f]
+        pad = " " if " " in symbols else None
+        super().__init__(vocab=symbols, pad=pad, blank=symbols[0] if symbols else None)

@@ -313,3 +313,49 @@ def convert_vits_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     if disc:
         out["discriminator"] = disc
     return out
+
+
+# ------------------------------------------------------------------ fairseq
+_FAIRSEQ_FLOW_IDX = {"2": "1", "4": "2", "6": "3"}
+_FAIRSEQ_DP_IDX = {"1": "1", "3": "2", "5": "3", "7": "4"}
+
+
+def rehash_fairseq_vits_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """fairseq-MMS VITS state-dict names → reference/coqui `Vits` names.
+
+    Same key semantics as ref TTS/tts/utils/fairseq.py:4
+    (`rehash_fairseq_vits_checkpoint`): fairseq module prefixes map onto the
+    reference names, the flow/SDP lists drop the interleaved `Flip` layers
+    (fairseq indexes {2,4,6} → {1,2,3}; SDP {1,3,5,7} → {1,2,3,4}), and the
+    SDP `ElementwiseAffine` leaves rename `m`/`logs` → `translation`/
+    `log_scale`. Old-style `weight_g`/`weight_v` weight-norm pairs (fairseq
+    checkpoints predate torch parametrize) are normalized onto the
+    `parametrizations.weight.original{0,1}` naming that `_fold_param_pairs`
+    folds, so `convert_vits_torch_state_dict` can ingest the result directly.
+    """
+    out: Dict[str, Any] = {}
+    for k, v in sd.items():
+        k = re.sub(r"\.weight_g$", ".parametrizations.weight.original0", k)
+        k = re.sub(r"\.weight_v$", ".parametrizations.weight.original1", k)
+        if k.startswith("enc_p."):
+            k = "text_encoder." + k[len("enc_p."):]
+        elif k.startswith("dec."):
+            k = "waveform_decoder." + k[len("dec."):]
+        elif k.startswith("enc_q."):
+            k = "posterior_encoder." + k[len("enc_q."):]
+        elif k.startswith("flow.flows."):
+            idx, rest = k[len("flow.flows."):].split(".", 1)
+            k = f"flow.flows.{_FAIRSEQ_FLOW_IDX.get(idx, idx)}.{rest}"
+        elif k.startswith("dp."):
+            m = re.match(r"dp\.(flows|post_flows)\.(\d+)\.(.*)$", k)
+            if m:
+                group, idx, rest = m.groups()
+                if idx == "0":
+                    rest = {"m": "translation", "logs": "log_scale"}.get(rest, rest)
+                    k = f"duration_predictor.{group}.0.{rest}"
+                else:
+                    k = f"duration_predictor.{group}.{_FAIRSEQ_DP_IDX.get(idx, idx)}.{rest}"
+            else:
+                k = "duration_predictor." + k[len("dp."):]
+        out[k] = v
+    return out

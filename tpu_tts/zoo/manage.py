@@ -18,6 +18,8 @@ from typing import Dict, List, Tuple
 
 from tpu_tts.utils.generic_utils import get_user_data_dir
 
+FAIRSEQ_URI_PREFIX = "https://coqui.gateway.scarf.sh/fairseq/"
+
 LICENSE_URLS = {
     "cc by-nc-nd 4.0": "https://creativecommons.org/licenses/by-nc-nd/4.0/",
     "mpl": "https://www.mozilla.org/en-US/MPL/2.0/",
@@ -135,9 +137,21 @@ class ModelManager:
     # -------------------------------------------------------------- download
     def _set_model_item(self, model_name: str):
         model_type, lang, dataset, model = model_name.split("/")
+        model_full_name = f"{model_type}--{lang}--{dataset}--{model}"
+        if "fairseq" in model_name:
+            # fairseq-MMS VITS releases are addressed `tts_models/<lang>/fairseq/vits`
+            # and are not listed in models.json (ref manage.py:262)
+            model_item = {
+                "model_type": "tts_models",
+                "license": "CC BY-NC 4.0",
+                "default_vocoder": None,
+                "author": "fairseq",
+                "description": "fairseq-MMS VITS (https://github.com/facebookresearch/fairseq/tree/main/examples/mms)",
+                "github_rls_url": f"{FAIRSEQ_URI_PREFIX}{lang}.tar.gz",
+            }
+            return model_item, model_full_name, model
         model_item = dict(self.models_dict[model_type][lang][dataset][model])
         model_item["model_type"] = model_type
-        model_full_name = f"{model_type}--{lang}--{dataset}--{model}"
         return model_item, model_full_name, model
 
     @staticmethod
@@ -182,6 +196,10 @@ class ModelManager:
             except Exception:
                 rmtree(output_path, ignore_errors=True)
                 raise
+        if "fairseq" in model_name or isinstance(model_item.get("hf_url"), list):
+            # multi-file releases: the model loads itself from the directory
+            # (ref manage.py:417-424)
+            return output_path, None, model_item
         output_model_path, output_config_path = self._find_files(output_path)
         self._update_paths(output_path, output_config_path)
         return output_model_path, output_config_path, model_item
@@ -208,6 +226,17 @@ class ModelManager:
         elif tmp.endswith(".tar.bz2") or tmp.endswith(".tar.gz"):
             with tarfile.open(tmp) as t:
                 t.extractall(output_path)
+                tar_names = t.getnames()
+            # releases wrap their files in one top-level dir — flatten it
+            # (ref manage.py:587-593)
+            top = os.path.join(output_path, tar_names[0]) if tar_names else ""
+            if top and os.path.isdir(top):
+                for name in os.listdir(top):
+                    src = os.path.join(top, name)
+                    dst = os.path.join(output_path, os.path.basename(name))
+                    if src != dst and os.path.isfile(src):
+                        copyfile(src, dst)
+                rmtree(top, ignore_errors=True)
         if os.path.exists(tmp) and (tmp.endswith(".zip") or ".tar" in tmp):
             os.remove(tmp)
 
