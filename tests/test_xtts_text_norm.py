@@ -1,0 +1,117 @@
+"""XTTS multilingual text normalization (abbreviations / symbols / numbers).
+
+Cases are the reference's own expectations
+(/root/reference/TTS/tts/layers/xtts/tokenizer.py:671-841). Number expansion
+for non-English Latin languages needs the optional `num2words` package and is
+skipped when it is absent; en and zh run on our native converters.
+"""
+
+import pytest
+
+from tpu_tts.layers.xtts.text_norm import (
+    _has_num2words,
+    expand_abbreviations_multilingual,
+    expand_numbers_multilingual,
+    expand_symbols_multilingual,
+)
+
+NUMBER_CASES_NATIVE = [
+    ("In 12.5 seconds.", "In twelve point five seconds.", "en"),
+    ("There were 50 soldiers.", "There were fifty soldiers.", "en"),
+    ("This is a 1st test", "This is a first test", "en"),
+    ("That will be $20 sir.", "That will be twenty dollars sir.", "en"),
+    ("That will be 20€ sir.", "That will be twenty euro sir.", "en"),
+    ("That will be 20.15€ sir.", "That will be twenty euro, fifteen cents sir.", "en"),
+    ("That's 100,000.5.", "That's one hundred thousand point five.", "en"),
+    ("在12.5秒内", "在十二点五秒内", "zh"),
+    ("有50名士兵", "有五十名士兵", "zh"),
+]
+
+NUMBER_CASES_NUM2WORDS = [
+    ("En 12,5 secondes.", "En douze virgule cinq secondes.", "fr"),
+    ("Il y avait 50 soldats.", "Il y avait cinquante soldats.", "fr"),
+    ("In 12,5 Sekunden.", "In zwölf Komma fünf Sekunden.", "de"),
+    ("Es gab 50 Soldaten.", "Es gab fünfzig Soldaten.", "de"),
+    ("En 12,5 segundos.", "En doce punto cinco segundos.", "es"),
+    ("Había 50 soldados.", "Había cincuenta soldados.", "es"),
+    ("Em 12,5 segundos.", "Em doze vírgula cinco segundos.", "pt"),
+    ("C'erano 50 soldati.", "C'erano cinquanta soldati.", "it"),
+    ("Там было 50 солдат.", "Там было пятьдесят солдат.", "ru"),
+    ("Er waren 50 soldaten.", "Er waren vijftig soldaten.", "nl"),
+    ("50 asker vardı.", "elli asker vardı.", "tr"),
+    ("50 katona volt.", "ötven katona volt.", "hu"),
+    ("50 명의 병사가 있었다.", "오십 명의 병사가 있었다.", "ko"),
+]
+
+ABBREV_CASES = [
+    ("Hello Mr. Smith.", "Hello mister Smith.", "en"),
+    ("Dr. Jones is here.", "doctor Jones is here.", "en"),
+    ("Hola Sr. Garcia.", "Hola señor Garcia.", "es"),
+    ("La Dra. Martinez es muy buena.", "La doctora Martinez es muy buena.", "es"),
+    ("Bonjour Mr. Dupond.", "Bonjour monsieur Dupond.", "fr"),
+    ("Mme. Moreau est absente aujourd'hui.", "madame Moreau est absente aujourd'hui.", "fr"),
+    ("Frau Dr. Müller ist sehr klug.", "Frau doktor Müller ist sehr klug.", "de"),
+    ("Olá Sr. Silva.", "Olá senhor Silva.", "pt"),
+    ("Buongiorno, Sig. Rossi.", "Buongiorno, signore Rossi.", "it"),
+    ("Dzień dobry, P. Kowalski.", "Dzień dobry, pani Kowalski.", "pl"),
+    ("P. Novák", "pan Novák", "cs"),
+    ("Dhr. Jansen", "de heer Jansen", "nl"),
+    ("Здравствуйте Г-н Иванов.", "Здравствуйте господин Иванов.", "ru"),
+    ("Merhaba B. Yılmaz.", "Merhaba bay Yılmaz.", "tr"),
+    ("Dr. Szabó itt van.", "doktor Szabó itt van.", "hu"),
+]
+
+SYMBOL_CASES = [
+    ("I have 14% battery", "I have 14 percent battery", "en"),
+    ("Te veo @ la fiesta", "Te veo arroba la fiesta", "es"),
+    ("J'ai 14° de fièvre", "J'ai 14 degrés de fièvre", "fr"),
+    ("Die Rechnung beträgt £ 20", "Die Rechnung beträgt pfund 20", "de"),
+    ("O meu email é ana&joao@gmail.com", "O meu email é ana e joao arroba gmail.com", "pt"),
+    ("linguaggio di programmazione C#", "linguaggio di programmazione C cancelletto", "it"),
+    ("Moja temperatura to 36.6°", "Moja temperatura to 36.6 stopnie", "pl"),
+    ("Mám 14% baterie", "Mám 14 procento baterie", "cs"),
+    ("Těším se na tebe @ party", "Těším se na tebe na party", "cs"),
+    ("У меня 14% заряда", "У меня 14 процентов заряда", "ru"),
+    ("Ik heb 14% batterij", "Ik heb 14 procent batterij", "nl"),
+    ("لدي 14% في البطارية", "لدي 14 في المئة في البطارية", "ar"),
+    ("我的电量为 14%", "我的电量为 14 百分之", "zh"),
+    ("Pilim %14 dolu.", "Pilim yüzde 14 dolu.", "tr"),
+    ("Az akkumulátorom töltöttsége 14%", "Az akkumulátorom töltöttsége 14 százalék", "hu"),
+    ("배터리 잔량이 14%입니다.", "배터리 잔량이 14 퍼센트입니다.", "ko"),
+]
+
+
+@pytest.mark.parametrize("text,expected,lang", NUMBER_CASES_NATIVE)
+def test_expand_numbers_native(text, expected, lang):
+    assert expand_numbers_multilingual(text, lang) == expected
+
+
+@pytest.mark.parametrize("text,expected,lang", NUMBER_CASES_NUM2WORDS)
+def test_expand_numbers_num2words(text, expected, lang):
+    if not _has_num2words():
+        pytest.skip("num2words not installed")
+    assert expand_numbers_multilingual(text, lang) == expected
+
+
+def test_numbers_passthrough_without_num2words():
+    if _has_num2words():
+        pytest.skip("num2words installed")
+    assert expand_numbers_multilingual("50 soldats", "fr") == "50 soldats"
+
+
+@pytest.mark.parametrize("text,expected,lang", ABBREV_CASES)
+def test_expand_abbreviations(text, expected, lang):
+    assert expand_abbreviations_multilingual(text, lang) == expected
+
+
+@pytest.mark.parametrize("text,expected,lang", SYMBOL_CASES)
+def test_expand_symbols(text, expected, lang):
+    assert expand_symbols_multilingual(text, lang) == expected
+
+
+def test_multilingual_cleaners_end_to_end():
+    from tpu_tts.layers.xtts.tokenizer import multilingual_cleaners
+
+    assert multilingual_cleaners('Dr. Smith has 50% battery & $20.', "en") == (
+        "doctor smith has fifty percent battery and twenty dollars."
+    )

@@ -8,8 +8,12 @@ loaded from the model directory, language-tagged encoding
 import re
 from typing import List, Optional
 
+from tpu_tts.layers.xtts.text_norm import (
+    expand_abbreviations_multilingual,
+    expand_numbers_multilingual,
+    expand_symbols_multilingual,
+)
 from tpu_tts.text.cleaners import collapse_whitespace, lowercase
-from tpu_tts.text.english.number_norm import normalize_numbers
 from tpu_tts.text.sentence_split import split_sentences
 
 # per-language input char limits (ref tokenizer.py char_limits)
@@ -25,8 +29,9 @@ def multilingual_cleaners(text: str, lang: str) -> str:
     if lang == "tr":
         text = text.replace("İ", "i").replace("Ö", "ö").replace("Ü", "ü")
     text = lowercase(text)
-    if lang in ("en",):
-        text = normalize_numbers(text)
+    text = expand_numbers_multilingual(text, lang)
+    text = expand_abbreviations_multilingual(text, lang)
+    text = expand_symbols_multilingual(text, lang)
     text = collapse_whitespace(text)
     return text
 
