@@ -38,6 +38,13 @@ class BarkArgs(Coqpit):
     coarse_rate_hz: float = 75.0
     sample_rate: int = 24000
     kv_cache_len: int = 1024
+    # voice-prompt conditioning (ref inference_funcs.py:345-370): history
+    # token budgets and the special-token id layout of the suno release
+    text_encoding_offset: int = 10048
+    semantic_infer_token: int = 129599
+    semantic_history_len: int = 256
+    coarse_history_len: int = 630
+    fine_history_len: int = 512
 
 
 class BarkStageGPT(nn.Module):
@@ -175,8 +182,10 @@ class Bark(BaseTTSModel):
             n_layer=a.gpt_layers, n_head=a.gpt_heads, n_embd=a.gpt_channels,
             kv_cache_len=a.kv_cache_len,
         )
+        # input space covers semantic ids, the infer token, and (offset)
+        # coarse-history ids — mirroring the suno id layout
         self.coarse_model = BarkStageGPT(
-            in_vocab=a.semantic_vocab_size + 1, out_vocab=a.coarse_vocab_size,
+            in_vocab=a.semantic_vocab_size + 1 + a.coarse_vocab_size, out_vocab=a.coarse_vocab_size,
             n_layer=a.gpt_layers, n_head=a.gpt_heads, n_embd=a.gpt_channels,
             kv_cache_len=a.kv_cache_len,
         )
@@ -208,19 +217,50 @@ class Bark(BaseTTSModel):
     def loss_fn(self, *args, **kwargs):
         raise NotImplementedError(" [!] Bark training is not supported (inference-only, as in the reference).")
 
-    def generate_audio(self, text_tokens: np.ndarray, max_semantic: int = 256, max_coarse: int = 256, seed: int = 0):
-        """Full cascade: text tokens → semantic → coarse → fine → waveform."""
+    def generate_audio(
+        self,
+        text_tokens: np.ndarray,
+        history_prompt=None,
+        max_semantic: int = 256,
+        max_coarse: int = 256,
+        seed: int = 0,
+    ):
+        """Full cascade: text tokens → semantic → coarse → fine → waveform.
+
+        `history_prompt` is the cloned-voice `(semantic, coarse, fine)` tuple
+        (ref inference_funcs.py:149 npz layout): the semantic history is
+        prepended to the text-stage prompt, the coarse history (id-offset past
+        the semantic space) to the coarse-stage prompt, and the fine history
+        frames prefix the fine refinement window (then get sliced off)."""
         a = self.args
         tt = jnp.asarray(text_tokens, dtype=jnp.int32)
         if tt.ndim == 1:
             tt = tt[None]
+        sem_hist, coarse_hist, fine_hist = history_prompt or (None, None, None)
+        if sem_hist is not None:
+            h = jnp.asarray(np.asarray(sem_hist)[-a.semantic_history_len:], dtype=jnp.int32)
+            tt = jnp.concatenate([tt, jnp.tile(h[None], (tt.shape[0], 1))], axis=1)
+        tt = jnp.concatenate(
+            [tt, jnp.full((tt.shape[0], 1), a.semantic_infer_token, dtype=jnp.int32)], axis=1
+        )
         r = jax.random.PRNGKey(seed)
         sem, sem_valid = self.text_model.apply(
             {"params": self.params["text"]}, tt, r, max_semantic,
             method=BarkStageGPT.generate, stop_token=a.semantic_vocab_size,
         )
+        coarse_prompt = sem
+        if coarse_hist is not None:
+            ch = np.asarray(coarse_hist)[: a.n_codes_given]  # [n_q, T]
+            flat = ch.T.reshape(-1)[-a.coarse_history_len:]  # interleaved codebooks
+            ch_ids = jnp.asarray(flat, dtype=jnp.int32) + a.semantic_vocab_size + 1
+            parts = [
+                jnp.tile(ch_ids[None], (sem.shape[0], 1)),
+                jnp.full((sem.shape[0], 1), a.semantic_vocab_size, dtype=jnp.int32),  # infer token
+                sem,
+            ]
+            coarse_prompt = jnp.concatenate(parts, axis=1)
         coarse, _ = self.coarse_model.apply(
-            {"params": self.params["coarse"]}, sem, jax.random.fold_in(r, 1), max_coarse,
+            {"params": self.params["coarse"]}, coarse_prompt, jax.random.fold_in(r, 1), max_coarse,
             method=BarkStageGPT.generate,
         )
         # stack coarse into the first n_codes_given codebooks
@@ -228,12 +268,57 @@ class Bark(BaseTTSModel):
         codes = jnp.zeros((coarse.shape[0], T, a.n_codes_total), dtype=jnp.int32)
         for c in range(a.n_codes_given):
             codes = codes.at[:, :, c].set(coarse[:, c::a.n_codes_given][:, :T] % a.fine_vocab_size)
-        # fine model fills the remaining codebooks
+        # fine model fills the remaining codebooks, with the cloned voice's
+        # fine frames as a refinement prefix
+        n_hist = 0
+        if fine_hist is not None:
+            fh = np.asarray(fine_hist)[: a.n_codes_total, -a.fine_history_len:].T  # [T_h, n_q]
+            n_hist = fh.shape[0]
+            fh_b = jnp.tile(jnp.asarray(fh, dtype=jnp.int32)[None] % a.fine_vocab_size, (codes.shape[0], 1, 1))
+            codes = jnp.concatenate([fh_b, codes], axis=1)
         for c in range(a.n_codes_given, a.n_codes_total):
             logits = self.fine_model.apply({"params": self.params["fine"]}, codes, c)
-            codes = codes.at[:, :, c].set(jnp.argmax(logits, axis=-1))
+            filled = jnp.argmax(logits, axis=-1)
+            if n_hist:  # keep the history frames verbatim
+                filled = filled.at[:, :n_hist].set(codes[:, :n_hist, c])
+            codes = codes.at[:, :, c].set(filled)
+        if n_hist:
+            codes = codes[:, n_hist:]
         wav = self.codec.apply({"params": self.params["codec"]}, codes)
         return np.asarray(wav)[0, :, 0], np.asarray(sem), np.asarray(codes)
+
+    # ------------------------------------------------------------- synthesize
+    def _text_to_tokens(self, text: str) -> np.ndarray:
+        """BERT-tokenize + offset into the bark text id region
+        (ref inference_funcs.py: TEXT_ENCODING_OFFSET). Falls back to byte
+        ids when the HF tokenizer isn't available."""
+        a = self.args
+        if self.tokenizer is not None and hasattr(self.tokenizer, "encode"):
+            ids = np.asarray(self.tokenizer.encode(text), dtype=np.int64)
+        else:
+            try:
+                from transformers import BertTokenizer
+
+                tok = BertTokenizer.from_pretrained("bert-base-multilingual-cased")
+                ids = np.asarray(tok.encode(text, add_special_tokens=False), dtype=np.int64)
+            except Exception:
+                ids = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        return (ids + a.text_encoding_offset).astype(np.int32)
+
+    def synthesize(self, text: str, config, speaker_id: str = "random", voice_dirs=None, **kwargs):
+        """Reference `Bark.synthesize` surface (ref bark.py:197): resolve the
+        voice (cloning + caching on first use), run the cascade."""
+        from tpu_tts.layers.bark_voice_clone import load_voice
+
+        speaker_id = "random" if speaker_id is None else speaker_id
+        if voice_dirs is None:
+            voice_dirs = []
+        elif isinstance(voice_dirs, str):
+            voice_dirs = [voice_dirs]
+        history_prompt = load_voice(self, speaker_id, voice_dirs)
+        tokens = self._text_to_tokens(text)
+        wav, _, _ = self.generate_audio(tokens, history_prompt=history_prompt, **kwargs)
+        return {"wav": wav, "text_inputs": text}
 
     @staticmethod
     def init_from_config(config, samples=None):
