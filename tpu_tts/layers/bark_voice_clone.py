@@ -21,6 +21,17 @@ TOKENIZER_REPO = "GitMylo/bark-voice-cloning"
 TOKENIZER_NAME = "quantifier_hubert_base_ls960_14.pth"
 
 
+def _resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    if orig_sr == target_sr:
+        return np.asarray(x, dtype=np.float32)
+    import math
+
+    from scipy.signal import resample_poly
+
+    g = math.gcd(int(orig_sr), int(target_sr))
+    return resample_poly(x, target_sr // g, orig_sr // g, axis=-1).astype(np.float32)
+
+
 class HubertManager:
     """Fetch-or-find the HuBERT encoder + quantizer checkpoints
     (ref hubert_manager.py:9)."""
@@ -133,12 +144,11 @@ class CustomHubert:
     def __call__(self, wav, input_sample_hz: Optional[int] = None):
         """wav `[T]` or `[1, T]` torch tensor → features `[N, 768]`."""
         import torch
-        import torchaudio.functional as AF
 
         if wav.dim() == 1:
             wav = wav[None]
         if input_sample_hz is not None and input_sample_hz != self.target_sample_hz:
-            wav = AF.resample(wav, input_sample_hz, self.target_sample_hz)
+            wav = torch.from_numpy(_resample(wav.cpu().numpy(), input_sample_hz, self.target_sample_hz))
         with torch.no_grad():
             out = self.model(wav, output_hidden_states=True)
         return out.hidden_states[self.output_layer].reshape(-1, 768)
@@ -214,9 +224,7 @@ def generate_voice(audio, model, output_path: str, hubert_model=None, hubert_tok
         codec_encoder = EncodecModel.from_pretrained("facebook/encodec_24khz")
         codec_encoder.eval()
     if sr != sample_rate:
-        import torchaudio.functional as AF
-
-        audio_t = AF.resample(audio_t, sr, sample_rate)
+        audio_t = torch.from_numpy(_resample(audio_t.cpu().numpy(), sr, sample_rate))
     with torch.no_grad():
         enc = codec_encoder.encode(audio_t[None])
     codes = enc.audio_codes if hasattr(enc, "audio_codes") else enc[0]

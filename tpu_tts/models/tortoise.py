@@ -37,6 +37,9 @@ class TortoiseArgs(Coqpit):
     kv_cache_len: int = 768
     num_ar_samples: int = 4
     diffusion_steps: int = 30
+    # waveform stage + prompt-redaction (ref tortoise.py:265,258)
+    vocoder_upsample_factors: tuple = (8, 8, 4)
+    enable_redaction: bool = False
 
 
 class CLVPTower(nn.Module):
@@ -119,7 +122,14 @@ class Tortoise(BaseTTSModel):
         self.clvp = CLVP(a.clvp_dim, a.clvp_layers, a.num_chars, a.mel_code_vocab)
         self.code_latent = None  # set lazily: code embedding table shared from AR
         self.diffusion = DiffusionDecoder(a.diff_channels, a.diff_layers, a.out_channels)
+        from tpu_tts.vocoder.models.univnet_generator import UnivnetGenerator
+
+        # mel → waveform stage (ref tortoise.py:383 builds a UnivNet vocoder)
+        self.vocoder = UnivnetGenerator(
+            cond_channels=a.out_channels, upsample_factors=tuple(a.vocoder_upsample_factors)
+        )
         self.cond_proj_dim = a.diff_channels
+        self._aligner = None
         self.params = None
         # linear DDIM alpha schedule
         betas = np.linspace(1e-4, 0.02, 1000)
@@ -127,7 +137,7 @@ class Tortoise(BaseTTSModel):
 
     def init_params(self, rng):
         a = self.args
-        r1, r2, r3 = jax.random.split(rng, 3)
+        r1, r2, r3, r4, r5 = jax.random.split(rng, 5)
         text = jnp.zeros((1, 8), dtype=jnp.int32)
         codes = jnp.zeros((1, 10), dtype=jnp.int32)
         cond = jnp.zeros((1, 0, a.gpt_channels))
@@ -136,7 +146,10 @@ class Tortoise(BaseTTSModel):
         diff = self.diffusion.init(
             r3, jnp.zeros((1, 16, a.out_channels)), jnp.zeros((1, 8)), jnp.zeros((1, 16, a.gpt_channels))
         )["params"]
-        self.params = {"autoregressive": ar, "clvp": clvp, "diffusion": diff}
+        voc = self.vocoder.init(
+            {"params": r4, "noise": r5}, jnp.zeros((1, 8, a.out_channels))
+        )["params"]
+        self.params = {"autoregressive": ar, "clvp": clvp, "diffusion": diff, "vocoder": voc}
         return self.params
 
     def loss_fn(self, *args, **kwargs):
@@ -197,8 +210,10 @@ class Tortoise(BaseTTSModel):
         return x
 
     def inference(self, text_tokens: np.ndarray, num_ar_samples: Optional[int] = None, seed: int = 0,
-                  max_code_tokens: int = 96, diffusion_steps: Optional[int] = None) -> Dict:
-        """AR candidates → CLVP best → diffusion mel (ref tortoise pipeline)."""
+                  max_code_tokens: int = 96, diffusion_steps: Optional[int] = None,
+                  text: Optional[str] = None) -> Dict:
+        """AR candidates → CLVP best → diffusion mel → UnivNet wav, with
+        optional `[bracketed]`-span redaction (ref tortoise.py:807)."""
         a = self.args
         tt = jnp.asarray(text_tokens, dtype=jnp.int32)
         if tt.ndim == 1:
@@ -212,12 +227,28 @@ class Tortoise(BaseTTSModel):
         best = jnp.argmax(scores)
         best_latents = latents[best][None]
         mel = self._ddim(best_latents, jax.random.fold_in(rng, 1), diffusion_steps or a.diffusion_steps)
+        wav = self.vocoder.apply(
+            {"params": self.params["vocoder"]}, mel, rngs={"noise": jax.random.fold_in(rng, 2)}
+        )
+        wav = np.asarray(wav)[0, :, 0]
+        if a.enable_redaction and text is not None:
+            wav = self.aligner.redact(wav, text, getattr(self.config, "sample_rate", 24000) or 24000)
         return {
             "model_outputs": np.asarray(mel),
+            "wav": wav,
             "clvp_scores": np.asarray(scores),
             "best_candidate": int(best),
             "gpt_codes": np.asarray(codes),
         }
+
+    @property
+    def aligner(self):
+        """Lazy wav2vec2 aligner for redaction (ref tortoise.py:336)."""
+        if self._aligner is None:
+            from tpu_tts.layers.tortoise_align import Wav2VecAlignment
+
+            self._aligner = Wav2VecAlignment()
+        return self._aligner
 
     @staticmethod
     def init_from_config(config, samples=None):
