@@ -339,6 +339,10 @@ class Tacotron2DecoderCell(nn.Module):
 
     frame_channels: int = 80
     r: int = 1
+    # param-shape reduction factor for gradual training (ref layers/tacotron/
+    # tacotron2.py uses `r_init` so `set_r` can shrink r without re-init):
+    # projections are sized for r_init and sliced to the active r. 0 → r.
+    r_init: int = 0
     encoder_dim: int = 512
     attn_rnn_dim: int = 1024
     decoder_rnn_dim: int = 1024
@@ -371,7 +375,7 @@ class Tacotron2DecoderCell(nn.Module):
             K=kw.get("K", 5),
         )
         self.decoder_rnn = nn.OptimizedLSTMCell(self.decoder_rnn_dim)
-        self.linear_projection = nn.Dense(self.frame_channels * self.r)
+        self.linear_projection = nn.Dense(self.frame_channels * (self.r_init or self.r))
         self.stopnet = nn.Dense(1)
 
     def preprocess_inputs(self, inputs):
@@ -401,8 +405,9 @@ class Tacotron2DecoderCell(nn.Module):
         dec_rnn_state, dec_h = self.decoder_rnn(carry["dec_rnn"], dec_in)
         dec_h = nn.Dropout(0.1, deterministic=not train)(dec_h)
         proj_in = jnp.concatenate([dec_h, context], axis=-1)
-        frames = self.linear_projection(proj_in)  # [B, mel*r]
-        stop_in = jnp.concatenate([dec_h, frames], axis=-1)
+        frames_full = self.linear_projection(proj_in)  # [B, mel*r_init]
+        frames = frames_full[..., : self.frame_channels * self.r]  # active r
+        stop_in = jnp.concatenate([dec_h, frames_full], axis=-1)
         stop = self.stopnet(jax.lax.stop_gradient(stop_in) if False else stop_in)[:, 0]
         new_carry = {
             "attn_rnn": attn_rnn_state,
@@ -420,6 +425,7 @@ class Tacotron2Decoder(nn.Module):
 
     frame_channels: int = 80
     r: int = 1
+    r_init: int = 0  # see Tacotron2DecoderCell.r_init
     encoder_dim: int = 512
     attn_rnn_dim: int = 1024
     decoder_rnn_dim: int = 1024
@@ -433,6 +439,7 @@ class Tacotron2Decoder(nn.Module):
         self.cell = Tacotron2DecoderCell(
             frame_channels=self.frame_channels,
             r=self.r,
+            r_init=self.r_init,
             encoder_dim=self.encoder_dim,
             attn_rnn_dim=self.attn_rnn_dim,
             decoder_rnn_dim=self.decoder_rnn_dim,

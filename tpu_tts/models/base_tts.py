@@ -45,6 +45,39 @@ class BaseTTSModel:
     def get_aux_input(self, **kwargs) -> Dict:
         return {"speaker_id": None, "style_wav": None, "d_vector": None, "language_id": None}
 
+    # ------------------------------------------------- gradual training (r)
+    def set_r(self, new_r: int):
+        """Switch the decoder reduction factor without re-initializing params:
+        tacotron-family nets size their frame projections for `r_init` and
+        slice to the active `r` (ref layers/tacotron/tacotron2.py `set_r`).
+        Triggers a re-trace on the next jit."""
+        if not hasattr(self.net, "r"):
+            raise AttributeError(f"{type(self).__name__} has no reduction factor")
+        if new_r > (getattr(self.net, "r_init", 0) or self.net.r):
+            raise ValueError(f"new r={new_r} exceeds r_init={getattr(self.net, 'r_init', self.net.r)}")
+        self.net = self.net.clone(r=int(new_r))
+        self._infer_cache = {}
+
+    def on_epoch_start(self, trainer) -> bool:
+        """Gradual-training schedule `[[step, r, batch_size], ...]` (ref
+        base_tacotron.py on_epoch_start + utils/training.py:33). Returns True
+        when the trainer must rebuild its jitted steps / data loader."""
+        gt = getattr(self.config, "gradual_training", None)
+        if not gt:
+            return False
+        from tpu_tts.train.training import gradual_training_scheduler
+
+        new_r, new_bs = gradual_training_scheduler(trainer.total_steps_done, self.config)
+        changed = False
+        if new_bs and new_bs != self.config.batch_size:
+            self.config.batch_size = int(new_bs)
+            changed = True
+        if new_r and new_r != self.net.r:
+            self.set_r(new_r)
+            print(f" > Gradual training: r={new_r}, batch_size={new_bs}")
+            changed = True
+        return changed
+
     def on_init_start(self, trainer):
         """Persist `speakers.pth` / `language_ids.json` next to the run config
         and point the config at them (ref tts/models/base_tts.py:420-441), so a

@@ -79,6 +79,7 @@ class TacotronDecoderCell(nn.Module):
 
     frame_channels: int = 80
     r: int = 5
+    r_init: int = 0  # param-shape r for gradual training (0 -> r)
     encoder_dim: int = 256
     attn_kwargs: Optional[tuple] = None
 
@@ -97,7 +98,7 @@ class TacotronDecoderCell(nn.Module):
         )
         self.project_to_decoder_in = nn.Dense(256)
         self.decoder_rnns = [nn.GRUCell(256) for _ in range(2)]
-        self.proj_to_mel = nn.Dense(self.frame_channels * self.r)
+        self.proj_to_mel = nn.Dense(self.frame_channels * (self.r_init or self.r))
         self.stopnet = nn.Dense(1)
 
     def preprocess_inputs(self, inputs):
@@ -124,8 +125,9 @@ class TacotronDecoderCell(nn.Module):
             s, _ = cell(carry["dec_rnns"][i], h)
             h = h + s
             dec_states.append(s)
-        frames = self.proj_to_mel(h)
-        stop = self.stopnet(jnp.concatenate([h, frames], axis=-1))[:, 0]
+        frames_full = self.proj_to_mel(h)  # [B, mel*r_init]
+        frames = frames_full[..., : self.frame_channels * self.r]  # active r
+        stop = self.stopnet(jnp.concatenate([h, frames_full], axis=-1))[:, 0]
         new_carry = {
             "attn_rnn": attn_rnn,
             "dec_rnns": tuple(dec_states),
@@ -140,6 +142,7 @@ class TacotronNet(nn.Module):
     decoder_output_dim: int = 80  # mel
     out_channels: int = 513  # linear spec (postnet CBHG output)
     r: int = 5
+    r_init: int = 0  # param-shape r for gradual training (0 -> r)
     attn_kwargs: Optional[tuple] = None
     max_decoder_steps: int = 500
     memory_size: int = -1
@@ -179,7 +182,8 @@ class TacotronNet(nn.Module):
             )
             encoder_dim += self.cap_dim
         self.cell = TacotronDecoderCell(
-            frame_channels=self.decoder_output_dim, r=self.r, encoder_dim=encoder_dim, attn_kwargs=self.attn_kwargs
+            frame_channels=self.decoder_output_dim, r=self.r, r_init=self.r_init,
+            encoder_dim=encoder_dim, attn_kwargs=self.attn_kwargs,
         )
         self.postnet_cbhg = CBHG(
             K=8, conv_bank_features=128, conv_projections=(256, self.decoder_output_dim),
@@ -305,6 +309,7 @@ class Tacotron(BaseTTSModel):
             decoder_output_dim=getattr(config, "decoder_output_dim", 80),
             out_channels=getattr(config, "out_channels", 513),
             r=config.r,
+            r_init=config.r,
             attn_kwargs=attn_kwargs,
             max_decoder_steps=getattr(config, "max_decoder_steps", 500),
             use_gst=bool(getattr(config, "use_gst", False)),

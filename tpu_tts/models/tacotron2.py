@@ -37,6 +37,7 @@ class Tacotron2Net(nn.Module):
     num_chars: int
     out_channels: int = 80
     r: int = 2
+    r_init: int = 0  # param-shape r for gradual training (0 → r)
     encoder_dim: int = 512
     attn_type: str = "original"
     attn_kwargs: Optional[tuple] = None
@@ -80,6 +81,7 @@ class Tacotron2Net(nn.Module):
         self.decoder = Tacotron2Decoder(
             frame_channels=self.out_channels,
             r=self.r,
+            r_init=self.r_init,
             encoder_dim=decoder_in,
             attn_type=self.attn_type,
             attn_kwargs=self.attn_kwargs,
@@ -198,6 +200,7 @@ class Tacotron2(BaseTTSModel):
             num_chars=num_chars,
             out_channels=config.audio.num_mels,
             r=config.r,
+            r_init=config.r,
             attn_type=getattr(config, "attention_type", "original"),
             attn_kwargs=attn_kwargs,
             prenet_dropout_at_inference=getattr(config, "prenet_dropout_at_inference", False),

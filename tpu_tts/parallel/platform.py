@@ -20,9 +20,18 @@ def maybe_force_platform() -> None:
 
 def init_distributed(coordinator_address=None, num_processes=None, process_id=None) -> None:
     """Multi-host init (the moral replacement for the reference's
-    `trainer.distribute` + TTS/utils/distribute.py:13 NCCL setup)."""
+    `trainer.distribute` + TTS/utils/distribute.py:13 NCCL setup).
+
+    Explicit args win; otherwise the `TPU_TTS_COORDINATOR` /
+    `TPU_TTS_NUM_PROCESSES` / `TPU_TTS_PROCESS_ID` env set by
+    `python -m tpu_tts.bin.distribute` is used; with neither, JAX's own
+    cluster auto-detection runs (TPU pod metadata)."""
     import jax
 
+    if coordinator_address is None and os.environ.get("TPU_TTS_COORDINATOR"):
+        coordinator_address = os.environ["TPU_TTS_COORDINATOR"]
+        num_processes = int(os.environ["TPU_TTS_NUM_PROCESSES"])
+        process_id = int(os.environ["TPU_TTS_PROCESS_ID"])
     kwargs = {}
     if coordinator_address:
         kwargs = dict(

@@ -252,6 +252,16 @@ class Trainer:
             self.keep_avg_train = KeepAverage()
             epoch_start = time.time()
             print(f"\n > EPOCH: {epoch}/{self.config.epochs} --> {self.output_path}", flush=True)
+            # model epoch hook (ref trainer `on_epoch_start`): a truthy return
+            # means the model/config changed shape (e.g. gradual-r) — drop the
+            # compiled steps and rebuild the loader
+            if hasattr(self.model, "on_epoch_start"):
+                if self.model.on_epoch_start(self):
+                    self._jit_steps.clear()
+                    train_loader = self.model.get_data_loader(
+                        self.config, self.assets, is_eval=False, samples=self.train_samples,
+                        verbose=False, num_gpus=self.n_devices,
+                    )
             for batch in train_loader:
                 step_start = time.time()
                 profiler.maybe_start(self.total_steps_done)
