@@ -16,17 +16,27 @@ from tpu_tts.layers.common import WNConv1d
 
 
 class UpsampleNetwork(nn.Module):
-    """Nearest/stretch 2D upsampling of mel over time (ref layers/upsample.py)."""
+    """`ConvUpsample` (ref layers/upsample.py:66): a 1×1 context conv over the
+    mel, then per upsample factor a nearest-neighbor time stretch followed by
+    a bias-free smoothing filter of width 2s+1 SHARED across mel bins (the
+    reference's Conv2d(1, 1, (1, 2s+1)) over the [bins, time] plane)."""
 
     upsample_factors: Tuple[int, ...]
+    aux_channels: int = 80
 
     @nn.compact
     def __call__(self, c):
-        # c: [B, T, C] -> upsample time by prod(factors) via repeat + conv smoothing
+        # c: [B, T, C]
+        c = nn.Conv(self.aux_channels, (1,), use_bias=False, name="conv_in")(c)
+        B = c.shape[0]
         for i, s in enumerate(self.upsample_factors):
             c = jnp.repeat(c, s, axis=1)
             k = 2 * s + 1
-            c = nn.Conv(c.shape[-1], (k,), padding="SAME", use_bias=False, name=f"smooth_{i}")(c)
+            # shared-across-channels smoothing: fold channels into batch
+            T, C = c.shape[1], c.shape[2]
+            flat = jnp.swapaxes(c, 1, 2).reshape(B * C, T, 1)
+            flat = nn.Conv(1, (k,), padding="SAME", use_bias=False, name=f"smooth_{i}")(flat)
+            c = jnp.swapaxes(flat.reshape(B, C, T), 1, 2)
         return c
 
 
@@ -49,7 +59,7 @@ class ParallelWaveganGenerator(nn.Module):
     def __call__(self, c, z=None):
         """c: mel `[B, T_mel, C]`; z: noise `[B, T, 1]` (sampled if None)."""
         hop = int(np.prod(self.upsample_factors))
-        c_up = UpsampleNetwork(self.upsample_factors, name="upsample")(c)
+        c_up = UpsampleNetwork(self.upsample_factors, aux_channels=self.aux_channels, name="upsample")(c)
         T = c_up.shape[1]
         if z is None:
             z = jax.random.normal(self.make_rng("noise"), (c.shape[0], T, self.in_channels))
@@ -67,13 +77,15 @@ class ParallelWaveganGenerator(nn.Module):
             skip = WNConv1d(self.skip_channels, 1, name=f"skip_{i}")(out)
             skips = skips + skip
             res = WNConv1d(self.res_channels, 1, name=f"res_{i}")(out)
-            x = (res_in + res) * (0.5**0.5)
+            # NB: the reference scales by 0.5**2 (layers/parallel_wavegan.py:75),
+            # not the paper's sqrt(0.5) — match it for checkpoint parity
+            x = (res_in + res) * (0.5**2)
         x = skips * (1.0 / np.sqrt(self.num_res_blocks))
         x = nn.relu(x)
         x = WNConv1d(self.skip_channels, 1, name="last_conv1")(x)
         x = nn.relu(x)
         x = WNConv1d(self.out_channels, 1, name="last_conv2")(x)
-        return jnp.tanh(x)
+        return x  # the reference emits the raw conv output (no tanh)
 
     def inference(self, c):
         return self(c)

@@ -136,6 +136,10 @@ def convert_gan_torch_state_dict(state_dict: Dict[str, Any], generator_name: str
         map_melgan_generator(gen_folded, gen_tree, "g")
     elif base == "univnet":
         map_univnet_generator(gen_folded, gen_tree, "g")
+    elif base == "parallel_wavegan":
+        map_parallel_wavegan_generator(gen_folded, gen_tree, "g")
+        if disc_sd:
+            out["discriminator"] = convert_parallel_wavegan_discriminator_state_dict(disc_sd)
     else:
         raise NotImplementedError(f"no vocoder converter for generator '{generator_name}' yet")
     out["generator"] = gen_tree.get("g", {})
@@ -226,3 +230,43 @@ def convert_univnet_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     tree: Dict[str, Any] = {}
     map_univnet_generator(sd, tree, "g")
     return tree.get("g", {})
+
+
+def map_parallel_wavegan_generator(sd: Dict[str, np.ndarray], tree: Dict, dst: str):
+    """Reference `ParallelWaveganGenerator` (parallel_wavegan_generator.py:9 +
+    layers/parallel_wavegan.py ResidualBlock + layers/upsample.py ConvUpsample)
+    → our `ParallelWaveganGenerator` tree. Expects folded weight norm."""
+    _set(tree, f"{dst}/upsample/conv_in/kernel", _conv1d(sd["upsample_net.conv_in.weight"]))
+    for k in sd:
+        m = re.match(r"upsample_net\.upsample\.up_layers\.(\d+)\.weight$", k)
+        if m:
+            # per scale j: Stretch2d at 2j, smoothing Conv2d at 2j+1
+            j = (int(m.group(1)) - 1) // 2
+            w = np.asarray(sd[k])  # [1, 1, 1, kt]
+            _set(tree, f"{dst}/upsample/smooth_{j}/kernel", w.reshape(-1, 1, 1))
+    _map_norm_conv(tree, f"{dst}/first_conv", sd["first_conv.weight"], sd.get("first_conv.bias"), False)
+    for k in sd:
+        m = re.match(r"conv_layers\.(\d+)\.(conv|conv1x1_aux|conv1x1_skip|conv1x1_out)\.weight$", k)
+        if not m:
+            continue
+        i, part = int(m.group(1)), m.group(2)
+        my = {"conv": f"conv_{i}", "conv1x1_aux": f"aux_{i}", "conv1x1_skip": f"skip_{i}", "conv1x1_out": f"res_{i}"}[part]
+        _map_norm_conv(tree, f"{dst}/{my}", sd[k], sd.get(f"conv_layers.{i}.{part}.bias"), False)
+    _map_norm_conv(tree, f"{dst}/last_conv1", sd["last_conv_layers.1.weight"], sd.get("last_conv_layers.1.bias"), False)
+    _map_norm_conv(tree, f"{dst}/last_conv2", sd["last_conv_layers.3.weight"], sd.get("last_conv_layers.3.bias"), False)
+
+
+def convert_parallel_wavegan_discriminator_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference `ParallelWaveganDiscriminator` (parallel_wavegan_discriminator.py:9):
+    convs at even ModuleList slots (LeakyReLU between); the final output conv
+    is appended to the same list, so the highest even slot maps to our
+    `conv_last`."""
+    folded = _fold_param_pairs({k: np.asarray(v) for k, v in sd.items()})
+    idxs = sorted(
+        int(m.group(1)) for k in folded if (m := re.match(r"conv_layers\.(\d+)\.weight$", k))
+    )
+    tree: Dict[str, Any] = {}
+    for i in idxs:
+        dst = "conv_last" if i == idxs[-1] else f"conv_{i // 2}"
+        _map_norm_conv(tree, dst, folded[f"conv_layers.{i}.weight"], folded.get(f"conv_layers.{i}.bias"), False)
+    return tree
