@@ -92,28 +92,34 @@ def convert_glow_tts_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, A
         if k == "emb_g.weight":
             _set(out, "emb_g/embedding", v)
 
-    # ---------------- decoder: flows = [actnorm, invconv, coupling] * B ----
+    map_glow_decoder(sd, out, "decoder.flows", "decoder")
+
+    return out
+
+
+def map_glow_decoder(sd: Dict[str, np.ndarray], out: Dict, src_prefix: str, dst_prefix: str):
+    """Glow `Decoder.flows` = [actnorm, invconv, coupling] × B
+    (ref layers/glow_tts/decoder.py:50) → our `GlowDecoder` tree. Shared by
+    the Glow-TTS and OverFlow converters. Expects folded weight norm."""
     flow_idx = sorted(
-        {int(m.group(1)) for k in sd if (m := re.match(r"decoder\.flows\.(\d+)\.", k))}
+        {int(m.group(1)) for k in sd if (m := re.match(re.escape(src_prefix) + r"\.(\d+)\.", k))}
     )
     an = iv = cp = 0
     for fi in flow_idx:
-        src = f"decoder.flows.{fi}"
+        src = f"{src_prefix}.{fi}"
         if f"{src}.logs" in sd:  # ActNorm
-            _set(out, f"decoder/actnorm_{an}/logs", sd[f"{src}.logs"].reshape(-1))
-            _set(out, f"decoder/actnorm_{an}/bias", sd[f"{src}.bias"].reshape(-1))
+            _set(out, f"{dst_prefix}/actnorm_{an}/logs", sd[f"{src}.logs"].reshape(-1))
+            _set(out, f"{dst_prefix}/actnorm_{an}/bias", sd[f"{src}.bias"].reshape(-1))
             an += 1
         elif f"{src}.weight" in sd:  # InvConvNear
-            _set(out, f"decoder/invconv_{iv}/weight", sd[f"{src}.weight"])
+            _set(out, f"{dst_prefix}/invconv_{iv}/weight", sd[f"{src}.weight"])
             iv += 1
         else:  # CouplingBlock
             kv, g = _wn_decompose(_conv1d(sd[f"{src}.start.weight"]))
-            _set(out, f"decoder/coupling_{cp}/start/v", kv)
-            _set(out, f"decoder/coupling_{cp}/start/g", g)
-            _set(out, f"decoder/coupling_{cp}/start/bias", sd[f"{src}.start.bias"])
-            _set(out, f"decoder/coupling_{cp}/end/kernel", _dense(sd[f"{src}.end.weight"]))
-            _set(out, f"decoder/coupling_{cp}/end/bias", sd[f"{src}.end.bias"])
-            _map_wn_block(sd, out, f"{src}.wn", f"decoder/coupling_{cp}/wn")
+            _set(out, f"{dst_prefix}/coupling_{cp}/start/v", kv)
+            _set(out, f"{dst_prefix}/coupling_{cp}/start/g", g)
+            _set(out, f"{dst_prefix}/coupling_{cp}/start/bias", sd[f"{src}.start.bias"])
+            _set(out, f"{dst_prefix}/coupling_{cp}/end/kernel", _dense(sd[f"{src}.end.weight"]))
+            _set(out, f"{dst_prefix}/coupling_{cp}/end/bias", sd[f"{src}.end.bias"])
+            _map_wn_block(sd, out, f"{src}.wn", f"{dst_prefix}/coupling_{cp}/wn")
             cp += 1
-
-    return out

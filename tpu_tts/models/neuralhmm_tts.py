@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_tts.config.base import Coqpit
-from tpu_tts.layers.tacotron import Prenet, Tacotron2Encoder
+from tpu_tts.layers.common import Conv1d
+from tpu_tts.layers.tacotron import Prenet, _norm
 from tpu_tts.models.base_tts import BaseTTSModel
 from tpu_tts.ops.helpers import sequence_mask
 
@@ -52,6 +53,51 @@ def _save_statistics(path: str, stats: Dict) -> None:
         json.dump(stats, f)
 
 
+# reference configs are FLAT (no model_args): map their field names onto ours
+# (ref tts/configs/neuralhmm_tts_config.py:100-130, overflow_config.py:100-150)
+_REF_FLAT_TO_ARGS = {
+    "num_chars": "num_chars",
+    "out_channels": "out_channels",
+    "encoder_in_out_features": "encoder_dim",
+    "state_per_phone": "state_per_phone",
+    "memory_rnn_dim": "memory_rnn_dim",
+    "outputnet_size": "outputnet_size",
+    "flat_start_params": "flat_start_params",
+    "std_floor": "std_floor",
+    "use_grad_checkpointing": "use_grad_checkpointing",
+    "deterministic_transition": "deterministic_transition",
+    "duration_threshold": "duration_threshold",
+    "max_sampling_time": "max_sampling_time",
+    "sampling_temp": "sampling_temp",
+    "prenet_dropout_at_inference": "prenet_dropout_at_inference",
+    # overflow glow-decoder fields share names with our args
+    "hidden_channels_dec": "hidden_channels_dec",
+    "kernel_size_dec": "kernel_size_dec",
+    "dilation_rate": "dilation_rate",
+    "num_flow_blocks_dec": "num_flow_blocks_dec",
+    "num_block_layers": "num_block_layers",
+    "dropout_p_dec": "dropout_p_dec",
+    "num_splits": "num_splits",
+    "num_squeeze": "num_squeeze",
+    "sigmoid_scale": "sigmoid_scale",
+}
+
+
+def merge_flat_config_into_args(args, config):
+    """If `config` carries the reference's flat HMM fields (it does when built
+    from a reference config.json or from our mirrored config classes), copy
+    them into `args`. Called only when `model_args` was left at its defaults,
+    so the flat fields are the single source of truth."""
+    for src, dst in _REF_FLAT_TO_ARGS.items():
+        if hasattr(config, src) and getattr(config, src) is not None and hasattr(args, dst):
+            setattr(args, dst, getattr(config, src))
+    pd = getattr(config, "prenet_dim", None)
+    pn = getattr(config, "prenet_n_layers", None)
+    if pd and pn:
+        args.prenet_dims = tuple([int(pd)] * int(pn))
+    return args
+
+
 @dataclass
 class NeuralhmmTTSArgs(Coqpit):
     num_chars: Optional[int] = None
@@ -67,6 +113,36 @@ class NeuralhmmTTSArgs(Coqpit):
     deterministic_transition: bool = True
     duration_threshold: float = 0.43
     max_sampling_time: int = 1000
+    sampling_temp: float = 0.0
+    prenet_dropout_at_inference: bool = False
+    norm_type: str = "layer"  # "frozen_batch" for converted reference checkpoints
+
+
+class NeuralHMMEncoder(nn.Module):
+    """Tacotron2-style conv stack + BiLSTM whose width folds `state_per_phone`
+    (ref layers/overflow/common_layers.py:12 `Encoder`): the per-direction
+    hidden size is `(C//2)·spp`, and the `[B, T, C·spp]` output is reshaped to
+    `[B, T·spp, C]` so each phone contributes `spp` distinct HMM states."""
+
+    output_dim: int = 512
+    state_per_phone: int = 2
+    norm_type: str = "layer"
+
+    @nn.compact
+    def __call__(self, x, x_mask, x_lengths, train: bool = False):
+        for i in range(3):
+            x = Conv1d(self.output_dim, 5, name=f"conv_{i}")(x * x_mask)
+            x = _norm(self.norm_type, self.output_dim, f"norm_{i}")(x)
+            x = nn.Dropout(0.5, deterministic=not train)(nn.relu(x))
+        half = (self.output_dim // 2) * self.state_per_phone
+        x = x * x_mask
+        fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="lstm_fwd")(x, seq_lengths=x_lengths)
+        bwd = nn.RNN(nn.OptimizedLSTMCell(half), reverse=True, keep_order=True, name="lstm_bwd")(
+            x, seq_lengths=x_lengths
+        )
+        o = jnp.concatenate([fwd, bwd], axis=-1) * x_mask
+        B, T, _ = o.shape
+        return o.reshape(B, T * self.state_per_phone, self.output_dim)
 
 
 class NeuralHMMDecoder(nn.Module):
@@ -78,9 +154,10 @@ class NeuralHMMDecoder(nn.Module):
     memory_rnn_dim: int
     outputnet_size: tuple
     std_floor: float = 0.001
+    prenet_dropout_at_inference: bool = False
 
     def setup(self):
-        self.prenet = Prenet(self.prenet_dims, dropout_at_inference=False)
+        self.prenet = Prenet(self.prenet_dims, dropout_at_inference=self.prenet_dropout_at_inference)
         self.memory_rnn = nn.OptimizedLSTMCell(self.memory_rnn_dim)
         layers = []
         for d in self.outputnet_size:
@@ -99,7 +176,8 @@ class NeuralHMMDecoder(nn.Module):
         out = self.out_layer(h)
         C = self.frame_channels
         mean = out[..., :C]
-        std = jax.nn.softplus(out[..., C : 2 * C]) + self.std_floor
+        # ref common_layers.py:203 `_floor_std`: clamp(softplus(x), min=floor)
+        std = jnp.maximum(jax.nn.softplus(out[..., C : 2 * C]), self.std_floor)
         trans = out[..., 2 * C]
         return mean, std, trans
 
@@ -122,26 +200,30 @@ class NeuralHMMDecoder(nn.Module):
         frames_in = jnp.concatenate([go[:, None], mels[:, :-1]], axis=1)  # AR inputs
 
         def step(cell, carry, inp):
-            mem_carry, log_alpha, first = carry
+            mem_carry, log_alpha, last_trans = carry
             y_prev, y_t, t = inp
             mem_carry, h_mem = cell.memory_rnn(mem_carry, cell.prenet(y_prev, train=train))
             mean, std, trans = cell._outputs(h_mem, states)
             log_p = jax.nn.log_sigmoid(trans)
             log_1mp = jax.nn.log_sigmoid(-trans)
-            emit = cell._emission_logp(y_t, mean, std)
-            emit = jnp.where(state_mask, emit, LOG_EPS)
+            # ref neural_hmm.py:548 EmissionModel: per-state logp × state mask
+            emit = cell._emission_logp(y_t, mean, std) * state_mask
             stay = log_alpha + jnp.where(state_mask, log_1mp, LOG_EPS)
             adv = (
                 jnp.concatenate([jnp.full((B, 1), LOG_EPS), log_alpha[:, :-1] + log_p[:, :-1]], axis=1)
             )
-            new_alpha = jnp.logaddexp(stay, adv) + emit
+            from_prev = jnp.where(state_mask, jnp.logaddexp(stay, adv), LOG_EPS)
+            # t == 0: alpha = state priors + emission, no transition
+            # (ref neural_hmm.py:134-139)
+            new_alpha = jnp.where(t == 0, log_alpha + emit, from_prev + emit)
             # normalize (scaled forward) for stability
             norm = jax.nn.logsumexp(new_alpha, axis=1, keepdims=True)
             new_alpha = new_alpha - norm
             valid = (t < mel_lengths)[:, None]
             log_alpha = jnp.where(valid, new_alpha, log_alpha)
+            last_trans = jnp.where(valid, trans, last_trans)
             ll_inc = jnp.where(valid[:, 0], norm[:, 0], 0.0)
-            return (mem_carry, log_alpha, False), (ll_inc, log_alpha)
+            return (mem_carry, log_alpha, last_trans), (ll_inc, log_alpha)
 
         scan = nn.scan(
             step,
@@ -151,45 +233,65 @@ class NeuralHMMDecoder(nn.Module):
             out_axes=(1, 1),
         )
         ts = jnp.arange(T_de)
-        (mem_carry, log_alpha_T, _), (ll_incs, alphas) = scan(
-            self, (mem_carry, log_alpha0, True), (frames_in, mels, ts)
+        (mem_carry, log_alpha_T, last_trans), (ll_incs, alphas) = scan(
+            self, (mem_carry, log_alpha0, jnp.zeros((B, T_en))), (frames_in, mels, ts)
         )
-        # final: mass in the last valid state
+        # absorption: mass in the last valid state × its exit probability
+        # (ref neural_hmm.py:264 get_absorption_state_scaling_factor)
         last_state = jnp.sum(state_mask, axis=1).astype(jnp.int32) - 1
         final_logp = jnp.take_along_axis(log_alpha_T, last_state[:, None], axis=1)[:, 0]
-        log_likelihood = jnp.sum(ll_incs, axis=1) + final_logp
+        exit_logp = jax.nn.log_sigmoid(
+            jnp.take_along_axis(last_trans, last_state[:, None], axis=1)[:, 0]
+        )
+        log_likelihood = jnp.sum(ll_incs, axis=1) + final_logp + exit_logp
         return log_likelihood, alphas
 
     def sample(self, states, state_mask, max_steps: int, rng, sampling_temp: float = 0.0,
-               duration_threshold: float = 0.43):
-        """Deterministic-threshold (or sampled) generation scan."""
+               duration_threshold: float = 0.43, deterministic_transition: bool = True):
+        """Generation scan (ref neural_hmm.py:386 `sample`, batched).
+
+        Deterministic transitions advance when the running product of staying
+        probabilities (the duration quantile) drops below
+        `duration_threshold`; stochastic transitions draw
+        Bernoulli(transition_p). The outputnet runs only on the gathered
+        current state (the reference's per-sample loop does the same) instead
+        of all `T_en` states."""
         B, T_en, _ = states.shape
         go = jnp.zeros((B, self.frame_channels))
         mem_carry = self.memory_rnn.initialize_carry(jax.random.PRNGKey(0), (B, 1))
-        last_state = jnp.sum(state_mask, axis=1).astype(jnp.int32) - 1
+        n_states = jnp.sum(state_mask, axis=1).astype(jnp.int32)
 
         def step(cell, carry, key):
-            mem_carry, state_idx, prev_frame, done = carry
+            mem_carry, state_idx, prev_frame, quantile, done = carry
             mem_carry, h_mem = cell.memory_rnn(mem_carry, cell.prenet(prev_frame, train=False))
-            mean, std, trans = cell._outputs(h_mem, states)
-            sel = jax.nn.one_hot(state_idx, T_en)
-            mu = jnp.einsum("bt,btc->bc", sel, mean)
-            sd = jnp.einsum("bt,btc->bc", sel, std)
-            p = jnp.einsum("bt,bt->b", sel, jax.nn.sigmoid(trans))
-            noise = jax.random.normal(key, mu.shape) * sampling_temp
+            z_t = jnp.take_along_axis(states, state_idx[:, None, None], axis=1)  # [B,1,C]
+            mean, std, trans = cell._outputs(h_mem, z_t)
+            mu, sd, p = mean[:, 0], std[:, 0], jax.nn.sigmoid(trans[:, 0])
+            k_noise, k_switch = jax.random.split(key)
+            noise = jax.random.normal(k_noise, mu.shape) * sampling_temp
             frame = mu + noise * sd
-            advance = p > duration_threshold
+            if deterministic_transition:
+                quantile = quantile * (1.0 - p)
+                advance = quantile < duration_threshold
+            else:
+                advance = jax.random.uniform(k_switch, p.shape) < p
+            quantile = jnp.where(advance, 1.0, quantile)
             new_idx = jnp.minimum(state_idx + advance.astype(jnp.int32), T_en - 1)
-            new_done = done | (advance & (state_idx >= last_state))
+            new_done = done | (advance & (state_idx + 1 >= n_states))
             valid = (~done).astype(frame.dtype)[:, None]
-            return (mem_carry, new_idx, frame, new_done), (frame * valid, state_idx, valid[:, 0])
+            return (mem_carry, new_idx, frame, quantile, new_done), (
+                frame * valid, state_idx, valid[:, 0],
+            )
 
         keys = jax.random.split(rng, max_steps)
         scan = nn.scan(
             step, variable_broadcast="params", split_rngs={"params": False, "dropout": True},
             in_axes=0, out_axes=1,
         )
-        init = (mem_carry, jnp.zeros((B,), dtype=jnp.int32), go, jnp.zeros((B,), dtype=bool))
+        init = (
+            mem_carry, jnp.zeros((B,), dtype=jnp.int32), go,
+            jnp.ones((B,)), jnp.zeros((B,), dtype=bool),
+        )
         _, (frames, state_trace, valid) = scan(self, init, keys)
         lengths = jnp.sum(valid, axis=1).astype(jnp.int32)
         return frames, state_trace, lengths
@@ -205,8 +307,9 @@ class NeuralhmmTTSNet(nn.Module):
     def setup(self):
         a = self.a
         self.emb = nn.Embed(a["num_chars"], a["encoder_dim"])
-        self.encoder = Tacotron2Encoder(a["encoder_dim"])
-        self.state_expand = nn.Dense(a["encoder_dim"])
+        self.encoder = NeuralHMMEncoder(
+            a["encoder_dim"], a["state_per_phone"], norm_type=a.get("norm_type", "layer")
+        )
         self.hmm = NeuralHMMDecoder(
             frame_channels=a["out_channels"],
             encoder_dim=a["encoder_dim"],
@@ -214,18 +317,17 @@ class NeuralhmmTTSNet(nn.Module):
             memory_rnn_dim=a["memory_rnn_dim"],
             outputnet_size=tuple(a["outputnet_size"]),
             std_floor=a["std_floor"],
+            prenet_dropout_at_inference=a.get("prenet_dropout_at_inference", False),
         )
 
     def _states(self, text, text_lengths, train):
-        """Encode text then duplicate each phone into `state_per_phone` states."""
+        """Encode text into `T_text · state_per_phone` HMM states."""
         a = self.a
         x_mask = sequence_mask(text_lengths, text.shape[1]).astype(jnp.float32)[:, :, None]
-        enc = self.encoder(self.emb(text), x_mask, train=train)
+        states = self.encoder(self.emb(text), x_mask, text_lengths, train=train)
         spp = a["state_per_phone"]
-        if spp > 1:
-            enc = jnp.repeat(enc, spp, axis=1)
-        states = self.state_expand(enc)
-        state_mask = jnp.repeat(x_mask[:, :, 0], spp, axis=1) > 0 if spp > 1 else x_mask[:, :, 0] > 0
+        # valid states form a contiguous prefix of length `text_len · spp`
+        state_mask = sequence_mask(text_lengths * spp, states.shape[1])
         return states, state_mask
 
     def __call__(self, text, text_lengths, mels, mel_lengths, train: bool = True) -> Dict:
@@ -239,7 +341,8 @@ class NeuralhmmTTSNet(nn.Module):
         states, state_mask = self._states(text, text_lengths, False)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         frames, trace, lengths = self.hmm.sample(
-            states, state_mask, max_steps, rng, sampling_temp, duration_threshold
+            states, state_mask, max_steps, rng, sampling_temp, duration_threshold,
+            deterministic_transition=self.a.get("deterministic_transition", True),
         )
         return {"model_outputs": frames, "states": trace, "y_lengths": lengths}
 
@@ -250,6 +353,8 @@ class NeuralhmmTTS(BaseTTSModel):
         args = config.model_args
         if isinstance(args, dict):
             args = NeuralhmmTTSArgs.from_dict(args)
+        if args.to_dict() == NeuralhmmTTSArgs().to_dict():
+            args = merge_flat_config_into_args(args, config)
         if tokenizer is not None and tokenizer.characters is not None:
             args.num_chars = tokenizer.characters.num_chars
         if args.num_chars is None:
@@ -322,6 +427,28 @@ class NeuralhmmTTS(BaseTTSModel):
         init_transition_prob = self.args.state_per_phone / avg_duration_per_state
         return {"mean": mean, "std": std, "init_transition_prob": init_transition_prob}
 
+    # ------------------------------------------------------- torch ingest
+    def convert_torch_state_dict(self, state_dict):
+        """Reference `NeuralhmmTTS`/`Overflow` torch weights → our flax tree
+        (parity-tested in tests/test_torch_parity_hmm.py). Requires
+        `model_args.norm_type == "frozen_batch"`. Also picks up the dataset
+        mel `mean`/`std` buffers the reference stores on the model."""
+        from tpu_tts.models.hmm_convert import (
+            convert_neuralhmm_torch_state_dict,
+            extract_mel_statistics,
+        )
+
+        stats = extract_mel_statistics(state_dict)
+        if "mean" in stats and "std" in stats:
+            self.update_mean_std(stats)
+        if self.args.norm_type != "frozen_batch":  # reference encoder uses BN
+            self.args.norm_type = "frozen_batch"
+            self.net = type(self.net)(
+                args=tuple(sorted(self.args.to_dict().items(), key=lambda kv: str(kv[0])))
+            )
+            self._infer_cache = {}
+        return convert_neuralhmm_torch_state_dict(state_dict)
+
     def init_params(self, rng):
         a = self.args
         B, T_en, T_de = 2, 6, 10
@@ -350,16 +477,20 @@ class NeuralhmmTTS(BaseTTSModel):
         )
         return out["nll"], {"loss": out["nll"]}
 
-    def inference(self, x: np.ndarray, aux_input=None, max_steps: int = 512) -> Dict:
+    def inference(self, x: np.ndarray, aux_input=None, max_steps: Optional[int] = None) -> Dict:
         x = jnp.asarray(x)
         if x.ndim == 1:
             x = x[None]
+        a = self.args
+        max_steps = int(max_steps if max_steps is not None else min(a.max_sampling_time, 512))
         xl = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
-        key = (x.shape, max_steps)
+        key = (x.shape, max_steps, a.sampling_temp, a.duration_threshold)
         if key not in self._infer_cache:
             self._infer_cache[key] = jax.jit(
                 lambda p, xi, xli, r: self.net.apply(
-                    {"params": p}, xi, xli, max_steps, rng=r, method=NeuralhmmTTSNet.inference,
+                    {"params": p}, xi, xli, max_steps,
+                    sampling_temp=a.sampling_temp, duration_threshold=a.duration_threshold,
+                    rng=r, method=NeuralhmmTTSNet.inference,
                     rngs={"dropout": jax.random.PRNGKey(0)},
                 )
             )

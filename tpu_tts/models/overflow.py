@@ -70,7 +70,8 @@ class OverflowNet(NeuralhmmTTSNet):
         states, state_mask = self._states(text, text_lengths, False)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         z, trace, lengths = self.hmm.sample(
-            states, state_mask, max_steps, rng, sampling_temp, duration_threshold
+            states, state_mask, max_steps, rng, sampling_temp, duration_threshold,
+            deterministic_transition=self.a.get("deterministic_transition", True),
         )
         sq = self.a["num_squeeze"]
         T = (z.shape[1] // sq) * sq
@@ -85,6 +86,10 @@ class Overflow(NeuralhmmTTS):
         args = config.model_args
         if isinstance(args, dict):
             args = OverflowArgs.from_dict(args)
+        if args.to_dict() == OverflowArgs().to_dict():
+            from tpu_tts.models.neuralhmm_tts import merge_flat_config_into_args
+
+            args = merge_flat_config_into_args(args, config)
         if tokenizer is not None and tokenizer.characters is not None:
             args.num_chars = tokenizer.characters.num_chars
         if args.num_chars is None:
@@ -95,16 +100,20 @@ class Overflow(NeuralhmmTTS):
         self.mel_mean = 0.0
         self.mel_std = 1.0
 
-    def inference(self, x: np.ndarray, aux_input=None, max_steps: int = 512) -> Dict:
+    def inference(self, x: np.ndarray, aux_input=None, max_steps: Optional[int] = None) -> Dict:
         x = jnp.asarray(x)
         if x.ndim == 1:
             x = x[None]
+        a = self.args
+        max_steps = int(max_steps if max_steps is not None else min(a.max_sampling_time, 512))
         xl = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
-        key = (x.shape, max_steps)
+        key = (x.shape, max_steps, a.sampling_temp, a.duration_threshold)
         if key not in self._infer_cache:
             self._infer_cache[key] = jax.jit(
                 lambda p, xi, xli, r: self.net.apply(
-                    {"params": p}, xi, xli, max_steps, rng=r, method=OverflowNet.inference,
+                    {"params": p}, xi, xli, max_steps,
+                    sampling_temp=a.sampling_temp, duration_threshold=a.duration_threshold,
+                    rng=r, method=OverflowNet.inference,
                     rngs={"dropout": jax.random.PRNGKey(0)},
                 )
             )
