@@ -23,15 +23,18 @@ from tpu_tts.layers.common import Conv1d
 
 
 class Prenet(nn.Module):
-    """FC-relu-dropout stack; dropout stays ON at inference (ref common_layers)."""
+    """FC-relu-dropout stack; dropout stays ON at inference (ref common_layers).
+    Tacotron2 builds it bias-free; Tacotron v1 keeps the default biases
+    (ref common_layers.py:97 `bias=True`)."""
 
     out_features: Tuple[int, ...] = (256, 256)
     dropout_at_inference: bool = True
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         for i, d in enumerate(self.out_features):
-            x = nn.relu(nn.Dense(d, use_bias=False, name=f"linear_{i}")(x))
+            x = nn.relu(nn.Dense(d, use_bias=self.use_bias, name=f"linear_{i}")(x))
             x = nn.Dropout(0.5, deterministic=not (train or self.dropout_at_inference))(x)
         return x
 

@@ -37,7 +37,9 @@ class Highway(nn.Module):
 
 class CBHG(nn.Module):
     """Conv bank (k=1..K) → maxpool → conv proj → highway → BiGRU
-    (ref layers/tacotron/tacotron.py:94)."""
+    (ref layers/tacotron/tacotron.py:94). The reference's BatchNorm
+    (momentum=0.99, eps=1e-3) maps onto `norm_type="frozen_batch"`; convs are
+    bias-free like the reference's `BatchNormConv1d`."""
 
     K: int = 16
     conv_bank_features: int = 128
@@ -45,28 +47,35 @@ class CBHG(nn.Module):
     highway_features: int = 128
     gru_features: int = 128
     num_highways: int = 4
+    norm_type: str = "layer"
+
+    def _norm(self, features, name):
+        from tpu_tts.layers.tacotron import FrozenBatchNorm
+
+        if self.norm_type == "frozen_batch":
+            return FrozenBatchNorm(features, eps=1e-3, name=name)
+        return nn.LayerNorm(name=name)
 
     @nn.compact
     def __call__(self, x):
         # x: [B, T, C]
         banks = []
         for k in range(1, self.K + 1):
-            h = Conv1d(self.conv_bank_features, k, name=f"bank_{k}")(x)
-            h = nn.relu(nn.LayerNorm(name=f"bank_norm_{k}")(h))
+            h = Conv1d(self.conv_bank_features, k, use_bias=False, name=f"bank_{k}")(x)
+            h = nn.relu(self._norm(self.conv_bank_features, f"bank_norm_{k}")(h))
             banks.append(h)
         h = jnp.concatenate(banks, axis=-1)
-        # max pool k=2 stride 1
-        h = jax.lax.reduce_window(
-            h, -jnp.inf, jax.lax.max, (1, 2, 1), (1, 1, 1), [(0, 0), (0, 1), (0, 0)]
-        )
+        # NB: the reference's CBHG builds no max-pool — the bank concat feeds
+        # the projections directly (layers/tacotron/tacotron.py:165-175
+        # `forward`; the paper's pooling stage is absent there)
         for i, ch in enumerate(self.conv_projections):
-            h = Conv1d(ch, 3, name=f"proj_{i}")(h)
-            h = nn.LayerNorm(name=f"proj_norm_{i}")(h)
+            h = Conv1d(ch, 3, use_bias=False, name=f"proj_{i}")(h)
+            h = self._norm(ch, f"proj_norm_{i}")(h)
             if i < len(self.conv_projections) - 1:
                 h = nn.relu(h)
         h = h + x  # residual
         if h.shape[-1] != self.highway_features:
-            h = nn.Dense(self.highway_features, name="pre_highway")(h)
+            h = nn.Dense(self.highway_features, use_bias=False, name="pre_highway")(h)
         for i in range(self.num_highways):
             h = Highway(self.highway_features, name=f"highway_{i}")(h)
         fwd = nn.RNN(nn.GRUCell(self.gru_features), name="gru_fwd")(h)
@@ -82,9 +91,10 @@ class TacotronDecoderCell(nn.Module):
     r_init: int = 0  # param-shape r for gradual training (0 -> r)
     encoder_dim: int = 256
     attn_kwargs: Optional[tuple] = None
+    prenet_dropout_at_inference: bool = False
 
     def setup(self):
-        self.prenet = Prenet((256, 128))
+        self.prenet = Prenet((256, 128), dropout_at_inference=self.prenet_dropout_at_inference, use_bias=True)
         self.attention_rnn = nn.GRUCell(256)
         kw = dict(self.attn_kwargs or ())
         self.attention = OriginalAttention(
@@ -150,11 +160,15 @@ class TacotronNet(nn.Module):
     gst: Optional[tuple] = None  # frozen GSTConfig items (ref tacotron.py GST concat)
     use_capacitron: bool = False
     capacitron: Optional[tuple] = None  # frozen CapacitronVAEConfig items
+    norm_type: str = "layer"
+    prenet_dropout_at_inference: bool = False
 
     def setup(self):
         self.embedding = nn.Embed(self.num_chars, 256, embedding_init=nn.initializers.normal(0.3))
-        self.encoder_prenet = Prenet((256, 128))
-        self.encoder_cbhg = CBHG(K=16, conv_projections=(128, 128), gru_features=128)
+        self.encoder_prenet = Prenet((256, 128), dropout_at_inference=self.prenet_dropout_at_inference, use_bias=True)
+        self.encoder_cbhg = CBHG(
+            K=16, conv_projections=(128, 128), gru_features=128, norm_type=self.norm_type
+        )
         encoder_dim = 256
         if self.use_gst:
             from tpu_tts.layers.gst import GST
@@ -184,10 +198,11 @@ class TacotronNet(nn.Module):
         self.cell = TacotronDecoderCell(
             frame_channels=self.decoder_output_dim, r=self.r, r_init=self.r_init,
             encoder_dim=encoder_dim, attn_kwargs=self.attn_kwargs,
+            prenet_dropout_at_inference=self.prenet_dropout_at_inference,
         )
         self.postnet_cbhg = CBHG(
             K=8, conv_bank_features=128, conv_projections=(256, self.decoder_output_dim),
-            highway_features=128, gru_features=128,
+            highway_features=128, gru_features=128, norm_type=self.norm_type,
         )
         self.last_linear = nn.Dense(self.out_channels)
 
@@ -320,6 +335,8 @@ class Tacotron(BaseTTSModel):
                     if isinstance(v, (int, float, str, bool, type(None)))
                 )
             ) or None,
+            norm_type=getattr(config, "norm_type", "layer"),
+            prenet_dropout_at_inference=getattr(config, "prenet_dropout_at_inference", False),
             use_capacitron=bool(getattr(config, "use_capacitron_vae", False)),
             capacitron=tuple(
                 sorted(
@@ -334,6 +351,17 @@ class Tacotron(BaseTTSModel):
             ) or None,
         )
         self._infer_cache = {}
+
+    # ------------------------------------------------------- torch ingest
+    def convert_torch_state_dict(self, state_dict):
+        """Reference `Tacotron` (v1) torch weights → our flax tree
+        (parity-tested in tests/test_torch_parity_taco.py)."""
+        from tpu_tts.models.tacotron_convert import convert_tacotron1_torch_state_dict
+
+        if self.net.norm_type != "frozen_batch":  # reference CBHG uses BN
+            self.net = self.net.clone(norm_type="frozen_batch")
+            self._infer_cache = {}
+        return convert_tacotron1_torch_state_dict(state_dict)
 
     def init_params(self, rng):
         B, T_en, T_de = 2, 8, 10

@@ -35,6 +35,45 @@ def _map_bn(sd, tree, src, dst):
     _set(tree, f"{dst}/var", sd[f"{src}.running_var"])
 
 
+def _map_gru(tree, dst, w_ih, w_hh, b_ih=None, b_hh=None):
+    """torch GRU packs gates as rows [r | z | n]; flax GRUCell keeps
+    `ir/iz/in` (with bias) and `hr/hz` (no bias) + `hn` (bias). torch's
+    b_hr/b_hz fold into the input-gate biases (the update rules match:
+    n = tanh(W_in·x + b_in + r·(W_hn·h + b_hn)))."""
+    H = w_hh.shape[1]
+    names = (("r", 0), ("z", 1), ("n", 2))
+    if b_ih is None:
+        b_ih = np.zeros(3 * H, dtype=w_ih.dtype)
+    if b_hh is None:
+        b_hh = np.zeros(3 * H, dtype=w_hh.dtype)
+    for g, gi in names:
+        sl = slice(gi * H, (gi + 1) * H)
+        _set(tree, f"{dst}/i{g}/kernel", np.transpose(w_ih[sl]))
+        _set(tree, f"{dst}/h{g}/kernel", np.transpose(w_hh[sl]))
+        if g == "n":
+            _set(tree, f"{dst}/in/bias", b_ih[sl])
+            _set(tree, f"{dst}/hn/bias", b_hh[sl])
+        else:
+            _set(tree, f"{dst}/i{g}/bias", b_ih[sl] + b_hh[sl])
+
+
+def _map_attention(sd, tree, src: str, dst: str):
+    """`OriginalAttention` params (ref layers/tacotron/attentions.py:127)."""
+    _set(tree, f"{dst}/query_layer/kernel", _dense(sd[f"{src}.query_layer.linear_layer.weight"]))
+    _set(tree, f"{dst}/inputs_layer/kernel", _dense(sd[f"{src}.inputs_layer.linear_layer.weight"]))
+    _set(tree, f"{dst}/v/kernel", _dense(sd[f"{src}.v.linear_layer.weight"]))
+    if f"{src}.v.linear_layer.bias" in sd:
+        _set(tree, f"{dst}/v/bias", sd[f"{src}.v.linear_layer.bias"])
+    if f"{src}.location_layer.location_conv1d.weight" in sd:
+        _set(tree, f"{dst}/location_layer/location_conv/conv/kernel",
+             _conv1d(sd[f"{src}.location_layer.location_conv1d.weight"]))
+        _set(tree, f"{dst}/location_layer/location_dense/kernel",
+             _dense(sd[f"{src}.location_layer.location_dense.linear_layer.weight"]))
+    if f"{src}.ta.weight" in sd:  # forward attention transition agent
+        _set(tree, f"{dst}/ta/kernel", _dense(sd[f"{src}.ta.weight"]))
+        _set(tree, f"{dst}/ta/bias", sd[f"{src}.ta.bias"])
+
+
 def convert_tacotron2_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Reference `Tacotron2` torch state dict → our flax param tree
     (requires the model's `norm_type='frozen_batch'` variant)."""
@@ -99,4 +138,77 @@ def convert_tacotron2_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, 
         _set(out, f"postnet/conv_{i}/conv/bias", sd[f"{src}.convolution1d.bias"])
         _map_bn(sd, out, f"{src}.batch_normalization", f"postnet/norm_{i}")
 
+    return out
+
+
+def _map_cbhg(sd, out, src: str, dst: str):
+    """Reference `CBHG` (layers/tacotron/tacotron.py:94) → our `CBHG` tree.
+    BN (momentum .99, eps 1e-3) → frozen_batch; convs are bias-free."""
+    K = len({m.group(1) for k in sd if (m := re.match(re.escape(src) + r"\.conv1d_banks\.(\d+)\.", k))})
+    for j in range(K):
+        w = sd[f"{src}.conv1d_banks.{j}.conv1d.weight"]
+        # k=1 convs are Dense on our side
+        _set(out, f"{dst}/bank_{j + 1}/conv/kernel", _dense(w[..., 0]) if w.shape[2] == 1 else _conv1d(w))
+        _map_bn(sd, out, f"{src}.conv1d_banks.{j}.bn", f"{dst}/bank_norm_{j + 1}")
+    n_proj = len({m.group(1) for k in sd if (m := re.match(re.escape(src) + r"\.conv1d_projections\.(\d+)\.", k))})
+    for i in range(n_proj):
+        _set(out, f"{dst}/proj_{i}/conv/kernel", _conv1d(sd[f"{src}.conv1d_projections.{i}.conv1d.weight"]))
+        _map_bn(sd, out, f"{src}.conv1d_projections.{i}.bn", f"{dst}/proj_norm_{i}")
+    if f"{src}.pre_highway.weight" in sd:
+        _set(out, f"{dst}/pre_highway/kernel", _dense(sd[f"{src}.pre_highway.weight"]))
+    nh = len({m.group(1) for k in sd if (m := re.match(re.escape(src) + r"\.highways\.(\d+)\.", k))})
+    for i in range(nh):
+        for part in ("H", "T"):
+            _set(out, f"{dst}/highway_{i}/{part}/kernel", _dense(sd[f"{src}.highways.{i}.{part}.weight"]))
+            _set(out, f"{dst}/highway_{i}/{part}/bias", sd[f"{src}.highways.{i}.{part}.bias"])
+    # bidirectional GRU: forward = GRUCell_0, reverse = GRUCell_1
+    for cell, suffix in (("GRUCell_0", ""), ("GRUCell_1", "_reverse")):
+        _map_gru(
+            out, f"{dst}/{cell}",
+            sd[f"{src}.gru.weight_ih_l0{suffix}"], sd[f"{src}.gru.weight_hh_l0{suffix}"],
+            sd.get(f"{src}.gru.bias_ih_l0{suffix}"), sd.get(f"{src}.gru.bias_hh_l0{suffix}"),
+        )
+
+
+def convert_tacotron1_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference `Tacotron` (v1) torch state dict → our flax param tree
+    (TTS/tts/models/tacotron.py + layers/tacotron/tacotron.py: CBHG:94,
+    Decoder:249). Requires `norm_type='frozen_batch'`. DDC `coarse_decoder.*`
+    keys are skipped (unused at inference; our v1 trains without DDC)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out: Dict[str, Any] = {}
+
+    _set(out, "embedding/embedding", sd["embedding.weight"])
+
+    for i in range(2):
+        _set(out, f"encoder_prenet/linear_{i}/kernel",
+             _dense(sd[f"encoder.prenet.linear_layers.{i}.linear_layer.weight"]))
+        _set(out, f"encoder_prenet/linear_{i}/bias",
+             sd[f"encoder.prenet.linear_layers.{i}.linear_layer.bias"])
+    _map_cbhg(sd, out, "encoder.cbhg.cbhg", "encoder_cbhg")
+
+    # ---- decoder cell ----
+    for i in range(2):
+        _set(out, f"cell/prenet/linear_{i}/kernel",
+             _dense(sd[f"decoder.prenet.linear_layers.{i}.linear_layer.weight"]))
+        _set(out, f"cell/prenet/linear_{i}/bias",
+             sd[f"decoder.prenet.linear_layers.{i}.linear_layer.bias"])
+    _map_gru(out, "cell/attention_rnn",
+             sd["decoder.attention_rnn.weight_ih"], sd["decoder.attention_rnn.weight_hh"],
+             sd.get("decoder.attention_rnn.bias_ih"), sd.get("decoder.attention_rnn.bias_hh"))
+    _map_attention(sd, out, "decoder.attention", "cell/attention")
+    _set(out, "cell/project_to_decoder_in/kernel", _dense(sd["decoder.project_to_decoder_in.weight"]))
+    _set(out, "cell/project_to_decoder_in/bias", sd["decoder.project_to_decoder_in.bias"])
+    for i in range(2):
+        _map_gru(out, f"cell/decoder_rnns_{i}",
+                 sd[f"decoder.decoder_rnns.{i}.weight_ih"], sd[f"decoder.decoder_rnns.{i}.weight_hh"],
+                 sd.get(f"decoder.decoder_rnns.{i}.bias_ih"), sd.get(f"decoder.decoder_rnns.{i}.bias_hh"))
+    _set(out, "cell/proj_to_mel/kernel", _dense(sd["decoder.proj_to_mel.weight"]))
+    _set(out, "cell/proj_to_mel/bias", sd["decoder.proj_to_mel.bias"])
+    _set(out, "cell/stopnet/kernel", _dense(sd["decoder.stopnet.linear.weight"]))
+    _set(out, "cell/stopnet/bias", sd["decoder.stopnet.linear.bias"])
+
+    _map_cbhg(sd, out, "postnet.cbhg", "postnet_cbhg")
+    _set(out, "last_linear/kernel", _dense(sd["last_linear.weight"]))
+    _set(out, "last_linear/bias", sd["last_linear.bias"])
     return out
