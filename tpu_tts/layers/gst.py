@@ -15,25 +15,83 @@ import numpy as np
 
 
 class ReferenceEncoder(nn.Module):
-    """6 × strided 2D convs over the reference mel + GRU (ref gst_layers.py:57)."""
+    """6 × strided 3×3 2D convs over the reference mel + RNN over the
+    flattened [channels · freq] rows (ref gst_layers.py:26 with GRU and
+    padding 1; capacitron_layers.py:78 with LSTM, padding 2, and per-layer
+    length masking). `out_dim` is the RNN hidden size; the reference GST
+    passes `gst_embedding_dim // 2`."""
 
-    embedding_dim: int = 128
+    out_dim: int = 128
+    rnn_type: str = "gru"  # "gru" (GST) or "lstm" (Capacitron)
+    pad: int = 1  # GST: 1; Capacitron: 2
+    masked: bool = False  # Capacitron masks conv outputs by valid length
+    norm_type: str = "layer"
+
+    def _norm(self, features, name):
+        from tpu_tts.layers.tacotron import FrozenBatchNorm
+
+        if self.norm_type == "frozen_batch":
+            return FrozenBatchNorm(features, name=name)
+        return nn.LayerNorm(name=name)
 
     @nn.compact
-    def __call__(self, mel):
-        # mel: [B, T, C] -> image [B, T, C, 1]
+    def __call__(self, mel, mel_lengths=None):
+        # mel: [B, T, M] -> image [B, T, M, 1]
         h = mel[..., None]
+        B, T, M = mel.shape
+        valid = mel_lengths.astype(jnp.float32) if mel_lengths is not None else None
+        p = self.pad
         for i, ch in enumerate((32, 32, 64, 64, 128, 128)):
-            h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME", name=f"conv_{i}")(h)
-            h = nn.relu(nn.LayerNorm(name=f"norm_{i}")(h))
-        B, T2, F2, C2 = h.shape
-        h = h.reshape(B, T2, F2 * C2)
-        out = nn.RNN(nn.GRUCell(self.embedding_dim), name="gru")(h)
-        return out[:, -1]  # [B, E]
+            h = nn.Conv(ch, (3, 3), strides=(2, 2),
+                        padding=((p, p), (p, p)), name=f"conv_{i}")(h)
+            h = nn.relu(self._norm(ch, f"norm_{i}")(h))
+            if self.masked and valid is not None:
+                # ref capacitron_layers.py:128: valid = ceil(valid/2) + 1
+                valid = jnp.ceil(valid / 2.0) + 1.0
+                vi = jnp.minimum(valid.astype(jnp.int32), h.shape[1])
+                mask = (jnp.arange(h.shape[1])[None, :] < vi[:, None]).astype(h.dtype)
+                h = h * mask[:, :, None, None]
+        # [B, T', M', C] -> [B, T', C·M'] matching the reference's
+        # channel-major flatten (transpose(1,2) then view)
+        B_, T2, F2, C2 = h.shape
+        h = jnp.transpose(h, (0, 1, 3, 2)).reshape(B_, T2, C2 * F2)
+        cell = (nn.GRUCell(self.out_dim, name="rnn_cell") if self.rnn_type == "gru"
+                else nn.OptimizedLSTMCell(self.out_dim, name="rnn_cell"))
+        out = nn.RNN(cell, name="rnn")(h)
+        if self.masked and valid is not None:
+            idx = jnp.clip(vi - 1, 0, out.shape[1] - 1)
+            return jnp.take_along_axis(out, idx[:, None, None], axis=1)[:, 0]
+        return out[:, -1]  # final RNN state
+
+
+class MultiHeadStyleAttention(nn.Module):
+    """GST multi-head attention (ref gst_layers.py:111): bias-free q/k/v
+    projections, scores scaled by sqrt(key_dim)."""
+
+    num_units: int
+    num_heads: int
+    key_dim: int
+
+    @nn.compact
+    def __call__(self, query, key):
+        q = nn.Dense(self.num_units, use_bias=False, name="W_query")(query)
+        k = nn.Dense(self.num_units, use_bias=False, name="W_key")(key)
+        v = nn.Dense(self.num_units, use_bias=False, name="W_value")(key)
+        H, D = self.num_heads, self.num_units // self.num_heads
+        B, Tq, _ = q.shape
+        Tk = k.shape[1]
+        att = jnp.einsum(
+            "bqhd,bkhd->bhqk", q.reshape(B, Tq, H, D), k.reshape(B, Tk, H, D)
+        ) / (self.key_dim**0.5)
+        att = jax.nn.softmax(att, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v.reshape(B, Tk, H, D))
+        return out.reshape(B, Tq, self.num_units)
 
 
 class StyleTokenLayer(nn.Module):
-    """Multi-head attention over learned style tokens (ref gst_layers.py:97)."""
+    """Multi-head attention over learned style tokens (ref gst_layers.py:82).
+    Tokens live in `key_dim = gst_dim // num_heads`; the query is the
+    `gst_dim // 2`-wide reference encoding."""
 
     num_style_tokens: int = 10
     gst_embedding_dim: int = 256
@@ -43,69 +101,90 @@ class StyleTokenLayer(nn.Module):
     def __call__(self, query, token_weights: Optional[jnp.ndarray] = None):
         """query `[B, E]` (ref-encoder output) → style embedding `[B, gst_dim]`."""
         B = query.shape[0]
+        key_dim = self.gst_embedding_dim // self.num_heads
         tokens = self.param(
-            "style_tokens",
-            nn.initializers.normal(0.5),
-            (self.num_style_tokens, self.gst_embedding_dim // self.num_heads),
+            "style_tokens", nn.initializers.normal(0.5), (self.num_style_tokens, key_dim)
         )
-        keys = jnp.tanh(tokens)[None]  # [1, K, D]
-        keys = jnp.broadcast_to(keys, (B,) + keys.shape[1:])
+        attention = MultiHeadStyleAttention(
+            self.gst_embedding_dim, self.num_heads, key_dim, name="attention"
+        )
+        keys = jnp.broadcast_to(jnp.tanh(tokens)[None], (B, self.num_style_tokens, key_dim))
         if token_weights is not None:
-            # direct token weighting (gst_style_input_weights)
-            vals = nn.Dense(self.gst_embedding_dim, name="value_proj")(keys)
-            return jnp.einsum("bk,bkd->bd", token_weights, vals)
-        q = nn.Dense(self.gst_embedding_dim, name="query_proj")(query)[:, None]
-        k = nn.Dense(self.gst_embedding_dim, name="key_proj")(keys)
-        v = nn.Dense(self.gst_embedding_dim, name="value_proj")(keys)
-        H = self.num_heads
-        D = self.gst_embedding_dim // H
-        qh = q.reshape(B, 1, H, D)
-        kh = k.reshape(B, -1, H, D)
-        vh = v.reshape(B, -1, H, D)
-        att = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / jnp.sqrt(D)
-        att = jax.nn.softmax(att, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", att, vh).reshape(B, self.gst_embedding_dim)
-        return out
+            # per-token weighting (ref base_tacotron.py:232 dict style input);
+            # with a single key the softmax is 1, so each token contributes
+            # its W_value projection scaled by its weight
+            out = jnp.zeros((B, self.gst_embedding_dim), dtype=query.dtype)
+            for kth in range(self.num_style_tokens):
+                tok = attention(jnp.zeros((B, 1, query.shape[-1]), query.dtype), keys[:, kth : kth + 1])
+                out = out + tok[:, 0] * token_weights[:, kth : kth + 1]
+            return out
+        return attention(query[:, None], keys)[:, 0]
 
 
 class GST(nn.Module):
-    """Reference encoder + style token layer (ref gst_layers.py:7)."""
+    """Reference encoder + style token layer (ref gst_layers.py:6)."""
 
     num_mel: int = 80
     num_heads: int = 4
     num_style_tokens: int = 10
     gst_embedding_dim: int = 256
+    norm_type: str = "layer"
 
     @nn.compact
-    def __call__(self, style_mel=None, token_weights=None):
-        stl = StyleTokenLayer(self.num_style_tokens, self.gst_embedding_dim, self.num_heads, name="style_token_layer")
+    def __call__(self, style_mel=None, token_weights=None, speaker_embedding=None):
+        stl = StyleTokenLayer(self.num_style_tokens, self.gst_embedding_dim, self.num_heads,
+                              name="style_token_layer")
         if style_mel is not None:
-            query = ReferenceEncoder(128, name="ref_encoder")(style_mel)
+            query = ReferenceEncoder(
+                self.gst_embedding_dim // 2, norm_type=self.norm_type, name="encoder"
+            )(style_mel)
+            if speaker_embedding is not None:
+                query = jnp.concatenate([query, speaker_embedding], axis=-1)
             return stl(query)
-        return stl(jnp.zeros((1, 128)), token_weights=token_weights)
+        return stl(jnp.zeros((1, self.gst_embedding_dim // 2)), token_weights=token_weights)
 
 
 class CapacitronVAE(nn.Module):
-    """Prosody VAE with capacity constraint (ref capacitron_layers.py:12)."""
+    """Prosody VAE with capacity constraint (ref capacitron_layers.py:7).
+    `logvar` is the log of the reference's softplus-parameterised diagonal
+    covariance, so `z = mu + exp(logvar/2)·eps` reproduces `MVN.rsample`."""
 
     num_mel: int = 80
     capacitron_VAE_embedding_dim: int = 128
     text_summary_embedding_dim: Optional[int] = 128
     speaker_embedding_dim: Optional[int] = None
+    reference_encoder_out_dim: int = 128
+    norm_type: str = "layer"
 
     @nn.compact
-    def __call__(self, reference_mel=None, text_summary=None, speaker_embedding=None, rng=None):
+    def __call__(self, reference_mel=None, text_summary=None, speaker_embedding=None,
+                 rng=None, reference_mel_lengths=None, text_lengths=None):
         """Returns (VAE embedding `[B, E]`, posterior mean, posterior log-var)."""
-        enc = ReferenceEncoder(128, name="ref_encoder")(reference_mel)
+        if reference_mel_lengths is None and reference_mel is not None:
+            reference_mel_lengths = jnp.full((reference_mel.shape[0],), reference_mel.shape[1])
+        enc = ReferenceEncoder(
+            self.reference_encoder_out_dim, rnn_type="lstm", pad=2, masked=True,
+            norm_type=self.norm_type, name="encoder",
+        )(reference_mel, reference_mel_lengths)
         feats = [enc]
         if text_summary is not None and self.text_summary_embedding_dim:
-            ts = nn.RNN(nn.OptimizedLSTMCell(self.text_summary_embedding_dim), name="text_summary_rnn")(text_summary)
-            feats.append(ts[:, -1])
+            ts = nn.RNN(
+                nn.OptimizedLSTMCell(self.text_summary_embedding_dim, name="text_summary_cell"), name="text_summary_net"
+            )(text_summary)
+            if text_lengths is not None:
+                idx = jnp.clip(text_lengths.astype(jnp.int32) - 1, 0, ts.shape[1] - 1)
+                feats.append(jnp.take_along_axis(ts, idx[:, None, None], axis=1)[:, 0])
+            else:
+                feats.append(ts[:, -1])
         if speaker_embedding is not None:
             feats.append(speaker_embedding)
         h = jnp.concatenate(feats, axis=-1)
-        stats = nn.Dense(2 * self.capacitron_VAE_embedding_dim, name="post_proj")(h)
-        mu, logvar = jnp.split(stats, 2, axis=-1)
+        # ref PostEncoderMLP (capacitron_layers.py:187): Linear→tanh→Linear(2h)
+        h = jnp.tanh(nn.Dense(self.capacitron_VAE_embedding_dim, name="net_0")(h))
+        stats = nn.Dense(2 * self.capacitron_VAE_embedding_dim, name="net_2")(h)
+        mu = stats[..., : self.capacitron_VAE_embedding_dim]
+        sigma = jax.nn.softplus(stats[..., self.capacitron_VAE_embedding_dim :])
+        logvar = jnp.log(sigma + 1e-12)  # sigma is the diagonal covariance
         # Lagrange multiplier for the KL capacity constraint, init so
         # softplus(beta_raw) == 1 (ref capacitron_layers.py:31)
         beta_raw = self.param("beta", lambda k: jnp.asarray([float(np.log(np.e - 1.0))], dtype=jnp.float32))

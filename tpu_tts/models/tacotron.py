@@ -180,6 +180,7 @@ class TacotronNet(nn.Module):
                 num_heads=g.get("gst_num_heads", 4),
                 num_style_tokens=g.get("gst_num_style_tokens", 10),
                 gst_embedding_dim=self.gst_dim,
+                norm_type=self.norm_type,
             )
             encoder_dim += self.gst_dim
         if self.use_capacitron:
@@ -193,6 +194,7 @@ class TacotronNet(nn.Module):
                 text_summary_embedding_dim=c.get("capacitron_text_summary_embedding_dim", 128)
                 if c.get("capacitron_use_text_summary_embeddings", False)
                 else None,
+                norm_type=self.norm_type,
             )
             encoder_dim += self.cap_dim
         self.cell = TacotronDecoderCell(

@@ -65,6 +65,7 @@ class Tacotron2Net(nn.Module):
                 num_heads=g.get("gst_num_heads", 4),
                 num_style_tokens=g.get("gst_num_style_tokens", 10),
                 gst_embedding_dim=self.gst_dim,
+                norm_type=self.norm_type,
             )
             decoder_in += self.gst_dim
         if self.use_capacitron:
@@ -76,6 +77,7 @@ class Tacotron2Net(nn.Module):
                 text_summary_embedding_dim=c.get("capacitron_text_summary_embedding_dim", 128)
                 if c.get("capacitron_use_text_summary_embeddings", False)
                 else None,
+                norm_type=self.norm_type,
             )
             decoder_in += self.cap_dim
         self.decoder = Tacotron2Decoder(
@@ -101,7 +103,7 @@ class Tacotron2Net(nn.Module):
         if self.use_speaker_embedding and self.num_speakers > 1:
             self.speaker_embedding = nn.Embed(self.num_speakers, self.encoder_dim)
 
-    def _encode(self, text, text_lengths, speaker_ids, train, style_mel=None, text_emb_for_cap=None):
+    def _encode(self, text, text_lengths, speaker_ids, train, style_mel=None, text_emb_for_cap=None, style_mel_lengths=None):
         x_mask = sequence_mask(text_lengths, text.shape[1]).astype(jnp.float32)[:, :, None]
         emb = self.embedding(text)
         enc = self.encoder(emb, x_mask, train=train)
@@ -122,7 +124,8 @@ class Tacotron2Net(nn.Module):
         if self.use_capacitron:
             if style_mel is not None:
                 z, mu, logvar, beta_raw = self.capacitron_vae_layer(
-                    reference_mel=style_mel, text_summary=text_emb_for_cap
+                    reference_mel=style_mel, text_summary=text_emb_for_cap,
+                    reference_mel_lengths=style_mel_lengths, text_lengths=text_lengths,
                 )
                 cap_stats = (mu, logvar, beta_raw)
             else:
@@ -141,6 +144,7 @@ class Tacotron2Net(nn.Module):
             text, text_lengths, speaker_ids, train,
             style_mel=style,
             text_emb_for_cap=self.embedding(text) if self.use_capacitron else None,
+            style_mel_lengths=mel_lengths if (self.use_gst or self.use_capacitron) else None,
         )
         key_mask = x_mask[:, :, 0] > 0
         # pad mel to a multiple of r

@@ -130,6 +130,9 @@ def convert_tacotron2_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, 
     if "coarse_decoder.attention_rnn.weight_ih" in sd:
         map_decoder("coarse_decoder", "coarse_decoder")
 
+    map_gst(sd, out)
+    map_capacitron(sd, out)
+
     # ---- postnet ----
     n_post = len({m.group(1) for k in sd if (m := re.match(r"postnet\.convolutions\.(\d+)\.", k))})
     for i in range(n_post):
@@ -211,4 +214,58 @@ def convert_tacotron1_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, 
     _map_cbhg(sd, out, "postnet.cbhg", "postnet_cbhg")
     _set(out, "last_linear/kernel", _dense(sd["last_linear.weight"]))
     _set(out, "last_linear/bias", sd["last_linear.bias"])
+    map_gst(sd, out)
+    map_capacitron(sd, out)
     return out
+
+
+def _conv2d(w):
+    """torch Conv2d [out, in, kh, kw] → flax [kh, kw, in, out]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def map_gst(sd, out, src: str = "gst_layer", dst: str = "gst_layer"):
+    """Reference `GST` (layers/tacotron/gst_layers.py:6) → our `GST` tree.
+    No-op when the checkpoint has no GST."""
+    if f"{src}.encoder.convs.0.weight" not in sd:
+        return
+    for i in range(6):
+        _set(out, f"{dst}/encoder/conv_{i}/kernel", _conv2d(sd[f"{src}.encoder.convs.{i}.weight"]))
+        _set(out, f"{dst}/encoder/conv_{i}/bias", sd[f"{src}.encoder.convs.{i}.bias"])
+        _map_bn(sd, out, f"{src}.encoder.bns.{i}", f"{dst}/encoder/norm_{i}")
+    _map_gru(
+        out, f"{dst}/encoder/rnn_cell",
+        sd[f"{src}.encoder.recurrence.weight_ih_l0"], sd[f"{src}.encoder.recurrence.weight_hh_l0"],
+        sd.get(f"{src}.encoder.recurrence.bias_ih_l0"), sd.get(f"{src}.encoder.recurrence.bias_hh_l0"),
+    )
+    _set(out, f"{dst}/style_token_layer/style_tokens", sd[f"{src}.style_token_layer.style_tokens"])
+    for w in ("W_query", "W_key", "W_value"):
+        _set(out, f"{dst}/style_token_layer/attention/{w}/kernel",
+             _dense(sd[f"{src}.style_token_layer.attention.{w}.weight"]))
+
+
+def map_capacitron(sd, out, src: str = "capacitron_vae_layer", dst: str = "capacitron_vae_layer"):
+    """Reference `CapacitronVAE` (layers/tacotron/capacitron_layers.py:7) →
+    our tree. No-op when the checkpoint has no capacitron."""
+    if f"{src}.encoder.convs.0.weight" not in sd:
+        return
+    for i in range(6):
+        _set(out, f"{dst}/encoder/conv_{i}/kernel", _conv2d(sd[f"{src}.encoder.convs.{i}.weight"]))
+        _set(out, f"{dst}/encoder/conv_{i}/bias", sd[f"{src}.encoder.convs.{i}.bias"])
+        _map_bn(sd, out, f"{src}.encoder.bns.{i}", f"{dst}/encoder/norm_{i}")
+    _map_lstm(
+        out, f"{dst}/encoder/rnn_cell",
+        sd[f"{src}.encoder.recurrence.weight_ih_l0"], sd[f"{src}.encoder.recurrence.weight_hh_l0"],
+        sd[f"{src}.encoder.recurrence.bias_ih_l0"], sd[f"{src}.encoder.recurrence.bias_hh_l0"],
+    )
+    if f"{src}.text_summary_net.lstm.weight_ih_l0" in sd:
+        _map_lstm(
+            out, f"{dst}/text_summary_cell",
+            sd[f"{src}.text_summary_net.lstm.weight_ih_l0"], sd[f"{src}.text_summary_net.lstm.weight_hh_l0"],
+            sd[f"{src}.text_summary_net.lstm.bias_ih_l0"], sd[f"{src}.text_summary_net.lstm.bias_hh_l0"],
+        )
+    _set(out, f"{dst}/net_0/kernel", _dense(sd[f"{src}.post_encoder_mlp.net.0.weight"]))
+    _set(out, f"{dst}/net_0/bias", sd[f"{src}.post_encoder_mlp.net.0.bias"])
+    _set(out, f"{dst}/net_2/kernel", _dense(sd[f"{src}.post_encoder_mlp.net.2.weight"]))
+    _set(out, f"{dst}/net_2/bias", sd[f"{src}.post_encoder_mlp.net.2.bias"])
+    _set(out, f"{dst}/beta", np.asarray(sd[f"{src}.beta"]).reshape(1))
