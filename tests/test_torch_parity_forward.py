@@ -119,3 +119,49 @@ def test_pitch_predictor_parity(pair):
     if my_p.ndim == 3:
         my_p = np.transpose(my_p, (0, 2, 1))
     np.testing.assert_allclose(my_p.reshape(-1), ref_p.reshape(-1), atol=5e-4, rtol=1e-3)
+
+
+SPEEDY_ARGS = dict(
+    num_chars=30, hidden_channels=32, out_channels=20,
+    encoder_type="residual_conv_bn",
+    encoder_params={"kernel_size": 3, "dilations": [1, 2, 2, 1], "num_conv_blocks": 2, "num_res_blocks": 4},
+    decoder_type="residual_conv_bn",
+    decoder_params={"kernel_size": 3, "dilations": [1, 2, 4, 1], "num_conv_blocks": 2, "num_res_blocks": 4},
+    use_pitch=False, use_aligner=False,
+    duration_predictor_hidden_channels=16,
+)
+
+
+def test_speedy_speech_parity():
+    """SpeedySpeech (residual_conv_bn coders, ref feed_forward/{encoder,
+    decoder}.py) teacher-free inference parity after conversion."""
+    fm = ref_import("TTS.tts.models.forward_tts")
+    if fm is None:
+        pytest.skip("reference forward_tts not importable")
+    import torch
+
+    torch.manual_seed(5)
+    ref_model = fm.ForwardTTS(fm.ForwardTTSArgs(**SPEEDY_ARGS))
+    ref_model.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    from tpu_tts.configs.forward_tts_configs import SpeedySpeechConfig
+    from tpu_tts.models.forward_tts import ForwardTTS, ForwardTTSArgs
+
+    mine = ForwardTTS(SpeedySpeechConfig(model_args=ForwardTTSArgs(**SPEEDY_ARGS)))
+    params = mine.convert_torch_state_dict(sd)
+
+    rng = np.random.default_rng(6)
+    B, T_en = 2, 12
+    text = rng.integers(1, 30, (B, T_en))
+    text_len = np.array([T_en, T_en], dtype=np.int64)
+    with torch.no_grad():
+        ref_out = ref_model.inference(torch.from_numpy(text))
+    ref_mel = ref_out["model_outputs"].numpy()
+
+    mine.params = params
+    out = mine.inference(np.asarray(text))
+    my_mel = np.asarray(out["model_outputs"])
+    n = min(my_mel.shape[1], ref_mel.shape[1])
+    assert n > 4
+    np.testing.assert_allclose(my_mel[:, :n], ref_mel[:, :n], atol=2e-3, rtol=1e-3)

@@ -89,24 +89,29 @@ class Fastspeech2Config(_ForwardBase):
         self.model_args.use_energy = True
 
 
+def _speedy_args():
+    """ref tts/configs/speedy_speech_config.py model_args defaults."""
+    return ForwardTTSArgs(
+        use_pitch=False,
+        hidden_channels=128,
+        positional_encoding=True,
+        encoder_type="residual_conv_bn",
+        encoder_params={
+            "kernel_size": 4,
+            "dilations": [1, 2, 4, 1, 2, 4, 1, 2, 4, 1, 2, 4, 1],
+            "num_conv_blocks": 2,
+        },
+        decoder_type="residual_conv_bn",
+        decoder_params={
+            "kernel_size": 4,
+            "dilations": [1, 2, 4, 8, 1, 2, 4, 8, 1, 2, 4, 8, 1],
+            "num_conv_blocks": 2,
+        },
+    )
+
+
 @register_config_class("speedy_speech")
 @dataclass
 class SpeedySpeechConfig(_ForwardBase):
     model: str = "speedy_speech"
-
-    def __post_init__(self):
-        self.model_args.use_pitch = False
-        self.model_args.hidden_channels = 128
-        self.model_args.positional_encoding = True
-        self.model_args.encoder_type = "residual_conv_bn"
-        self.model_args.encoder_params = {
-            "kernel_size": 4,
-            "dilations": [1, 2, 4, 1, 2, 4, 1, 2, 4, 1, 2, 4, 1],
-            "num_conv_blocks": 2,
-        }
-        self.model_args.decoder_type = "residual_conv_bn"
-        self.model_args.decoder_params = {
-            "kernel_size": 4,
-            "dilations": [1, 2, 4, 8, 1, 2, 4, 8, 1, 2, 4, 8, 1],
-            "num_conv_blocks": 2,
-        }
+    model_args: ForwardTTSArgs = field(default_factory=_speedy_args)

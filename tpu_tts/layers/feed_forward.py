@@ -72,32 +72,155 @@ class FFTransformerBlock(nn.Module):
         return x
 
 
+def _ff_norm(norm_type: str, features: int, name: str):
+    if norm_type == "frozen_batch":
+        from tpu_tts.layers.tacotron import FrozenBatchNorm
+
+        return FrozenBatchNorm(features, name=name)
+    return nn.LayerNorm(name=name)
+
+
+class Conv1dBN(nn.Module):
+    """Valid conv → zero-pad output → relu → norm (ref generic/
+    res_conv_bn.py:18 `Conv1dBN`: padding is applied AFTER the convolution,
+    so boundary rows are relu(0) pushed through the norm — replicated
+    exactly for checkpoint parity)."""
+
+    out_channels: int
+    kernel_size: int
+    dilation: int = 1
+    norm_type: str = "layer"
+
+    @nn.compact
+    def __call__(self, x, x_mask=None):
+        pad = self.dilation * (self.kernel_size - 1)
+        ps, pe = pad // 2, pad - pad // 2
+        T = x.shape[1]
+        # pre-pad + zeroing the boundary rows == the reference's valid conv
+        # followed by output zero-padding, but survives T < receptive field.
+        # With a mask the end boundary tracks each sample's true length, so
+        # bucket-padded inference reproduces the reference's unpadded run.
+        x = jnp.pad(x, ((0, 0), (ps, pe), (0, 0)))
+        x = nn.Conv(self.out_channels, (self.kernel_size,), kernel_dilation=(self.dilation,),
+                    padding="VALID", name="conv1d")(x)
+        if pad:
+            idx = jnp.arange(T)
+            if x_mask is not None and not isinstance(x_mask, float):
+                lengths = jnp.sum(x_mask[:, :, 0], axis=1)
+                edge = (idx[None, :] >= ps) & (idx[None, :] < jnp.maximum(lengths - pe, ps)[:, None])
+                edge = edge.astype(x.dtype)[:, :T][:, :, None]
+            else:
+                edge = ((idx >= ps) & (idx < max(T - pe, ps))).astype(x.dtype)[None, :, None]
+            x = x[:, :T] * edge
+        else:
+            x = x[:, :T]
+        x = nn.relu(x)
+        return _ff_norm(self.norm_type, self.out_channels, "norm")(x)
+
+
+class Conv1dBNBlock(nn.Module):
+    """`num_conv_blocks` chained Conv1dBN at one dilation
+    (ref res_conv_bn.py:49)."""
+
+    out_channels: int
+    hidden_channels: int
+    kernel_size: int
+    dilation: int = 1
+    num_conv_blocks: int = 2
+    norm_type: str = "layer"
+
+    @nn.compact
+    def __call__(self, x, x_mask=None):
+        for i in range(self.num_conv_blocks):
+            ch = self.out_channels if i == self.num_conv_blocks - 1 else self.hidden_channels
+            x = Conv1dBN(ch, self.kernel_size, self.dilation, self.norm_type, name=f"conv_bn_{i}")(x, x_mask)
+        return x
+
+
 class ResidualConv1dBNBlock(nn.Module):
-    """Dilated conv-BN-relu residual stacks (ref generic/res_conv_bn.py),
-    the SpeedySpeech encoder/decoder. BN is replaced by LayerNorm to keep the
-    train step stateless (no running stats) — a documented deviation."""
+    """Dilated conv-relu-norm residual stacks (ref res_conv_bn.py:83), the
+    SpeedySpeech encoder/decoder core. `norm_type="frozen_batch"` reproduces
+    the reference's BatchNorm for checkpoint ingest; "layer" trains
+    stateless."""
 
     hidden_channels: int
     out_channels: int
     kernel_size: int
     dilations: Tuple[int, ...]
     num_conv_blocks: int = 2
+    norm_type: str = "layer"
 
     @nn.compact
     def __call__(self, x, x_mask=None, g=None, train: bool = False):
         if x_mask is None:
             x_mask = 1.0
+        o = x * x_mask
         for b, d in enumerate(self.dilations):
-            res = x
-            for i in range(self.num_conv_blocks):
-                x = Conv1d(self.hidden_channels, self.kernel_size, dilation=d if i == 0 else 1,
-                           name=f"block{b}_conv{i}")(x * x_mask)
-                x = nn.LayerNorm(name=f"block{b}_norm{i}")(x)
-                x = nn.relu(x)
-            if res.shape[-1] == x.shape[-1]:
-                x = x + res
-        x = Conv1d(self.out_channels, 1, name="proj")(x * x_mask)
-        return x * x_mask
+            res = o
+            ch = self.out_channels if b == len(self.dilations) - 1 else self.hidden_channels
+            o = Conv1dBNBlock(
+                ch, self.hidden_channels, self.kernel_size, d,
+                self.num_conv_blocks, self.norm_type, name=f"res_block_{b}",
+            )(o, x_mask if not isinstance(x_mask, float) else None)
+            o = (o + res) * x_mask
+        return o
+
+
+class ResidualConv1dBNEncoder(nn.Module):
+    """SpeedySpeech encoder (ref feed_forward/encoder.py:41): 1×1 prenet,
+    residual conv stack, conv-relu-norm-conv postnet with an input residual."""
+
+    hidden_channels: int
+    out_channels: int
+    kernel_size: int = 4
+    dilations: Tuple[int, ...] = (1, 2, 4, 1, 2, 4, 1, 2, 4, 1, 2, 4, 1)
+    num_conv_blocks: int = 2
+    norm_type: str = "layer"
+
+    @nn.compact
+    def __call__(self, x, x_mask=None, g=None, train: bool = False):
+        if x_mask is None:
+            x_mask = 1.0
+        o = nn.relu(nn.Dense(self.hidden_channels, name="prenet")(x)) * x_mask
+        o = ResidualConv1dBNBlock(
+            self.hidden_channels, self.hidden_channels, self.kernel_size,
+            tuple(self.dilations), self.num_conv_blocks, self.norm_type,
+            name="res_conv_block",
+        )(o, x_mask)
+        o = o + x
+        o = nn.relu(nn.Dense(self.hidden_channels, name="postnet_0")(o))
+        o = _ff_norm(self.norm_type, self.hidden_channels, "postnet_norm")(o)
+        o = nn.Dense(self.out_channels, name="postnet_1")(o) * x_mask
+        return o * x_mask
+
+
+class ResidualConv1dBNDecoder(nn.Module):
+    """SpeedySpeech decoder (ref feed_forward/decoder.py:125): residual conv
+    stack, 1×1 post conv with input residual, Conv1dBNBlock postnet. The
+    reference's final 1×1 conv to `out_channels` is the model-level `proj`."""
+
+    hidden_channels: int
+    out_channels: int
+    kernel_size: int = 4
+    dilations: Tuple[int, ...] = tuple(4 * [1, 2, 4, 8] + [1])
+    num_conv_blocks: int = 2
+    norm_type: str = "layer"
+
+    @nn.compact
+    def __call__(self, x, x_mask=None, g=None, train: bool = False):
+        if x_mask is None:
+            x_mask = 1.0
+        o = ResidualConv1dBNBlock(
+            self.hidden_channels, self.hidden_channels, self.kernel_size,
+            tuple(self.dilations), self.num_conv_blocks, self.norm_type,
+            name="res_conv_block",
+        )(x, x_mask)
+        o = nn.Dense(self.hidden_channels, name="post_conv")(o) + x
+        o = Conv1dBNBlock(
+            self.hidden_channels, self.hidden_channels, self.kernel_size, 1,
+            num_conv_blocks=2, norm_type=self.norm_type, name="postnet_block",
+        )(o, x_mask if not isinstance(x_mask, float) else None)
+        return o * x_mask
 
 
 class WaveNetDecoder(nn.Module):
@@ -132,12 +255,18 @@ class PositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, x, x_mask=None):
         T = x.shape[1]
-        position = np.arange(self.max_len)[:, None]
-        div_term = np.exp(np.arange(0, self.channels, 2) * -(math.log(10000.0) / self.channels))
+        position = np.arange(self.max_len)[:, None].astype(np.float32)
+        # NB: the reference MULTIPLIES by 10000^(2i/C) (pos_encoding.py:29) —
+        # the inverse of the standard transformer formula; replicated for
+        # checkpoint parity
+        div_term = np.power(10000.0, np.arange(0, self.channels, 2).astype(np.float32) / self.channels)
         pe = np.zeros((self.max_len, self.channels), dtype=np.float32)
         pe[:, 0::2] = np.sin(position * div_term)
         pe[:, 1::2] = np.cos(position * div_term)[:, : self.channels // 2]
         pe_t = jnp.asarray(pe[None, :T])
+        x = x * math.sqrt(self.channels)  # ref pos_encoding.py:47
+        if x_mask is not None:
+            pe_t = pe_t * x_mask
         if self.use_scale:
             scale = self.param("scale", nn.initializers.ones, (1,))
             x = x + scale * pe_t

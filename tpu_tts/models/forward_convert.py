@@ -79,6 +79,8 @@ def convert_forward_tts_torch_state_dict(
             _map_fft_block(sd, out, f"decoder.decoder.transformer_block.fft_layers.{m.group(1)}",
                            f"decoder/fft_{m.group(1)}", num_heads)
 
+    map_speedy_speech(sd, out)
+
     # decoder output projection (ref FFTransformerDecoder `postnet`, 1x1 conv)
     if "decoder.decoder.postnet.weight" in sd:
         _set(out, "proj/kernel", _dense(sd["decoder.decoder.postnet.weight"]))
@@ -111,3 +113,51 @@ def convert_forward_tts_torch_state_dict(
         _set(out, f"aligner/query_conv{j + 1}/conv/bias", sd[f"aligner.query_layer.{i}.bias"])
 
     return out
+
+
+def _map_conv_bn(sd, out, src: str, dst: str):
+    """`Conv1dBN` (ref generic/res_conv_bn.py:18): conv1d + BatchNorm."""
+    _set(out, f"{dst}/conv1d/kernel", _conv1d(sd[f"{src}.conv1d.weight"]))
+    _set(out, f"{dst}/conv1d/bias", sd[f"{src}.conv1d.bias"])
+    _set(out, f"{dst}/norm/scale", sd[f"{src}.norm.weight"])
+    _set(out, f"{dst}/norm/bias", sd[f"{src}.norm.bias"])
+    _set(out, f"{dst}/norm/mean", sd[f"{src}.norm.running_mean"])
+    _set(out, f"{dst}/norm/var", sd[f"{src}.norm.running_var"])
+
+
+def _map_res_conv_stack(sd, out, src: str, dst: str):
+    """`ResidualConv1dBNBlock.res_blocks` (ref res_conv_bn.py:83)."""
+    for k in sd:
+        m = re.match(re.escape(src) + r"\.res_blocks\.(\d+)\.conv_bn_blocks\.(\d+)\.conv1d\.weight$", k)
+        if m:
+            b, j = m.groups()
+            _map_conv_bn(sd, out, f"{src}.res_blocks.{b}.conv_bn_blocks.{j}",
+                         f"{dst}/res_block_{b}/conv_bn_{j}")
+
+
+def map_speedy_speech(sd, out):
+    """SpeedySpeech residual_conv_bn encoder/decoder (ref feed_forward/
+    encoder.py:41 `ResidualConv1dBNEncoder`, decoder.py:125
+    `ResidualConv1dBNDecoder`). The decoder's final 1×1 conv maps to our
+    model-level `proj`."""
+    if "encoder.encoder.prenet.0.weight" in sd:
+        _set(out, "encoder/prenet/kernel", _dense(sd["encoder.encoder.prenet.0.weight"]))
+        _set(out, "encoder/prenet/bias", sd["encoder.encoder.prenet.0.bias"])
+        _map_res_conv_stack(sd, out, "encoder.encoder.res_conv_block", "encoder/res_conv_block")
+        _set(out, "encoder/postnet_0/kernel", _dense(sd["encoder.encoder.postnet.0.weight"]))
+        _set(out, "encoder/postnet_0/bias", sd["encoder.encoder.postnet.0.bias"])
+        _set(out, "encoder/postnet_norm/scale", sd["encoder.encoder.postnet.2.weight"])
+        _set(out, "encoder/postnet_norm/bias", sd["encoder.encoder.postnet.2.bias"])
+        _set(out, "encoder/postnet_norm/mean", sd["encoder.encoder.postnet.2.running_mean"])
+        _set(out, "encoder/postnet_norm/var", sd["encoder.encoder.postnet.2.running_var"])
+        _set(out, "encoder/postnet_1/kernel", _dense(sd["encoder.encoder.postnet.3.weight"]))
+        _set(out, "encoder/postnet_1/bias", sd["encoder.encoder.postnet.3.bias"])
+    if "decoder.decoder.res_conv_block.res_blocks.0.conv_bn_blocks.0.conv1d.weight" in sd:
+        _map_res_conv_stack(sd, out, "decoder.decoder.res_conv_block", "decoder/res_conv_block")
+        _set(out, "decoder/post_conv/kernel", _dense(sd["decoder.decoder.post_conv.weight"]))
+        _set(out, "decoder/post_conv/bias", sd["decoder.decoder.post_conv.bias"])
+        for j in range(2):
+            _map_conv_bn(sd, out, f"decoder.decoder.postnet.0.conv_bn_blocks.{j}",
+                         f"decoder/postnet_block/conv_bn_{j}")
+        _set(out, "proj/kernel", _dense(sd["decoder.decoder.postnet.1.weight"]))
+        _set(out, "proj/bias", sd["decoder.decoder.postnet.1.bias"])

@@ -20,6 +20,8 @@ import numpy as np
 from tpu_tts.config.base import Coqpit
 from tpu_tts.layers.common import DurationPredictor, Conv1d
 from tpu_tts.layers.feed_forward import (
+    ResidualConv1dBNDecoder,
+    ResidualConv1dBNEncoder,
     AlignmentNetwork,
     FFTransformerBlock,
     PositionalEncoding,
@@ -82,9 +84,11 @@ class ForwardTTSArgs(Coqpit):
     use_d_vector_file: bool = False
     d_vector_dim: Optional[int] = None
     d_vector_file: Optional[str] = None
+    norm_type: str = "layer"  # "frozen_batch" for converted reference ckpts
 
 
-def _build_coder(kind: str, params: dict, channels: int, out_channels: int, name: str):
+def _build_coder(kind: str, params: dict, channels: int, out_channels: int, name: str,
+                 norm_type: str = "layer"):
     params = dict(params or {})
     if kind == "fftransformer":
         return FFTransformerBlock(
@@ -108,12 +112,20 @@ def _build_coder(kind: str, params: dict, channels: int, out_channels: int, name
             name=name,
         )
     if kind in ("residual_conv_bn", "residual_conv_bn_encoder", "residual_conv_bn_decoder"):
-        return ResidualConv1dBNBlock(
+        # SpeedySpeech: dedicated encoder/decoder wrappers (ref
+        # feed_forward/encoder.py:41, decoder.py:125)
+        cls = ResidualConv1dBNEncoder if name == "encoder" else ResidualConv1dBNDecoder
+        default_dil = (
+            (1, 2, 4, 1, 2, 4, 1, 2, 4, 1, 2, 4, 1) if name == "encoder"
+            else tuple(4 * [1, 2, 4, 8] + [1])
+        )
+        return cls(
             hidden_channels=params.get("hidden_channels", channels),
             out_channels=out_channels,
             kernel_size=params.get("kernel_size", 4),
-            dilations=tuple(params.get("dilations", (1, 2, 4, 1, 2, 4, 1, 2, 4, 1, 2, 4, 1))),
+            dilations=tuple(params.get("dilations", default_dil)),
             num_conv_blocks=params.get("num_conv_blocks", 2),
+            norm_type=norm_type,
             name=name,
         )
     if kind == "wavenet":
@@ -138,8 +150,9 @@ class ForwardTTSNet(nn.Module):
     def setup(self):
         a = self.a
         self.emb = nn.Embed(a["num_chars"], a["hidden_channels"])
-        self.encoder = _build_coder(a["encoder_type"], a["encoder_params"], a["hidden_channels"], a["hidden_channels"], "encoder")
-        self.decoder = _build_coder(a["decoder_type"], a["decoder_params"], a["hidden_channels"], a["hidden_channels"], "decoder")
+        nt = a.get("norm_type", "layer")
+        self.encoder = _build_coder(a["encoder_type"], a["encoder_params"], a["hidden_channels"], a["hidden_channels"], "encoder", norm_type=nt)
+        self.decoder = _build_coder(a["decoder_type"], a["decoder_params"], a["hidden_channels"], a["hidden_channels"], "decoder", norm_type=nt)
         self.proj = nn.Dense(a["out_channels"])
         if a["positional_encoding"]:
             self.pos_encoder = PositionalEncoding(a["hidden_channels"], use_scale=a["poisitonal_encoding_use_scale"])
@@ -266,8 +279,11 @@ class ForwardTTSNet(nn.Module):
         g = self._speaker(speaker_ids, d_vectors)
         o_en, x_mask = self._encode(x, x_lengths, g, False)
         o_dr_log = self.duration_predictor(o_en, x_mask, train=False)[:, :, 0]
-        o_dr = jnp.clip(jnp.round(jnp.exp(o_dr_log) - 1), 0, a["max_duration"]) * a["length_scale"]
-        o_dr = jnp.maximum(o_dr, 1.0) * x_mask[:, :, 0]
+        # ref forward_tts.py:353 format_durations: linear scale → length_scale
+        # → floor at 1 → round (padded positions re-masked on our side so
+        # bucketed batches don't grow)
+        o_dr = (jnp.exp(o_dr_log) - 1.0) * a["length_scale"]
+        o_dr = jnp.round(jnp.where(o_dr < 1.0, 1.0, o_dr)) * x_mask[:, :, 0]
         if a["use_pitch"]:
             o_pitch = self.pitch_predictor(o_en, x_mask, train=False)
             o_en = o_en + self.pitch_emb(o_pitch)
@@ -307,6 +323,14 @@ class ForwardTTS(BaseTTSModel):
         `pos_encoder/scale` keeps its init value."""
         from tpu_tts.models.forward_convert import convert_forward_tts_torch_state_dict
 
+        if (
+            "residual_conv_bn" in (self.args.encoder_type, self.args.decoder_type)
+            and self.args.norm_type != "frozen_batch"
+        ):  # SpeedySpeech checkpoints carry BatchNorm statistics
+            self.args.norm_type = "frozen_batch"
+            self.net = ForwardTTSNet(args=tuple(sorted(self.args.to_dict().items())))
+            self.params = None
+            self._infer_cache = {}
         enc_params = self.args.encoder_params or {}
         num_heads = int(enc_params.get("num_heads", 2))
         params = convert_forward_tts_torch_state_dict(state_dict, num_heads=num_heads)
