@@ -66,3 +66,15 @@ def test_tacotron1_capacitron():
     state = opt.init(params)
     upd, _ = opt.update(g, state, params)
     assert np.isfinite(np.asarray(upd["capacitron_vae_layer"]["beta"])).all()
+
+
+def test_tacotron1_ddc():
+    """DDC coarse decoder (ref base_tacotron.py:207) produces a matching-length
+    coarse output and a consistency loss term."""
+    model = _model(double_decoder_consistency=True, ddc_r=5)
+    model.net = model.net.clone(use_ddc=True, ddc_r=5)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = _batch()
+    loss, logs = model.loss_fn(params, batch, jax.random.PRNGKey(1))
+    assert "decoder_coarse_loss" in logs
+    assert np.isfinite(float(loss))

@@ -162,6 +162,8 @@ class TacotronNet(nn.Module):
     capacitron: Optional[tuple] = None  # frozen CapacitronVAEConfig items
     norm_type: str = "layer"
     prenet_dropout_at_inference: bool = False
+    use_ddc: bool = False
+    ddc_r: int = 6
 
     def setup(self):
         self.embedding = nn.Embed(self.num_chars, 256, embedding_init=nn.initializers.normal(0.3))
@@ -202,6 +204,14 @@ class TacotronNet(nn.Module):
             encoder_dim=encoder_dim, attn_kwargs=self.attn_kwargs,
             prenet_dropout_at_inference=self.prenet_dropout_at_inference,
         )
+        if self.use_ddc:
+            # double decoder consistency (ref base_tacotron.py:207
+            # `_coarse_decoder_pass`)
+            self.coarse_cell = TacotronDecoderCell(
+                frame_channels=self.decoder_output_dim, r=self.ddc_r, r_init=self.ddc_r,
+                encoder_dim=encoder_dim, attn_kwargs=self.attn_kwargs,
+                prenet_dropout_at_inference=self.prenet_dropout_at_inference,
+            )
         self.postnet_cbhg = CBHG(
             K=8, conv_bank_features=128, conv_projections=(256, self.decoder_output_dim),
             highway_features=128, gru_features=128, norm_type=self.norm_type,
@@ -270,6 +280,25 @@ class TacotronNet(nn.Module):
             "stop_tokens": stops,
             "alignments": attns,
         }
+        if self.use_ddc:
+            enc_sg = jax.lax.stop_gradient(enc)
+            rc = self.ddc_r
+            pad_c = (-mel.shape[1]) % rc
+            mel_c = jnp.pad(mel, ((0, 0), (0, pad_c), (0, 0))) if pad_c else mel
+            mem_c = mel_c[:, rc - 1 :: rc][:, :-1]
+            mem_c = jnp.concatenate([jnp.zeros((B, 1, self.decoder_output_dim)), mem_c], axis=1)
+            processed_c = self.coarse_cell.preprocess_inputs(enc_sg)
+            carry_c = self.coarse_cell.init_carry(B, text.shape[1])
+
+            def step_c(cell, carry, frame_in):
+                return cell(carry, frame_in, enc_sg, processed_c, key_mask, train)
+
+            scan_c = nn.scan(step_c, variable_broadcast="params",
+                             split_rngs={"params": False, "dropout": True}, in_axes=1, out_axes=1)
+            _, (frames_c, _, attns_c) = scan_c(self.coarse_cell, carry_c, mem_c)
+            frames_c = frames_c.reshape(B, -1, self.decoder_output_dim)
+            out["coarse_decoder_outputs"] = frames_c[:, : decoder_outputs.shape[1]]
+            out["coarse_alignments"] = attns_c
         if cap_stats is not None:
             out["capacitron_mu"], out["capacitron_logvar"], out["capacitron_beta_raw"] = cap_stats
         return out
@@ -339,6 +368,8 @@ class Tacotron(BaseTTSModel):
             ) or None,
             norm_type=getattr(config, "norm_type", "layer"),
             prenet_dropout_at_inference=getattr(config, "prenet_dropout_at_inference", False),
+            use_ddc=bool(getattr(config, "double_decoder_consistency", False)),
+            ddc_r=getattr(config, "ddc_r", 6),
             use_capacitron=bool(getattr(config, "use_capacitron_vae", False)),
             capacitron=tuple(
                 sorted(
@@ -403,6 +434,14 @@ class Tacotron(BaseTTSModel):
             l_ga = guided_attention_loss(outputs["alignments"], batch["text_lengths"], stop_lens)
             loss += c.ga_alpha * l_ga
             losses["ga_loss"] = l_ga
+        if self.net.use_ddc:
+            l_ddc = masked_mse_loss(
+                outputs["coarse_decoder_outputs"][:, :T],
+                jax.lax.stop_gradient(outputs["decoder_outputs"])[:, :T],
+                batch["mel_lengths"],
+            )
+            loss += l_ddc
+            losses["decoder_coarse_loss"] = l_ddc
         if "capacitron_mu" in outputs:
             from tpu_tts.layers.gst import capacitron_loss_terms
 

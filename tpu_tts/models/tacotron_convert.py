@@ -190,26 +190,31 @@ def convert_tacotron1_torch_state_dict(state_dict: Dict[str, Any]) -> Dict[str, 
              sd[f"encoder.prenet.linear_layers.{i}.linear_layer.bias"])
     _map_cbhg(sd, out, "encoder.cbhg.cbhg", "encoder_cbhg")
 
-    # ---- decoder cell ----
-    for i in range(2):
-        _set(out, f"cell/prenet/linear_{i}/kernel",
-             _dense(sd[f"decoder.prenet.linear_layers.{i}.linear_layer.weight"]))
-        _set(out, f"cell/prenet/linear_{i}/bias",
-             sd[f"decoder.prenet.linear_layers.{i}.linear_layer.bias"])
-    _map_gru(out, "cell/attention_rnn",
-             sd["decoder.attention_rnn.weight_ih"], sd["decoder.attention_rnn.weight_hh"],
-             sd.get("decoder.attention_rnn.bias_ih"), sd.get("decoder.attention_rnn.bias_hh"))
-    _map_attention(sd, out, "decoder.attention", "cell/attention")
-    _set(out, "cell/project_to_decoder_in/kernel", _dense(sd["decoder.project_to_decoder_in.weight"]))
-    _set(out, "cell/project_to_decoder_in/bias", sd["decoder.project_to_decoder_in.bias"])
-    for i in range(2):
-        _map_gru(out, f"cell/decoder_rnns_{i}",
-                 sd[f"decoder.decoder_rnns.{i}.weight_ih"], sd[f"decoder.decoder_rnns.{i}.weight_hh"],
-                 sd.get(f"decoder.decoder_rnns.{i}.bias_ih"), sd.get(f"decoder.decoder_rnns.{i}.bias_hh"))
-    _set(out, "cell/proj_to_mel/kernel", _dense(sd["decoder.proj_to_mel.weight"]))
-    _set(out, "cell/proj_to_mel/bias", sd["decoder.proj_to_mel.bias"])
-    _set(out, "cell/stopnet/kernel", _dense(sd["decoder.stopnet.linear.weight"]))
-    _set(out, "cell/stopnet/bias", sd["decoder.stopnet.linear.bias"])
+    # ---- decoder cell(s): main decoder + optional DDC coarse decoder ----
+    def map_v1_decoder(src: str, dst: str):
+        for i in range(2):
+            _set(out, f"{dst}/prenet/linear_{i}/kernel",
+                 _dense(sd[f"{src}.prenet.linear_layers.{i}.linear_layer.weight"]))
+            _set(out, f"{dst}/prenet/linear_{i}/bias",
+                 sd[f"{src}.prenet.linear_layers.{i}.linear_layer.bias"])
+        _map_gru(out, f"{dst}/attention_rnn",
+                 sd[f"{src}.attention_rnn.weight_ih"], sd[f"{src}.attention_rnn.weight_hh"],
+                 sd.get(f"{src}.attention_rnn.bias_ih"), sd.get(f"{src}.attention_rnn.bias_hh"))
+        _map_attention(sd, out, f"{src}.attention", f"{dst}/attention")
+        _set(out, f"{dst}/project_to_decoder_in/kernel", _dense(sd[f"{src}.project_to_decoder_in.weight"]))
+        _set(out, f"{dst}/project_to_decoder_in/bias", sd[f"{src}.project_to_decoder_in.bias"])
+        for i in range(2):
+            _map_gru(out, f"{dst}/decoder_rnns_{i}",
+                     sd[f"{src}.decoder_rnns.{i}.weight_ih"], sd[f"{src}.decoder_rnns.{i}.weight_hh"],
+                     sd.get(f"{src}.decoder_rnns.{i}.bias_ih"), sd.get(f"{src}.decoder_rnns.{i}.bias_hh"))
+        _set(out, f"{dst}/proj_to_mel/kernel", _dense(sd[f"{src}.proj_to_mel.weight"]))
+        _set(out, f"{dst}/proj_to_mel/bias", sd[f"{src}.proj_to_mel.bias"])
+        _set(out, f"{dst}/stopnet/kernel", _dense(sd[f"{src}.stopnet.linear.weight"]))
+        _set(out, f"{dst}/stopnet/bias", sd[f"{src}.stopnet.linear.bias"])
+
+    map_v1_decoder("decoder", "cell")
+    if "coarse_decoder.attention_rnn.weight_ih" in sd:
+        map_v1_decoder("coarse_decoder", "coarse_cell")
 
     _map_cbhg(sd, out, "postnet.cbhg", "postnet_cbhg")
     _set(out, "last_linear/kernel", _dense(sd["last_linear.weight"]))
