@@ -70,9 +70,13 @@ def main(argv=None):
     if args.restore_path:
         from tpu_tts.train.checkpoint import load_checkpoint
 
-        params = load_checkpoint(args.restore_path)["model"]
+        _st = load_checkpoint(args.restore_path)
+        params = _st["model"]
+        if "model_state" in _st:
+            model.model_state = _st["model_state"]
     loss_params = {"w": jnp.array(10.0), "b": jnp.array(-5.0)}
     all_params = {"model": params, "loss": loss_params}
+    model_state = model.model_state or {}
 
     schedule = noam_schedule(config.lr, config.warmup_steps) if config.lr_decay else config.lr
     opt = get_optimizer(config.optimizer, config.optimizer_params, None, config, schedule=schedule)
@@ -81,18 +85,18 @@ def main(argv=None):
     use_ge2e = config.loss == "ge2e"
 
     @jax.jit
-    def train_step(all_params, opt_state, wavs):
+    def train_step(all_params, model_state, opt_state, wavs):
         def loss_of(p):
             feats = model.features_from_wav(wavs)
-            d = model.embed(p["model"], feats)
+            d, new_state = model.embed_train(p["model"], feats, model_state)
             d = d.reshape(S, U, -1)
             if use_ge2e:
-                return ge2e_loss(d, p["loss"]["w"], p["loss"]["b"])
-            return angle_proto_loss(d, p["loss"]["w"], p["loss"]["b"])
+                return ge2e_loss(d, p["loss"]["w"], p["loss"]["b"]), new_state
+            return angle_proto_loss(d, p["loss"]["w"], p["loss"]["b"]), new_state
 
-        loss, grads = jax.value_and_grad(loss_of)(all_params)
+        (loss, new_state), grads = jax.value_and_grad(loss_of, has_aux=True)(all_params)
         updates, opt_state = opt.update(grads, opt_state, all_params)
-        return optax.apply_updates(all_params, updates), opt_state, loss
+        return optax.apply_updates(all_params, updates), new_state, opt_state, loss
 
     out_dir = config.output_path
     os.makedirs(out_dir, exist_ok=True)
@@ -101,17 +105,18 @@ def main(argv=None):
         for batch_idxs in sampler:
             t0 = time.time()
             batch = dataset.collate_fn([dataset[i] for i in batch_idxs])
-            all_params, opt_state, loss = train_step(all_params, opt_state, jnp.asarray(batch["wavs"]))
+            all_params, model_state, opt_state, loss = train_step(
+                all_params, model_state, opt_state, jnp.asarray(batch["wavs"]))
             step += 1
             if step % config.print_step == 0:
                 print(f" | > step {step} loss {float(loss):.5f} ({time.time()-t0:.2f}s)", flush=True)
             if step % config.save_step == 0:
-                save_checkpoint({"model": jax.device_get(all_params["model"]), "step": step}, out_dir, step, config)
+                save_checkpoint({"model": jax.device_get(all_params["model"]), "model_state": jax.device_get(model_state), "step": step}, out_dir, step, config)
             if args.max_steps and step >= args.max_steps:
-                save_checkpoint({"model": jax.device_get(all_params["model"]), "step": step}, out_dir, step, config)
+                save_checkpoint({"model": jax.device_get(all_params["model"]), "model_state": jax.device_get(model_state), "step": step}, out_dir, step, config)
                 print(" > Done (max_steps).")
                 return
-    save_checkpoint({"model": jax.device_get(all_params["model"]), "step": step}, out_dir, step, config)
+    save_checkpoint({"model": jax.device_get(all_params["model"]), "model_state": jax.device_get(model_state), "step": step}, out_dir, step, config)
 
 
 if __name__ == "__main__":

@@ -54,14 +54,20 @@ class SELayer(nn.Module):
 
 
 class _Norm2d(nn.Module):
-    """LayerNorm (fresh training) or FrozenBatchNorm affine (torch ingest)."""
+    """"batch" = true BatchNorm (fresh training, ref resnet.py BatchNorm2d
+    defaults), "frozen_batch" = running-stat affine (torch ingest), "layer"
+    = stateless LayerNorm (back-compat)."""
 
     features: int
     norm_type: str = "layer"
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        if self.norm_type == "batch":
+            from tpu_tts.layers.common import TorchBatchNorm
+
+            return TorchBatchNorm(self.features, eps=self.eps)(x, train)
         if self.norm_type != "frozen_batch":
             return nn.LayerNorm()(x)
         scale = self.param("scale", nn.initializers.ones, (self.features,))
@@ -86,14 +92,14 @@ class SEBasicBlock(nn.Module):
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding=((1, 1), (1, 1)),
                     use_bias=False, name="conv1")(x)
         y = nn.relu(y)
-        y = _Norm2d(self.planes, self.norm_type, name="bn1")(y)
+        y = _Norm2d(self.planes, self.norm_type, name="bn1")(y, train)
         y = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
-        y = _Norm2d(self.planes, self.norm_type, name="bn2")(y)
+        y = _Norm2d(self.planes, self.norm_type, name="bn2")(y, train)
         y = SELayer(self.planes)(y)
         if self.downsample or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False, name="ds_conv")(x)
-            residual = _Norm2d(self.planes, self.norm_type, name="ds_norm")(residual)
+            residual = _Norm2d(self.planes, self.norm_type, name="ds_norm")(residual, train)
         return nn.relu(y + residual)
 
 
@@ -119,7 +125,7 @@ class ResNetSpeakerEncoder(nn.Module):
         # treat as image [B, T, C_mel, 1]
         h = x[..., None]
         h = nn.Conv(self.num_filters[0], (3, 3), padding=((1, 1), (1, 1)), name="conv1")(h)
-        h = _Norm2d(self.num_filters[0], self.norm_type, name="bn1")(nn.relu(h))
+        h = _Norm2d(self.num_filters[0], self.norm_type, name="bn1")(nn.relu(h), train)
         for li, (n_blocks, planes) in enumerate(zip(self.layers, self.num_filters)):
             stride = 1 if li == 0 else 2
             for bi in range(n_blocks):
@@ -135,10 +141,10 @@ class ResNetSpeakerEncoder(nn.Module):
         # attentive pooling (ref attention: conv1x1-relu-bn-conv1x1-softmax)
         w = nn.Conv(128, (1,), name="attn_conv1")(h)
         w = nn.relu(w)
-        if self.norm_type == "frozen_batch":
-            w = _Norm2d(128, "frozen_batch", name="attn_bn")(w)
-        else:
+        if self.norm_type == "layer":
             w = nn.LayerNorm(name="attn_bn")(w)
+        else:
+            w = _Norm2d(128, self.norm_type, name="attn_bn")(w, train)
         w = nn.Conv(F2 * C, (1,), name="attn_conv2")(w)
         w = jax.nn.softmax(w, axis=1)
         mu = jnp.sum(h * w, axis=1)
@@ -170,13 +176,17 @@ class SpeakerEncoderModel:
                 num_lstm_layers=p.get("num_lstm_layers", 3),
             )
         elif model_name == "resnet":
+            # true BatchNorm by default for fresh training (ref resnet.py
+            # BatchNorm2d); ingest switches to "frozen_batch"
             self.net = ResNetSpeakerEncoder(
                 input_dim=p.get("input_dim", 64),
                 proj_dim=p.get("proj_dim", 512),
+                norm_type=p.get("norm_type", None) or "batch",
             )
         else:
             raise ValueError(f" [!] Unknown encoder model {model_name}")
         self.params = None
+        self.model_state = {}
         self._jit_embed = None
 
     def features_from_wav(self, wav: jnp.ndarray) -> jnp.ndarray:
@@ -196,11 +206,24 @@ class SpeakerEncoderModel:
 
     def init_params(self, rng):
         x = jnp.zeros((2, 40, self.config.model_params.get("input_dim", 80)))
-        self.params = self.net.init(rng, x)["params"]
+        variables = self.net.init(rng, x)
+        self.params = variables["params"]
+        self.model_state = {k: v for k, v in variables.items() if k != "params"}
         return self.params
 
-    def embed(self, params, feats: jnp.ndarray) -> jnp.ndarray:
-        return self.net.apply({"params": params}, feats)
+    def embed(self, params, feats: jnp.ndarray, model_state=None) -> jnp.ndarray:
+        return self.net.apply({"params": params, **(model_state or self.model_state or {})}, feats)
+
+    def embed_train(self, params, feats: jnp.ndarray, model_state):
+        """Training-mode embedding; returns (embeddings, new batch stats)."""
+        out, new_state = self.net.apply(
+            {"params": params, **(model_state or {})}, feats, train=True, mutable=["batch_stats"]
+        )
+        import jax as _jax
+
+        if not _jax.tree_util.tree_leaves(new_state):
+            new_state = model_state or {}
+        return out, new_state
 
     def compute_embedding(self, wav: np.ndarray, num_frames: int = 250, num_eval: int = 10) -> np.ndarray:
         """Sliding windows over the utterance, mean of window embeddings."""
@@ -214,8 +237,8 @@ class SpeakerEncoderModel:
         if self._jit_embed is None:
             import jax as _jax
 
-            self._jit_embed = _jax.jit(lambda p, f: self.net.apply({"params": p}, f))
-        embs = np.asarray(self._jit_embed(self.params, jnp.asarray(windows)))
+            self._jit_embed = _jax.jit(lambda p, st, f: self.net.apply({"params": p, **st}, f))
+        embs = np.asarray(self._jit_embed(self.params, self.model_state or {}, jnp.asarray(windows)))
         return embs.mean(0)
 
     def load_checkpoint(self, config, checkpoint_path, eval=True, **kwargs):
@@ -225,6 +248,8 @@ class SpeakerEncoderModel:
 
         state = load_checkpoint(checkpoint_path)
         self.params = state["model"]
+        if "model_state" in state:
+            self.model_state = state["model_state"]
         return state
 
     def load_torch_checkpoint(self, checkpoint_path):

@@ -107,6 +107,50 @@ class LayerNorm(nn.Module):
         return x * gamma + beta
 
 
+class TorchBatchNorm(nn.Module):
+    """Train-time BatchNorm with torch `nn.BatchNorm1d/2d` semantics on
+    channels-last tensors (stats over all non-channel axes).
+
+    - torch momentum convention: running = (1-m)·running + m·batch
+      (so the reference's `momentum=0.99` CBHG norm tracks the latest batch).
+    - running_var updates with the UNBIASED batch variance, normalization uses
+      the biased one — exactly torch's split.
+    - Running stats live in the `batch_stats` collection; the trainer threads
+      them through the jitted step as explicit model state (pure function,
+      no hidden mutation).
+
+    For ingested reference checkpoints `FrozenBatchNorm` (stats folded into
+    params) remains the default — this module is for training from scratch.
+    """
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32))
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
+
+
 class ResidualConv1dLayerNormBlock(nn.Module):
     """[k-conv → LN → relu → dropout] × N with 0-init residual projection
     (ref glow.py:11). x/x_mask: `[B, T, C]` / `[B, T, 1]`."""

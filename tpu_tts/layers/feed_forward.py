@@ -72,12 +72,12 @@ class FFTransformerBlock(nn.Module):
         return x
 
 
-def _ff_norm(norm_type: str, features: int, name: str):
-    if norm_type == "frozen_batch":
-        from tpu_tts.layers.tacotron import FrozenBatchNorm
+def _ff_norm(norm_type: str, features: int, name: str, x, train: bool = False):
+    """Apply the configured norm (ref generic/res_conv_bn.py:39 uses
+    nn.BatchNorm1d defaults: momentum=0.1, eps=1e-5)."""
+    from tpu_tts.layers.tacotron import _apply_norm
 
-        return FrozenBatchNorm(features, name=name)
-    return nn.LayerNorm(name=name)
+    return _apply_norm(norm_type, features, name, x, train)
 
 
 class Conv1dBN(nn.Module):
@@ -92,7 +92,7 @@ class Conv1dBN(nn.Module):
     norm_type: str = "layer"
 
     @nn.compact
-    def __call__(self, x, x_mask=None):
+    def __call__(self, x, x_mask=None, train: bool = False):
         pad = self.dilation * (self.kernel_size - 1)
         ps, pe = pad // 2, pad - pad // 2
         T = x.shape[1]
@@ -115,7 +115,7 @@ class Conv1dBN(nn.Module):
         else:
             x = x[:, :T]
         x = nn.relu(x)
-        return _ff_norm(self.norm_type, self.out_channels, "norm")(x)
+        return _ff_norm(self.norm_type, self.out_channels, "norm", x, train)
 
 
 class Conv1dBNBlock(nn.Module):
@@ -130,10 +130,10 @@ class Conv1dBNBlock(nn.Module):
     norm_type: str = "layer"
 
     @nn.compact
-    def __call__(self, x, x_mask=None):
+    def __call__(self, x, x_mask=None, train: bool = False):
         for i in range(self.num_conv_blocks):
             ch = self.out_channels if i == self.num_conv_blocks - 1 else self.hidden_channels
-            x = Conv1dBN(ch, self.kernel_size, self.dilation, self.norm_type, name=f"conv_bn_{i}")(x, x_mask)
+            x = Conv1dBN(ch, self.kernel_size, self.dilation, self.norm_type, name=f"conv_bn_{i}")(x, x_mask, train)
         return x
 
 
@@ -161,7 +161,7 @@ class ResidualConv1dBNBlock(nn.Module):
             o = Conv1dBNBlock(
                 ch, self.hidden_channels, self.kernel_size, d,
                 self.num_conv_blocks, self.norm_type, name=f"res_block_{b}",
-            )(o, x_mask if not isinstance(x_mask, float) else None)
+            )(o, x_mask if not isinstance(x_mask, float) else None, train)
             o = (o + res) * x_mask
         return o
 
@@ -186,10 +186,10 @@ class ResidualConv1dBNEncoder(nn.Module):
             self.hidden_channels, self.hidden_channels, self.kernel_size,
             tuple(self.dilations), self.num_conv_blocks, self.norm_type,
             name="res_conv_block",
-        )(o, x_mask)
+        )(o, x_mask, train=train)
         o = o + x
         o = nn.relu(nn.Dense(self.hidden_channels, name="postnet_0")(o))
-        o = _ff_norm(self.norm_type, self.hidden_channels, "postnet_norm")(o)
+        o = _ff_norm(self.norm_type, self.hidden_channels, "postnet_norm", o, train)
         o = nn.Dense(self.out_channels, name="postnet_1")(o) * x_mask
         return o * x_mask
 
@@ -214,12 +214,12 @@ class ResidualConv1dBNDecoder(nn.Module):
             self.hidden_channels, self.hidden_channels, self.kernel_size,
             tuple(self.dilations), self.num_conv_blocks, self.norm_type,
             name="res_conv_block",
-        )(x, x_mask)
+        )(x, x_mask, train=train)
         o = nn.Dense(self.hidden_channels, name="post_conv")(o) + x
         o = Conv1dBNBlock(
             self.hidden_channels, self.hidden_channels, self.kernel_size, 1,
             num_conv_blocks=2, norm_type=self.norm_type, name="postnet_block",
-        )(o, x_mask if not isinstance(x_mask, float) else None)
+        )(o, x_mask if not isinstance(x_mask, float) else None, train)
         return o * x_mask
 
 

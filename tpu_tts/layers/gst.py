@@ -27,15 +27,14 @@ class ReferenceEncoder(nn.Module):
     masked: bool = False  # Capacitron masks conv outputs by valid length
     norm_type: str = "layer"
 
-    def _norm(self, features, name):
-        from tpu_tts.layers.tacotron import FrozenBatchNorm
+    def _norm(self, features, name, x, train):
+        from tpu_tts.layers.tacotron import _apply_norm
 
-        if self.norm_type == "frozen_batch":
-            return FrozenBatchNorm(features, name=name)
-        return nn.LayerNorm(name=name)
+        # ref gst_layers.py:45 / capacitron_layers.py:98: BatchNorm2d defaults
+        return _apply_norm(self.norm_type, features, name, x, train)
 
     @nn.compact
-    def __call__(self, mel, mel_lengths=None):
+    def __call__(self, mel, mel_lengths=None, train: bool = False):
         # mel: [B, T, M] -> image [B, T, M, 1]
         h = mel[..., None]
         B, T, M = mel.shape
@@ -44,7 +43,7 @@ class ReferenceEncoder(nn.Module):
         for i, ch in enumerate((32, 32, 64, 64, 128, 128)):
             h = nn.Conv(ch, (3, 3), strides=(2, 2),
                         padding=((p, p), (p, p)), name=f"conv_{i}")(h)
-            h = nn.relu(self._norm(ch, f"norm_{i}")(h))
+            h = nn.relu(self._norm(ch, f"norm_{i}", h, train))
             if self.masked and valid is not None:
                 # ref capacitron_layers.py:128: valid = ceil(valid/2) + 1
                 valid = jnp.ceil(valid / 2.0) + 1.0
@@ -131,13 +130,13 @@ class GST(nn.Module):
     norm_type: str = "layer"
 
     @nn.compact
-    def __call__(self, style_mel=None, token_weights=None, speaker_embedding=None):
+    def __call__(self, style_mel=None, token_weights=None, speaker_embedding=None, train: bool = False):
         stl = StyleTokenLayer(self.num_style_tokens, self.gst_embedding_dim, self.num_heads,
                               name="style_token_layer")
         if style_mel is not None:
             query = ReferenceEncoder(
                 self.gst_embedding_dim // 2, norm_type=self.norm_type, name="encoder"
-            )(style_mel)
+            )(style_mel, train=train)
             if speaker_embedding is not None:
                 query = jnp.concatenate([query, speaker_embedding], axis=-1)
             return stl(query)
@@ -158,14 +157,14 @@ class CapacitronVAE(nn.Module):
 
     @nn.compact
     def __call__(self, reference_mel=None, text_summary=None, speaker_embedding=None,
-                 rng=None, reference_mel_lengths=None, text_lengths=None):
+                 rng=None, reference_mel_lengths=None, text_lengths=None, train: bool = False):
         """Returns (VAE embedding `[B, E]`, posterior mean, posterior log-var)."""
         if reference_mel_lengths is None and reference_mel is not None:
             reference_mel_lengths = jnp.full((reference_mel.shape[0],), reference_mel.shape[1])
         enc = ReferenceEncoder(
             self.reference_encoder_out_dim, rnn_type="lstm", pad=2, masked=True,
             norm_type=self.norm_type, name="encoder",
-        )(reference_mel, reference_mel_lengths)
+        )(reference_mel, reference_mel_lengths, train=train)
         feats = [enc]
         if text_summary is not None and self.text_summary_embedding_dim:
             ts = nn.RNN(

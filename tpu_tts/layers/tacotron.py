@@ -7,10 +7,10 @@ TPU-native re-design of /root/reference/TTS/tts/layers/tacotron/{tacotron2.py
 The reference's per-frame Python while-loop (`tacotron2.py:348-363`) is the
 latency-critical serial path; here both teacher-forced training and inference
 are `nn.scan`/`lax.scan` over time with the attention state in the carry —
-one compiled kernel for the whole decode. Deviations (documented):
-- BatchNorm in encoder/postnet is LayerNorm (stateless train step).
-- Attention windowing (a host-side heuristic) is not applied inside the scan.
-"""
+one compiled kernel for the whole decode. Eval-time attention windowing and
+forward-attention masking (host-side heuristics in the reference) run inside
+the scan on positional masks, with the window index carried in the attention
+state."""
 
 from typing import Dict, Optional, Tuple
 
@@ -69,6 +69,9 @@ class OriginalAttention(nn.Module):
     trans_agent: bool = False
     forward_attn_mask: bool = False
     windowing: bool = False
+    # ref attentions.py:198-201 init_win_idx hardcodes these
+    win_back: int = 2
+    win_front: int = 6
 
     def setup(self):
         self.query_layer = nn.Dense(self.attention_dim, use_bias=False)
@@ -90,13 +93,19 @@ class OriginalAttention(nn.Module):
             alpha = jnp.concatenate([jnp.ones((B, 1)), jnp.zeros((B, T - 1)) + 1e-7], axis=1)
             state["alpha"] = alpha
             state["u"] = 0.5 * jnp.ones((B, 1))
+        if self.windowing:
+            state["win_idx"] = jnp.full((B,), -1, dtype=jnp.int32)
         return state
 
     def preprocess_inputs(self, inputs):
         return self.inputs_layer(inputs)
 
-    def __call__(self, query, inputs, processed_inputs, mask, state: Dict) -> Tuple[jnp.ndarray, Dict]:
+    def __call__(
+        self, query, inputs, processed_inputs, mask, state: Dict, train: bool = True
+    ) -> Tuple[jnp.ndarray, Dict]:
         """query `[B, C_q]` → (context `[B, D_en]`, new state)."""
+        new_state = dict(state)
+        T = inputs.shape[1]
         processed_query = self.query_layer(query[:, None, :])  # [B,1,A]
         if self.location_attention:
             attention_cat = jnp.stack(
@@ -108,6 +117,21 @@ class OriginalAttention(nn.Module):
             energies = self.v(jnp.tanh(processed_query + processed_inputs))[:, :, 0]
         if mask is not None:
             energies = jnp.where(mask, energies, -1e9)
+        if self.windowing and not train:
+            # eval-only attention windowing (ref attentions.py:245-258,
+            # apply_windowing). Per-batch window index instead of the
+            # reference's batch-element-0 scalar (identical for B=1, the
+            # reference's only inference batch size).
+            idx = state["win_idx"][:, None]  # [B,1]
+            pos = jnp.arange(T)[None, :]
+            in_win = (pos >= idx - self.win_back) & (pos < idx + self.win_front)
+            energies = jnp.where(in_win, energies, -1e9)
+            # first step (win_idx == -1): pin position 0 to the row max
+            # (ref :254-255 "trick"; global max there, row max here)
+            first = idx < 0
+            row_max = jnp.max(energies, axis=1, keepdims=True)
+            energies = jnp.where(first & (pos == 0), row_max, energies)
+            new_state["win_idx"] = jnp.argmax(energies, axis=1).astype(jnp.int32)
         if self.norm == "softmax":
             alignment = jax.nn.softmax(energies, axis=-1)
         elif self.norm == "sigmoid":
@@ -115,12 +139,23 @@ class OriginalAttention(nn.Module):
             alignment = s / jnp.sum(s, axis=1, keepdims=True)
         else:
             raise ValueError("Unknown attention norm")
-        new_state = dict(state)
         if self.location_attention:
             new_state["attention_weights_cum"] = state["attention_weights_cum"] + alignment
         if self.forward_attn:
             fwd_shifted = jnp.pad(state["alpha"][:, :-1], ((0, 0), (1, 0)))
             alpha = ((1 - state["u"]) * state["alpha"] + state["u"] * fwd_shifted + 1e-8) * alignment
+            if self.forward_attn_mask and not train:
+                # eval-only incremental-alignment forcing (ref attentions.py:
+                # 265-272): zero everything past n+3 and before n-1, smooth
+                # n-2 with 0.01·max — where n is the argmax of the shifted
+                # alpha. Guarded to n≥2 instead of the reference's negative-
+                # index wraparound (a torch slicing artifact when n<2).
+                n = jnp.argmax(fwd_shifted, axis=1)[:, None]  # [B,1]
+                val = jnp.max(alpha, axis=1, keepdims=True)
+                pos = jnp.arange(alpha.shape[1])[None, :]
+                alpha = jnp.where(pos >= n + 3, 0.0, alpha)
+                alpha = jnp.where(pos < n - 1, 0.0, alpha)
+                alpha = jnp.where((pos == n - 2) & (n >= 2), 0.01 * val, alpha)
             alpha = alpha / jnp.sum(alpha, axis=1, keepdims=True)
             alignment = alpha
             new_state["alpha"] = alpha
@@ -150,7 +185,7 @@ class GravesAttention(nn.Module):
     def preprocess_inputs(self, inputs):
         return None
 
-    def __call__(self, query, inputs, processed_inputs, mask, state: Dict):
+    def __call__(self, query, inputs, processed_inputs, mask, state: Dict, train: bool = True):
         T = inputs.shape[1]
         gbk = self.N_a(query)  # [B, 3K]
         g_t, b_t, k_t = jnp.split(gbk, 3, axis=-1)
@@ -232,7 +267,7 @@ class MonotonicDynamicConvolutionAttention(nn.Module):
         idx = jnp.arange(w.shape[1])[:, None] + jnp.arange(k)[None, :]
         return wp[:, idx]
 
-    def __call__(self, query, inputs, processed_inputs, mask, state: Dict):
+    def __call__(self, query, inputs, processed_inputs, mask, state: Dict, train: bool = True):
         w_prev = state["attention_weights"]  # [B, T]
         # causal beta-binomial prior (ref :394-399)
         prior_win = self._unfold(w_prev, self.prior_filter_len, causal=True)
@@ -291,10 +326,25 @@ class FrozenBatchNorm(nn.Module):
         return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
 
 
-def _norm(norm_type: str, features: int, name: str):
+def _norm(norm_type: str, features: int, name: str, momentum: float = 0.1, eps: float = 1e-5):
+    """Norm factory: "batch" = torch-semantics BatchNorm (training from
+    scratch, ref tacotron2.py:30 momentum=0.1 eps=1e-5), "frozen_batch" =
+    running stats folded into params (checkpoint ingest), "layer" = LayerNorm
+    (stateless alternative, kept for back-compat)."""
     if norm_type == "frozen_batch":
-        return FrozenBatchNorm(features, name=name)
+        return FrozenBatchNorm(features, eps=eps, name=name)
+    if norm_type == "batch":
+        from tpu_tts.layers.common import TorchBatchNorm
+
+        return TorchBatchNorm(features, eps=eps, momentum=momentum, name=name)
     return nn.LayerNorm(name=name)
+
+
+def _apply_norm(norm_type: str, features: int, name: str, x, train: bool, momentum: float = 0.1, eps: float = 1e-5):
+    n = _norm(norm_type, features, name, momentum=momentum, eps=eps)
+    if norm_type == "batch":
+        return n(x, train)
+    return n(x)
 
 
 class Tacotron2Encoder(nn.Module):
@@ -307,7 +357,7 @@ class Tacotron2Encoder(nn.Module):
     def __call__(self, x, x_mask, train: bool = False):
         for i in range(3):
             x = Conv1d(self.output_dim, 5, name=f"conv_{i}")(x * x_mask)
-            x = _norm(self.norm_type, self.output_dim, f"norm_{i}")(x)
+            x = _apply_norm(self.norm_type, self.output_dim, f"norm_{i}", x, train)
             x = nn.Dropout(0.5, deterministic=not train)(nn.relu(x))
         half = self.output_dim // 2
         fwd = nn.RNN(nn.OptimizedLSTMCell(half), name="lstm_fwd")(x * x_mask)
@@ -329,7 +379,7 @@ class Postnet(nn.Module):
             last = i == self.num_convs - 1
             ch = self.mel_dim if last else self.channels
             x = Conv1d(ch, 5, name=f"conv_{i}")(x)
-            x = _norm(self.norm_type, ch, f"norm_{i}")(x)
+            x = _apply_norm(self.norm_type, ch, f"norm_{i}", x, train)
             if not last:
                 x = jnp.tanh(x)
             x = nn.Dropout(0.5, deterministic=not train)(x)
@@ -370,6 +420,7 @@ class Tacotron2DecoderCell(nn.Module):
             forward_attn=kw.get("forward_attn", False),
             trans_agent=kw.get("trans_agent", False),
             forward_attn_mask=kw.get("forward_attn_mask", False),
+            windowing=kw.get("windowing", False),
         ) if self.attn_type == "original" else init_attn(
             self.attn_type,
             query_dim=self.attn_rnn_dim,
@@ -403,7 +454,7 @@ class Tacotron2DecoderCell(nn.Module):
         cell_in = jnp.concatenate([prenet_out, carry["context"]], axis=-1)
         attn_rnn_state, attn_h = self.attention_rnn(carry["attn_rnn"], cell_in)
         attn_h = nn.Dropout(0.1, deterministic=not train)(attn_h)
-        context, attn_state = self.attention(attn_h, inputs, processed_inputs, mask, carry["attn_state"])
+        context, attn_state = self.attention(attn_h, inputs, processed_inputs, mask, carry["attn_state"], train)
         dec_in = jnp.concatenate([attn_h, context], axis=-1)
         dec_rnn_state, dec_h = self.decoder_rnn(carry["dec_rnn"], dec_in)
         dec_h = nn.Dropout(0.1, deterministic=not train)(dec_h)

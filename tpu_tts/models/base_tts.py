@@ -34,6 +34,9 @@ class BaseTTSModel:
         self.language_manager = language_manager
         self.net = None  # flax module, set by subclass
         self.params = None  # current parameter pytree (host-side convenience)
+        # non-parameter collections (e.g. BatchNorm `batch_stats`), threaded
+        # through the trainer step explicitly — see Trainer._make_step_fn
+        self.model_state: Dict = {}
 
     # ------------------------------------------------------------------ setup
     @property
@@ -222,6 +225,8 @@ class BaseTTSModel:
 
         state = _load(checkpoint_path)
         self.params = state["model"]
+        if "model_state" in state:
+            self.model_state = state["model_state"]
         return state
 
     def load_torch_checkpoint(self, checkpoint_path):

@@ -84,7 +84,7 @@ class ForwardTTSArgs(Coqpit):
     use_d_vector_file: bool = False
     d_vector_dim: Optional[int] = None
     d_vector_file: Optional[str] = None
-    norm_type: str = "layer"  # "frozen_batch" for converted reference ckpts
+    norm_type: str = "batch"  # "frozen_batch" for converted reference ckpts
 
 
 def _build_coder(kind: str, params: dict, channels: int, out_channels: int, name: str,
@@ -150,7 +150,7 @@ class ForwardTTSNet(nn.Module):
     def setup(self):
         a = self.a
         self.emb = nn.Embed(a["num_chars"], a["hidden_channels"])
-        nt = a.get("norm_type", "layer")
+        nt = a.get("norm_type", None) or "batch"
         self.encoder = _build_coder(a["encoder_type"], a["encoder_params"], a["hidden_channels"], a["hidden_channels"], "encoder", norm_type=nt)
         self.decoder = _build_coder(a["decoder_type"], a["decoder_params"], a["hidden_channels"], a["hidden_channels"], "decoder", norm_type=nt)
         self.proj = nn.Dense(a["out_channels"])
@@ -369,13 +369,14 @@ class ForwardTTS(BaseTTSModel):
             **kwargs,
         )
         self.params = variables["params"]
+        self.model_state = {k: v for k, v in variables.items() if k != "params"}
         return self.params
 
-    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
+    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0, model_state=None):
         a = self.args
         c = self.config
-        outputs = self.net.apply(
-            {"params": params},
+        outputs, new_state = self.net.apply(
+            {"params": params, **(model_state or {})},
             batch["text_input"],
             batch["text_lengths"],
             batch["mel_input"],
@@ -388,7 +389,10 @@ class ForwardTTS(BaseTTSModel):
             d_vectors=batch.get("d_vectors"),
             train=True,
             rngs={"dropout": rng},
+            mutable=["batch_stats"],
         )
+        if not jax.tree_util.tree_leaves(new_state):
+            new_state = model_state or {}
         losses = {}
         loss = 0.0
         spec_fn = masked_mse_loss if getattr(c, "spec_loss_type", "mse") == "mse" else masked_l1_loss
@@ -434,7 +438,9 @@ class ForwardTTS(BaseTTSModel):
                 loss += c.binary_align_loss_alpha * l_bin
                 losses["loss_binary_alignment"] = l_bin
         losses["loss"] = loss
-        return loss, losses
+        if model_state is None:
+            return loss, losses
+        return loss, (losses, new_state)
 
     # ------------------------------------------------------------- inference
     def inference(self, x: np.ndarray, aux_input=None, bucket: int = 128) -> Dict:
@@ -450,13 +456,14 @@ class ForwardTTS(BaseTTSModel):
         key = (x.shape, int(y_max))
         if key not in self._infer_cache:
             self._infer_cache[key] = jax.jit(
-                lambda p, xi, xli, sid, dvec: self.net.apply(
-                    {"params": p}, xi, xli, y_max, speaker_ids=sid, d_vectors=dvec,
+                lambda p, st, xi, xli, sid, dvec: self.net.apply(
+                    {"params": p, **st}, xi, xli, y_max, speaker_ids=sid, d_vectors=dvec,
                     method=ForwardTTSNet.inference,
                 )
             )
         return self._infer_cache[key](
-            self.params, x, jnp.asarray(x_lengths), aux_input.get("speaker_ids"), aux_input.get("d_vectors")
+            self.params, self.model_state or {}, x, jnp.asarray(x_lengths),
+            aux_input.get("speaker_ids"), aux_input.get("d_vectors")
         )
 
     @staticmethod

@@ -20,7 +20,7 @@ import numpy as np
 
 from tpu_tts.config.base import Coqpit
 from tpu_tts.layers.common import Conv1d
-from tpu_tts.layers.tacotron import Prenet, _norm
+from tpu_tts.layers.tacotron import Prenet, _apply_norm
 from tpu_tts.models.base_tts import BaseTTSModel
 from tpu_tts.ops.helpers import sequence_mask
 
@@ -115,7 +115,7 @@ class NeuralhmmTTSArgs(Coqpit):
     max_sampling_time: int = 1000
     sampling_temp: float = 0.0
     prenet_dropout_at_inference: bool = False
-    norm_type: str = "layer"  # "frozen_batch" for converted reference checkpoints
+    norm_type: str = "batch"  # "frozen_batch" for converted reference checkpoints
 
 
 class NeuralHMMEncoder(nn.Module):
@@ -132,7 +132,7 @@ class NeuralHMMEncoder(nn.Module):
     def __call__(self, x, x_mask, x_lengths, train: bool = False):
         for i in range(3):
             x = Conv1d(self.output_dim, 5, name=f"conv_{i}")(x * x_mask)
-            x = _norm(self.norm_type, self.output_dim, f"norm_{i}")(x)
+            x = _apply_norm(self.norm_type, self.output_dim, f"norm_{i}", x, train)
             x = nn.Dropout(0.5, deterministic=not train)(nn.relu(x))
         half = (self.output_dim // 2) * self.state_per_phone
         x = x * x_mask
@@ -308,7 +308,7 @@ class NeuralhmmTTSNet(nn.Module):
         a = self.a
         self.emb = nn.Embed(a["num_chars"], a["encoder_dim"])
         self.encoder = NeuralHMMEncoder(
-            a["encoder_dim"], a["state_per_phone"], norm_type=a.get("norm_type", "layer")
+            a["encoder_dim"], a["state_per_phone"], norm_type=a.get("norm_type", None) or "batch",
         )
         self.hmm = NeuralHMMDecoder(
             frame_channels=a["out_channels"],
@@ -460,22 +460,28 @@ class NeuralhmmTTS(BaseTTSModel):
             jnp.full((B,), T_de, dtype=jnp.int32),
         )
         self.params = variables["params"]
+        self.model_state = {k: v for k, v in variables.items() if k != "params"}
         return self.params
 
-    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
+    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0, model_state=None):
         # z-normalize mels with the dataset statistics (ref
         # tts/models/neuralhmm_tts.py:105 `preprocess_batch`/`normalize`)
         mel = (batch["mel_input"] - self.mel_mean) / self.mel_std
-        out = self.net.apply(
-            {"params": params},
+        out, new_state = self.net.apply(
+            {"params": params, **(model_state or {})},
             batch["text_input"],
             batch["text_lengths"],
             mel,
             batch["mel_lengths"],
             train=True,
             rngs={"dropout": rng},
+            mutable=["batch_stats"],
         )
-        return out["nll"], {"loss": out["nll"]}
+        if not jax.tree_util.tree_leaves(new_state):
+            new_state = model_state or {}
+        if model_state is None:
+            return out["nll"], {"loss": out["nll"]}
+        return out["nll"], ({"loss": out["nll"]}, new_state)
 
     def inference(self, x: np.ndarray, aux_input=None, max_steps: Optional[int] = None) -> Dict:
         x = jnp.asarray(x)
@@ -487,14 +493,14 @@ class NeuralhmmTTS(BaseTTSModel):
         key = (x.shape, max_steps, a.sampling_temp, a.duration_threshold)
         if key not in self._infer_cache:
             self._infer_cache[key] = jax.jit(
-                lambda p, xi, xli, r: self.net.apply(
-                    {"params": p}, xi, xli, max_steps,
+                lambda p, st, xi, xli, r: self.net.apply(
+                    {"params": p, **st}, xi, xli, max_steps,
                     sampling_temp=a.sampling_temp, duration_threshold=a.duration_threshold,
                     rng=r, method=NeuralhmmTTSNet.inference,
                     rngs={"dropout": jax.random.PRNGKey(0)},
                 )
             )
-        out = self._infer_cache[key](self.params, x, xl, jax.random.PRNGKey(0))
+        out = self._infer_cache[key](self.params, self.model_state or {}, x, xl, jax.random.PRNGKey(0))
         # back to dataset scale (ref neuralhmm_tts.py:117 `inverse_normalize`)
         out["model_outputs"] = out["model_outputs"] * self.mel_std + self.mel_mean
         return out

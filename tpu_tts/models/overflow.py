@@ -110,14 +110,14 @@ class Overflow(NeuralhmmTTS):
         key = (x.shape, max_steps, a.sampling_temp, a.duration_threshold)
         if key not in self._infer_cache:
             self._infer_cache[key] = jax.jit(
-                lambda p, xi, xli, r: self.net.apply(
-                    {"params": p}, xi, xli, max_steps,
+                lambda p, st, xi, xli, r: self.net.apply(
+                    {"params": p, **st}, xi, xli, max_steps,
                     sampling_temp=a.sampling_temp, duration_threshold=a.duration_threshold,
                     rng=r, method=OverflowNet.inference,
                     rngs={"dropout": jax.random.PRNGKey(0)},
                 )
             )
-        out = self._infer_cache[key](self.params, x, xl, jax.random.PRNGKey(0))
+        out = self._infer_cache[key](self.params, self.model_state or {}, x, xl, jax.random.PRNGKey(0))
         # back to dataset scale (ref models/overflow.py inverse_normalize)
         out["model_outputs"] = out["model_outputs"] * self.mel_std + self.mel_mean
         return out

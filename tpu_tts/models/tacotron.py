@@ -49,20 +49,19 @@ class CBHG(nn.Module):
     num_highways: int = 4
     norm_type: str = "layer"
 
-    def _norm(self, features, name):
-        from tpu_tts.layers.tacotron import FrozenBatchNorm
+    def _norm(self, features, name, x, train):
+        from tpu_tts.layers.tacotron import _apply_norm
 
-        if self.norm_type == "frozen_batch":
-            return FrozenBatchNorm(features, eps=1e-3, name=name)
-        return nn.LayerNorm(name=name)
+        # ref BatchNormConv1d (tacotron.py:37): momentum=0.99, eps=1e-3
+        return _apply_norm(self.norm_type, features, name, x, train, momentum=0.99, eps=1e-3)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         # x: [B, T, C]
         banks = []
         for k in range(1, self.K + 1):
             h = Conv1d(self.conv_bank_features, k, use_bias=False, name=f"bank_{k}")(x)
-            h = nn.relu(self._norm(self.conv_bank_features, f"bank_norm_{k}")(h))
+            h = nn.relu(self._norm(self.conv_bank_features, f"bank_norm_{k}", h, train))
             banks.append(h)
         h = jnp.concatenate(banks, axis=-1)
         # NB: the reference's CBHG builds no max-pool — the bank concat feeds
@@ -70,7 +69,7 @@ class CBHG(nn.Module):
         # `forward`; the paper's pooling stage is absent there)
         for i, ch in enumerate(self.conv_projections):
             h = Conv1d(ch, 3, use_bias=False, name=f"proj_{i}")(h)
-            h = self._norm(ch, f"proj_norm_{i}")(h)
+            h = self._norm(ch, f"proj_norm_{i}", h, train)
             if i < len(self.conv_projections) - 1:
                 h = nn.relu(h)
         h = h + x  # residual
@@ -105,6 +104,8 @@ class TacotronDecoderCell(nn.Module):
             norm=kw.get("norm", "sigmoid"),
             forward_attn=kw.get("forward_attn", False),
             trans_agent=kw.get("trans_agent", False),
+            forward_attn_mask=kw.get("forward_attn_mask", False),
+            windowing=kw.get("windowing", False),
         )
         self.project_to_decoder_in = nn.Dense(256)
         self.decoder_rnns = [nn.GRUCell(256) for _ in range(2)]
@@ -127,7 +128,7 @@ class TacotronDecoderCell(nn.Module):
         prenet_out = self.prenet(frame_input, train=train)
         attn_in = jnp.concatenate([prenet_out, carry["context"]], axis=-1)
         attn_rnn, _ = self.attention_rnn(carry["attn_rnn"], attn_in)
-        context, attn_state = self.attention(attn_rnn, inputs, processed_inputs, mask, carry["attn_state"])
+        context, attn_state = self.attention(attn_rnn, inputs, processed_inputs, mask, carry["attn_state"], train)
         dec_in = self.project_to_decoder_in(jnp.concatenate([attn_rnn, context], axis=-1))
         dec_states = []
         h = dec_in
@@ -221,11 +222,11 @@ class TacotronNet(nn.Module):
     def _encode(self, text, train, style_mel=None):
         emb = self.embedding(text)
         h = self.encoder_prenet(emb, train=train)
-        enc = self.encoder_cbhg(h)
+        enc = self.encoder_cbhg(h, train=train)
         cap_stats = None
         if self.use_gst:
             if style_mel is not None:
-                gst_out = self.gst_layer(style_mel=style_mel)
+                gst_out = self.gst_layer(style_mel=style_mel, train=train)
             else:
                 gst_out = jnp.zeros((enc.shape[0], self.gst_dim), dtype=enc.dtype)
             enc = jnp.concatenate(
@@ -234,7 +235,7 @@ class TacotronNet(nn.Module):
             )
         if self.use_capacitron:
             if style_mel is not None:
-                z, mu, logvar, beta_raw = self.capacitron_vae_layer(reference_mel=style_mel, text_summary=emb)
+                z, mu, logvar, beta_raw = self.capacitron_vae_layer(reference_mel=style_mel, text_summary=emb, train=train)
                 cap_stats = (mu, logvar, beta_raw)
             else:
                 z = jnp.zeros((enc.shape[0], self.cap_dim), dtype=enc.dtype)
@@ -244,8 +245,8 @@ class TacotronNet(nn.Module):
             )
         return enc, cap_stats
 
-    def _postnet(self, mel):
-        h = self.postnet_cbhg(mel)
+    def _postnet(self, mel, train=False):
+        h = self.postnet_cbhg(mel, train=train)
         return self.last_linear(h)
 
     def __call__(self, text, text_lengths, mel, mel_lengths, train: bool = True) -> Dict:
@@ -349,6 +350,8 @@ class Tacotron(BaseTTSModel):
             ("norm", getattr(config, "attention_norm", "sigmoid")),
             ("forward_attn", getattr(config, "use_forward_attn", False)),
             ("trans_agent", getattr(config, "transition_agent", False)),
+            ("forward_attn_mask", getattr(config, "forward_attn_mask", False)),
+            ("windowing", getattr(config, "windowing", False)),
         )
         self.net = TacotronNet(
             num_chars=num_chars,
@@ -366,7 +369,7 @@ class Tacotron(BaseTTSModel):
                     if isinstance(v, (int, float, str, bool, type(None)))
                 )
             ) or None,
-            norm_type=getattr(config, "norm_type", "layer"),
+            norm_type=getattr(config, "norm_type", None) or "batch",
             prenet_dropout_at_inference=getattr(config, "prenet_dropout_at_inference", False),
             use_ddc=bool(getattr(config, "double_decoder_consistency", False)),
             ddc_r=getattr(config, "ddc_r", 6),
@@ -406,19 +409,23 @@ class Tacotron(BaseTTSModel):
             jnp.full((B,), T_de, dtype=jnp.int32),
         )
         self.params = variables["params"]
+        self.model_state = {k: v for k, v in variables.items() if k != "params"}
         return self.params
 
-    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
+    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0, model_state=None):
         c = self.config
-        outputs = self.net.apply(
-            {"params": params},
+        outputs, new_state = self.net.apply(
+            {"params": params, **(model_state or {})},
             batch["text_input"],
             batch["text_lengths"],
             batch["mel_input"],
             batch["mel_lengths"],
             train=True,
             rngs={"dropout": rng, "capacitron": jax.random.fold_in(rng, 7)},
+            mutable=["batch_stats"],
         )
+        if not jax.tree_util.tree_leaves(new_state):
+            new_state = model_state or {}
         T = min(outputs["decoder_outputs"].shape[1], batch["mel_input"].shape[1])
         l_decoder = masked_l1_loss(outputs["decoder_outputs"][:, :T], batch["mel_input"][:, :T], batch["mel_lengths"])
         l_postnet = masked_l1_loss(
@@ -451,7 +458,9 @@ class Tacotron(BaseTTSModel):
             loss += term
             losses.update(cap_logs)
         losses["loss"] = loss
-        return loss, losses
+        if model_state is None:
+            return loss, losses
+        return loss, (losses, new_state)
 
     def get_optimizer(self):
         """Capacitron dual optimizer (ref utils/capacitron_optimizer.py:6)."""
@@ -474,12 +483,12 @@ class Tacotron(BaseTTSModel):
         key = (x.shape, None if style_mel is None else style_mel.shape)
         if key not in self._infer_cache:
             self._infer_cache[key] = jax.jit(
-                lambda p, xi, sm: self.net.apply(
-                    {"params": p}, xi, style_mel=sm, method=TacotronNet.inference,
+                lambda p, st, xi, sm: self.net.apply(
+                    {"params": p, **st}, xi, style_mel=sm, method=TacotronNet.inference,
                     rngs={"dropout": jax.random.PRNGKey(0), "capacitron": jax.random.PRNGKey(1)},
                 )
             )
-        return self._infer_cache[key](self.params, x, style_mel)
+        return self._infer_cache[key](self.params, self.model_state or {}, x, style_mel)
 
     @staticmethod
     def init_from_config(config, samples=None):

@@ -114,7 +114,7 @@ class Tacotron2Net(nn.Module):
         if self.use_gst:
             # style conditioning concat (ref tacotron2.py:175 / base_tacotron compute_gst)
             if style_mel is not None:
-                gst_out = self.gst_layer(style_mel=style_mel)
+                gst_out = self.gst_layer(style_mel=style_mel, train=train)
             else:
                 gst_out = jnp.zeros((enc.shape[0], self.gst_dim), dtype=enc.dtype)
             enc = jnp.concatenate(
@@ -126,6 +126,7 @@ class Tacotron2Net(nn.Module):
                 z, mu, logvar, beta_raw = self.capacitron_vae_layer(
                     reference_mel=style_mel, text_summary=text_emb_for_cap,
                     reference_mel_lengths=style_mel_lengths, text_lengths=text_lengths,
+                    train=train,
                 )
                 cap_stats = (mu, logvar, beta_raw)
             else:
@@ -199,6 +200,7 @@ class Tacotron2(BaseTTSModel):
             ("forward_attn", getattr(config, "use_forward_attn", False)),
             ("trans_agent", getattr(config, "transition_agent", False)),
             ("forward_attn_mask", getattr(config, "forward_attn_mask", False)),
+            ("windowing", getattr(config, "windowing", False)),
         )
         self.net = Tacotron2Net(
             num_chars=num_chars,
@@ -218,6 +220,11 @@ class Tacotron2(BaseTTSModel):
             gst=tuple(sorted(_cfg_items(getattr(config, "gst", None)))) or None,
             use_capacitron=bool(getattr(config, "use_capacitron_vae", False)),
             capacitron=tuple(sorted(_cfg_items(getattr(config, "capacitron_vae", None)))) or None,
+            # true train-time BatchNorm (running stats threaded as model
+            # state) is the from-scratch default, matching the reference's
+            # nn.BatchNorm1d encoders/postnets; ingest switches to
+            # "frozen_batch" (stats folded into params)
+            norm_type=getattr(config, "norm_type", None) or "batch",
         )
         self._infer_cache = {}
 
@@ -249,12 +256,13 @@ class Tacotron2(BaseTTSModel):
             **kwargs,
         )
         self.params = variables["params"]
+        self.model_state = {k: v for k, v in variables.items() if k != "params"}
         return self.params
 
-    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
+    def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0, model_state=None):
         c = self.config
-        outputs = self.net.apply(
-            {"params": params},
+        outputs, new_state = self.net.apply(
+            {"params": params, **(model_state or {})},
             batch["text_input"],
             batch["text_lengths"],
             batch["mel_input"],
@@ -262,7 +270,10 @@ class Tacotron2(BaseTTSModel):
             speaker_ids=batch.get("speaker_ids"),
             train=True,
             rngs={"dropout": rng, "capacitron": jax.random.fold_in(rng, 5)},
+            mutable=["batch_stats"],
         )
+        if not jax.tree_util.tree_leaves(new_state):
+            new_state = model_state or {}
         mel = batch["mel_input"]
         T = min(outputs["decoder_outputs"].shape[1], mel.shape[1])
         spec_fn = masked_mse_loss if getattr(c, "loss_masking", True) else masked_mse_loss
@@ -298,7 +309,9 @@ class Tacotron2(BaseTTSModel):
             loss += term
             losses.update(cap_logs)
         losses["loss"] = loss
-        return loss, losses
+        if model_state is None:
+            return loss, losses
+        return loss, (losses, new_state)
 
     def inference(self, x: np.ndarray, aux_input=None) -> Dict:
         aux_input = aux_input or {}
@@ -313,13 +326,15 @@ class Tacotron2(BaseTTSModel):
         key = (x.shape, None if style_mel is None else style_mel.shape)
         if key not in self._infer_cache:
             self._infer_cache[key] = jax.jit(
-                lambda p, xi, sid, sm: self.net.apply(
-                    {"params": p}, xi, speaker_ids=sid, style_mel=sm,
+                lambda p, st, xi, sid, sm: self.net.apply(
+                    {"params": p, **st}, xi, speaker_ids=sid, style_mel=sm,
                     method=Tacotron2Net.inference,
                     rngs={"dropout": jax.random.PRNGKey(0), "capacitron": jax.random.PRNGKey(1)},
                 )
             )
-        return self._infer_cache[key](self.params, x, aux_input.get("speaker_ids"), style_mel)
+        return self._infer_cache[key](
+            self.params, self.model_state or {}, x, aux_input.get("speaker_ids"), style_mel
+        )
 
     def get_optimizer(self):
         """Capacitron's dual optimizer (ref utils/capacitron_optimizer.py:6):

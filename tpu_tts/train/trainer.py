@@ -112,6 +112,17 @@ class Trainer:
         n_params = count_parameters(self.params)
         print(f"\n > Model has {n_params} parameters", flush=True)
 
+        # non-parameter model state (e.g. BatchNorm running stats) threaded
+        # through the jitted step as an explicit input/output — the pure-
+        # function counterpart of torch's in-place buffer updates. Models
+        # opt in by taking a `model_state` kwarg in loss_fn.
+        import inspect
+
+        self.model_state = jax.device_put(
+            getattr(self.model, "model_state", None) or {}, self.repl_sharding
+        )
+        self._state_aware = "model_state" in inspect.signature(self.model.loss_fn).parameters
+
         # ---- optimizers ------------------------------------------------------
         self.num_optimizers = self.model.num_optimizers()
         self.optimizers = self._build_optimizers()
@@ -157,13 +168,20 @@ class Trainer:
         model = self.model
         opt = self.optimizers[optimizer_idx]
         num_opts = self.num_optimizers
+        state_aware = self._state_aware
 
-        def step_fn(params, opt_state, batch, rng, step):
+        def step_fn(params, model_state, opt_state, batch, rng, step):
             def loss_of(p):
-                return model.loss_fn(p, batch, rng, optimizer_idx=optimizer_idx)
+                if state_aware:
+                    loss, (logs, new_state) = model.loss_fn(
+                        p, batch, rng, optimizer_idx=optimizer_idx, model_state=model_state
+                    )
+                    return loss, (logs, new_state)
+                loss, logs = model.loss_fn(p, batch, rng, optimizer_idx=optimizer_idx)
+                return loss, (logs, model_state)
 
             if num_opts == 1:
-                (loss, logs), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+                (loss, (logs, new_state)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 import optax
 
@@ -174,17 +192,17 @@ class Trainer:
 
                 def loss_sub(sub):
                     merged = model.param_merge(params, sub, optimizer_idx)
-                    return model.loss_fn(merged, batch, rng, optimizer_idx=optimizer_idx)
+                    return loss_of(merged)
 
-                (loss, logs), grads = jax.value_and_grad(loss_sub, has_aux=True)(subtree)
+                (loss, (logs, new_state)), grads = jax.value_and_grad(loss_sub, has_aux=True)(subtree)
                 updates, opt_state = opt.update(grads, opt_state, subtree)
                 import optax
 
                 subtree = optax.apply_updates(subtree, updates)
                 params = model.param_merge(params, subtree, optimizer_idx)
-            return params, opt_state, loss, logs
+            return params, new_state, opt_state, loss, logs
 
-        return jax.jit(step_fn, donate_argnums=(0, 1))
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
     def _device_batch(self, batch: Dict) -> Dict:
         """Strip host-only fields; shard arrays along the data axis when the
@@ -210,8 +228,8 @@ class Trainer:
             self.rng, step_rng = jax.random.split(self.rng)
             if idx not in self._jit_steps:
                 self._jit_steps[idx] = self._make_step_fn(idx)
-            self.params, self.opt_states[idx], loss, logs = self._jit_steps[idx](
-                self.params, self.opt_states[idx], batch, step_rng, self.total_steps_done
+            self.params, self.model_state, self.opt_states[idx], loss, logs = self._jit_steps[idx](
+                self.params, self.model_state, self.opt_states[idx], batch, step_rng, self.total_steps_done
             )
             prefix = "" if self.num_optimizers == 1 else f"opt{idx}_"
             logs_all[f"{prefix}loss"] = float(loss)
@@ -308,6 +326,7 @@ class Trainer:
         # hand the trained weights back: the originals on the model were
         # donated into the jitted train step and are deleted by now
         self.model.params = self.params
+        self.model.model_state = jax.device_get(self.model_state)
         self.model._infer_cache = {}
         if self.dashboard_logger:
             self.dashboard_logger.flush()
@@ -320,9 +339,14 @@ class Trainer:
             self.rng, rng = jax.random.split(self.rng)
             total = 0.0
             for idx in range(self.num_optimizers):
-                loss, _ = jax.jit(self.model.loss_fn, static_argnames=("optimizer_idx",))(
-                    self.params, dbatch, rng, optimizer_idx=idx
-                )
+                if self._state_aware:
+                    loss, _ = jax.jit(self.model.loss_fn, static_argnames=("optimizer_idx",))(
+                        self.params, dbatch, rng, optimizer_idx=idx, model_state=self.model_state
+                    )
+                else:
+                    loss, _ = jax.jit(self.model.loss_fn, static_argnames=("optimizer_idx",))(
+                        self.params, dbatch, rng, optimizer_idx=idx
+                    )
                 total += float(loss)
             losses.append(total)
         avg = float(np.mean(losses)) if losses else float("nan")
@@ -333,13 +357,17 @@ class Trainer:
 
     # ------------------------------------------------------------- checkpoint
     def _state_dict(self) -> Dict:
-        return {
+        state = {
             "model": jax.device_get(self.params),
             "optimizers": [jax.device_get(s) for s in self.opt_states],
             "step": self.total_steps_done,
             "epoch": self.epochs_done,
             "best_loss": self.best_loss if np.isfinite(self.best_loss) else 1e30,
         }
+        model_state = jax.device_get(self.model_state)
+        if len(jax.tree_util.tree_leaves(model_state)) > 0:
+            state["model_state"] = model_state
+        return state
 
     def save_checkpoint(self):
         path = ckpt_io.save_checkpoint(
@@ -360,6 +388,9 @@ class Trainer:
         state = ckpt_io.load_checkpoint(path)
         self.params = jax.device_put(state["model"], self.repl_sharding)
         self.model.params = self.params
+        if "model_state" in state:
+            self.model_state = jax.device_put(state["model_state"], self.repl_sharding)
+            self.model.model_state = self.model_state
         if full_state:
             if "optimizers" in state:
                 restored = state["optimizers"]

@@ -270,3 +270,57 @@ def convert_parallel_wavegan_discriminator_state_dict(sd: Dict[str, np.ndarray])
         dst = "conv_last" if i == idxs[-1] else f"conv_{i // 2}"
         _map_norm_conv(tree, dst, folded[f"conv_layers.{i}.weight"], folded.get(f"conv_layers.{i}.bias"), False)
     return tree
+
+
+def convert_wavernn_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference `Wavernn` torch weights (vocoder/models/wavernn.py:223) →
+    our flax tree. BatchNorm running stats fold onto `frozen_batch` affines;
+    torch GRUs map gate-wise onto flax GRUCells; the shared up-layer
+    smoothing Conv2d `[1,1,1,k]` lands on our `smooth_{i}_kernel` `[k]`."""
+    from tpu_tts.models.tacotron_convert import _map_gru
+
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    tree: Dict[str, Any] = {}
+
+    def dense(src, dst):
+        _set(tree, f"{dst}/kernel", np.transpose(sd[f"{src}.weight"]))
+        if f"{src}.bias" in sd:
+            _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+
+    def bn(src, dst):
+        _set(tree, f"{dst}/scale", sd[f"{src}.weight"])
+        _set(tree, f"{dst}/bias", sd[f"{src}.bias"])
+        _set(tree, f"{dst}/mean", sd[f"{src}.running_mean"])
+        _set(tree, f"{dst}/var", sd[f"{src}.running_var"])
+
+    # ---- upsample network ----
+    for k in list(sd):
+        m = re.match(r"upsample\.up_layers\.(\d+)\.weight$", k)
+        if m:
+            j = (int(m.group(1)) - 1) // 2  # Stretch2d at 2j, conv at 2j+1
+            _set(tree, f"upsample/smooth_{j}_kernel", sd[k].reshape(-1))
+    if "upsample.resnet.conv_in.weight" in sd:
+        _set(tree, "upsample/resnet/conv_in/kernel", _conv1d(sd["upsample.resnet.conv_in.weight"]))
+        bn("upsample.resnet.batch_norm", "upsample/resnet/norm_in")
+        n_res = len({int(m.group(1)) for k in sd if (m := re.match(r"upsample\.resnet\.layers\.(\d+)\.", k))})
+        for i in range(n_res):
+            _set(tree, f"upsample/resnet/res{i}_conv1/kernel", _conv1d(sd[f"upsample.resnet.layers.{i}.conv1.weight"]))
+            _set(tree, f"upsample/resnet/res{i}_conv2/kernel", _conv1d(sd[f"upsample.resnet.layers.{i}.conv2.weight"]))
+            bn(f"upsample.resnet.layers.{i}.batch_norm1", f"upsample/resnet/res{i}_norm1")
+            bn(f"upsample.resnet.layers.{i}.batch_norm2", f"upsample/resnet/res{i}_norm2")
+        _set(tree, "upsample/resnet/conv_out/kernel", _conv1d(sd["upsample.resnet.conv_out.weight"]))
+        if "upsample.resnet.conv_out.bias" in sd:
+            _set(tree, "upsample/resnet/conv_out/bias", sd["upsample.resnet.conv_out.bias"])
+
+    # ---- sample-rate cell ----
+    dense("I", "cell/I")
+    for r in ("rnn1", "rnn2"):
+        _map_gru(
+            tree, f"cell/{r}",
+            sd[f"{r}.weight_ih_l0"], sd[f"{r}.weight_hh_l0"],
+            sd.get(f"{r}.bias_ih_l0"), sd.get(f"{r}.bias_hh_l0"),
+        )
+    dense("fc1", "cell/fc1")
+    dense("fc2", "cell/fc2")
+    dense("fc3", "cell/fc3")
+    return tree

@@ -272,6 +272,25 @@ class Wavegrad:
 
         return BaseTTSModel.load_torch_checkpoint(self, checkpoint_path)
 
+    def num_optimizers(self):
+        return 1
+
+    def get_optimizer(self):
+        from tpu_tts.train.optimizers import get_optimizer
+
+        return get_optimizer(
+            self.config.optimizer, self.config.optimizer_params or {}, self.config.lr, self.config
+        )
+
+    def get_scheduler(self):
+        from tpu_tts.train.optimizers import get_scheduler
+
+        return get_scheduler(
+            getattr(self.config, "lr_scheduler", None),
+            getattr(self.config, "lr_scheduler_params", None) or {},
+            self.config.lr,
+        )
+
     @staticmethod
     def init_from_config(config, samples=None):
         return Wavegrad(config)

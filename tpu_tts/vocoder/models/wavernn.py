@@ -39,27 +39,31 @@ class WavernnArgs(Coqpit):
     mulaw: bool = True
     pad: int = 2
     feat_dims: int = 80
+    norm_type: str = "batch"  # ref wavernn.py:35 BatchNorm1d; "frozen_batch" on ingest
 
 
 class MelResNet(nn.Module):
-    """Aux conv resnet over mels (ref wavernn.py:35)."""
+    """Aux conv resnet over mels (ref wavernn.py:35; BatchNorm1d defaults)."""
 
     res_out_dims: int
     compute_dims: int
     num_res_blocks: int
     pad: int
+    norm_type: str = "batch"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        from tpu_tts.layers.tacotron import _apply_norm
+
         k = self.pad * 2 + 1
         h = nn.Conv(self.compute_dims, (k,), padding="VALID", use_bias=False, name="conv_in")(x)
-        h = nn.relu(nn.LayerNorm(name="norm_in")(h))
+        h = nn.relu(_apply_norm(self.norm_type, self.compute_dims, "norm_in", h, train))
         for i in range(self.num_res_blocks):
             res = h
             y = nn.Conv(self.compute_dims, (1,), use_bias=False, name=f"res{i}_conv1")(h)
-            y = nn.relu(nn.LayerNorm(name=f"res{i}_norm1")(y))
+            y = nn.relu(_apply_norm(self.norm_type, self.compute_dims, f"res{i}_norm1", y, train))
             y = nn.Conv(self.compute_dims, (1,), use_bias=False, name=f"res{i}_conv2")(y)
-            y = nn.LayerNorm(name=f"res{i}_norm2")(y)
+            y = _apply_norm(self.norm_type, self.compute_dims, f"res{i}_norm2", y, train)
             h = y + res
         return nn.Conv(self.res_out_dims, (1,), name="conv_out")(h)
 
@@ -74,19 +78,31 @@ class UpsampleNetwork(nn.Module):
     num_res_blocks: int
     pad: int
     use_aux_net: bool
+    norm_type: str = "batch"
 
     @nn.compact
-    def __call__(self, m):
+    def __call__(self, m, train: bool = False):
         total_scale = int(np.prod(self.upsample_scales))
         aux = None
         if self.use_aux_net:
-            aux = MelResNet(self.res_out_dims, self.compute_dims, self.num_res_blocks, self.pad, name="resnet")(m)
+            aux = MelResNet(self.res_out_dims, self.compute_dims, self.num_res_blocks, self.pad,
+                            norm_type=self.norm_type, name="resnet")(m, train)
             aux = jnp.repeat(aux, total_scale, axis=1)
         x = m
         for i, s in enumerate(self.upsample_scales):
             x = jnp.repeat(x, s, axis=1)
             k = 2 * s + 1
-            x = nn.Conv(self.feat_dims, (k,), padding="SAME", use_bias=False, name=f"smooth_{i}")(x)
+            # one shared temporal smoothing kernel across all mel channels,
+            # initialized to a moving average — exactly the reference's
+            # Conv2d(1, 1, (1, 2s+1), bias=False).fill_(1/k) on [B,1,C,T]
+            # (ref wavernn.py:103-108)
+            kern = self.param(f"smooth_{i}_kernel", nn.initializers.constant(1.0 / k), (k,))
+            C = x.shape[-1]
+            w = jnp.broadcast_to(kern[:, None, None], (k, 1, C)).astype(x.dtype)
+            x = jax.lax.conv_general_dilated(
+                x, w, (1,), [(s, s)],
+                dimension_numbers=("NHC", "HIO", "NHC"), feature_group_count=C,
+            )
         x = x[:, self.pad * total_scale : -self.pad * total_scale]
         return x, aux
 
@@ -157,6 +173,7 @@ class WavernnNet(nn.Module):
             num_res_blocks=a["num_res_blocks"],
             pad=a["pad"],
             use_aux_net=a["use_aux_net"],
+            norm_type=a.get("norm_type", None) or "batch",
         )
         self.cell = WavernnCell(
             rnn_dims=a["rnn_dims"],
@@ -166,11 +183,11 @@ class WavernnNet(nn.Module):
             use_aux_net=a["use_aux_net"],
         )
 
-    def __call__(self, x, mels):
+    def __call__(self, x, mels, train: bool = False):
         """Teacher-forced: x `[B, T]` previous samples, mels `[B, T_mel, C]`
         → logits `[B, T, n_classes]`."""
         B = x.shape[0]
-        mels_up, aux = self.upsample(mels)
+        mels_up, aux = self.upsample(mels, train)
         T = mels_up.shape[1]
         x = x[:, :T]
         h1 = jnp.zeros((B, self.a["rnn_dims"]))
@@ -234,6 +251,7 @@ class Wavernn:
         self.args = args
         self.net = WavernnNet(args=tuple(sorted(args.to_dict().items(), key=lambda kv: str(kv[0]))))
         self.params = None
+        self.model_state = {}
 
     def init_params(self, rng):
         a = self.args
@@ -241,14 +259,20 @@ class Wavernn:
         Tm = 2 * a.pad + 4
         mels = jnp.zeros((2, Tm, a.feat_dims))
         x = jnp.zeros((2, 4 * hop))
-        self.params = self.net.init(rng, x, mels)["params"]
+        variables = self.net.init(rng, x, mels)
+        self.params = variables["params"]
+        self.model_state = {k: v for k, v in variables.items() if k != "params"}
         return self.params
 
-    def loss_fn(self, params, batch, rng, optimizer_idx: int = 0):
+    def loss_fn(self, params, batch, rng, optimizer_idx: int = 0, model_state=None):
         x = batch["waveform_coarse"]  # [B, T] prev samples
         y = batch["waveform_target"]  # [B, T] target
         mels = batch["mel_input"]
-        logits = self.net.apply({"params": params}, x, mels)
+        logits, new_state = self.net.apply(
+            {"params": params, **(model_state or {})}, x, mels, train=True, mutable=["batch_stats"]
+        )
+        if not jax.tree_util.tree_leaves(new_state):
+            new_state = model_state or {}
         mode = self.args.mode
         T = min(logits.shape[1], y.shape[1])
         if mode == "mold":
@@ -260,7 +284,9 @@ class Wavernn:
             labels = jnp.clip(((y[:, :T] + 1.0) / 2.0 * (n_classes - 1)).astype(jnp.int32), 0, n_classes - 1)
             logp = jax.nn.log_softmax(logits[:, :T], axis=-1)
             loss = -jnp.mean(jnp.take_along_axis(logp, labels[:, :, None], axis=-1))
-        return loss, {"loss": loss}
+        if model_state is None:
+            return loss, {"loss": loss}
+        return loss, ({"loss": loss}, new_state)
 
     # ---- folded inference (ref fold_with_overlap:423 / xfade_and_unfold) ----
     @staticmethod
@@ -335,14 +361,14 @@ class Wavernn:
                 self._pallas_sampler = PallasWavernnSampler.from_flax_params(self.params, a)
                 self._pallas_sampler.interpret = jax.default_backend() != "tpu"
                 self._pallas_upsample = jax.jit(
-                    lambda p, m: self.net.apply({"params": p}, m, method=lambda net, mm: net.upsample(mm))
+                    lambda p, st, m: self.net.apply({"params": p, **st}, m, method=lambda net, mm: net.upsample(mm))
                 )
-            mels_up, aux = self._pallas_upsample(self.params, jnp.asarray(gen_in))
+            mels_up, aux = self._pallas_upsample(self.params, self.model_state or {}, jnp.asarray(gen_in))
             samples = np.asarray(self._pallas_sampler(mels_up, aux, seed=seed))
         else:
             samples = np.asarray(
-                jax.jit(lambda p, m, r: self.net.apply({"params": p}, m, r, method=WavernnNet.generate))(
-                    self.params, jnp.asarray(gen_in), jax.random.PRNGKey(seed)
+                jax.jit(lambda p, st, m, r: self.net.apply({"params": p, **st}, m, r, method=WavernnNet.generate))(
+                    self.params, self.model_state or {}, jnp.asarray(gen_in), jax.random.PRNGKey(seed)
                 )
             )
         if a.mulaw and str(a.mode).isdigit():
@@ -378,6 +404,50 @@ class Wavernn:
             drop_last=not is_eval,
             seed=getattr(config, "training_seed", 0),
         )
+
+    def convert_torch_state_dict(self, state_dict):
+        """Reference `Wavernn` torch weights → our flax tree (parity-tested
+        in tests/test_torch_parity_wavernn.py). Switches the net to the
+        `frozen_batch` norm variant (running stats folded into params)."""
+        from tpu_tts.vocoder.models.vocoder_convert import convert_wavernn_state_dict
+
+        if self.args.norm_type != "frozen_batch":
+            self.args.norm_type = "frozen_batch"
+            self.net = WavernnNet(
+                args=tuple(sorted(self.args.to_dict().items(), key=lambda kv: str(kv[0])))
+            )
+            self._pallas_sampler = None
+        return convert_wavernn_state_dict(state_dict)
+
+    # ---- trainer contract (driven by tpu_tts.train.Trainer) ----
+    def num_optimizers(self):
+        return 1
+
+    def get_optimizer(self):
+        from tpu_tts.train.optimizers import get_optimizer
+
+        return get_optimizer(
+            self.config.optimizer, self.config.optimizer_params or {}, self.config.lr, self.config
+        )
+
+    def get_scheduler(self):
+        from tpu_tts.train.optimizers import get_scheduler
+
+        return get_scheduler(
+            getattr(self.config, "lr_scheduler", None),
+            getattr(self.config, "lr_scheduler_params", None) or {},
+            self.config.lr,
+        )
+
+    def load_checkpoint(self, config, checkpoint_path, eval=True, strict=True, cache=False):
+        from tpu_tts.models.base_tts import BaseTTSModel
+
+        return BaseTTSModel.load_checkpoint(self, config, checkpoint_path, eval=eval, strict=strict, cache=cache)
+
+    def load_torch_checkpoint(self, checkpoint_path):
+        from tpu_tts.models.base_tts import BaseTTSModel
+
+        return BaseTTSModel.load_torch_checkpoint(self, checkpoint_path)
 
     @staticmethod
     def init_from_config(config, samples=None):
