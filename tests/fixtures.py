@@ -57,3 +57,41 @@ def ensure_ljspeech_fixture(root: str, n: int = 16, sr: int = 22050, seed: int =
     with open(meta, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
     return base
+
+
+def tiny_bark_config():
+    """A scaled-down Bark config exercising the exact reference id layout
+    (all generation constants shrunk proportionally)."""
+    from tpu_tts.config import register_config
+    from tpu_tts.models.bark import BarkArgs, BarkEncodecArgs, BarkFineGPTArgs, BarkGPTArgs
+
+    cfg = register_config("bark")()
+    cfg.model_args = BarkArgs(
+        semantic_config=BarkGPTArgs(
+            block_size=128, input_vocab_size=80, output_vocab_size=80,
+            n_layer=1, n_head=2, n_embd=16),
+        coarse_config=BarkGPTArgs(
+            block_size=128, input_vocab_size=60, output_vocab_size=60,
+            n_layer=1, n_head=2, n_embd=16),
+        fine_config=BarkFineGPTArgs(
+            block_size=32, input_vocab_size=10, output_vocab_size=10,
+            n_layer=1, n_head=2, n_embd=16, n_codes_total=4, n_codes_given=1),
+        encodec_config=BarkEncodecArgs(
+            hidden_size=8, num_filters=2, num_quantizers=8, codebook_size=8,
+            upsampling_ratios=(4, 2)),
+    )
+    cfg.TEXT_CONTEXT = 8
+    cfg.SEMANTIC_STEPS = 12
+    cfg.SEMANTIC_VOCAB_SIZE = 32
+    cfg.SEMANTIC_PAD_TOKEN = 32
+    cfg.TEXT_PAD_TOKEN = 75
+    cfg.TEXT_ENCODING_OFFSET = 0
+    cfg.SEMANTIC_INFER_TOKEN = 79
+    cfg.CODEBOOK_SIZE = 8
+    cfg.N_COARSE_CODEBOOKS = 2
+    cfg.N_FINE_CODEBOOKS = 4
+    cfg.COARSE_SEMANTIC_PAD_TOKEN = 50
+    cfg.COARSE_INFER_TOKEN = 52
+    cfg.CONTEXT_WINDOW_SIZE = 32
+    cfg.sample_rate = 24000
+    return cfg

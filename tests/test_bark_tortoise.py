@@ -4,23 +4,18 @@ import pytest
 
 from tpu_tts.config import register_config
 from tpu_tts.models import setup_model
-from tpu_tts.models.bark import BarkArgs
 from tpu_tts.models.tortoise import TortoiseArgs
+from tests.fixtures import tiny_bark_config
 
 
 def test_bark_cascade():
-    cfg = register_config("bark")()
-    cfg.model_args = BarkArgs(
-        semantic_vocab_size=40, coarse_vocab_size=32, fine_vocab_size=16,
-        text_vocab_size=60, gpt_layers=2, gpt_heads=2, gpt_channels=32,
-        n_codes_total=4, n_codes_given=2, kv_cache_len=96,
-    )
+    cfg = tiny_bark_config()
     m = setup_model(cfg)
     m.init_params(jax.random.PRNGKey(0))
-    wav, sem, codes = m.generate_audio(np.arange(1, 7, dtype=np.int32), max_semantic=16, max_coarse=16)
+    wav, sem, codes = m.generate_audio(np.arange(1, 7, dtype=np.int32))
     assert wav.ndim == 1 and np.isfinite(wav).all()
-    assert codes.shape[-1] == 4
-    assert (codes >= 0).all() and (codes < 16).all()
+    assert codes.shape[-1] == cfg.N_FINE_CODEBOOKS
+    assert (codes >= 0).all() and (codes <= cfg.CODEBOOK_SIZE).all()
     with pytest.raises(NotImplementedError):
         m.loss_fn(None, None, None)
 

@@ -6,26 +6,18 @@ import pytest
 
 jax = pytest.importorskip("jax")
 
-from tpu_tts.config.base import Coqpit  # noqa: E402
 from tpu_tts.layers.bark_voice_clone import (  # noqa: E402
     build_hubert_tokenizer_torch,
     get_voices,
     load_npz,
     load_voice,
 )
-from tpu_tts.models.bark import Bark, BarkArgs  # noqa: E402
+from tpu_tts.models.bark import Bark  # noqa: E402
+from tests.fixtures import tiny_bark_config  # noqa: E402
 
 
 def _tiny_bark(tokenizer=None):
-    cfg = Coqpit()
-    cfg.model_args = BarkArgs(
-        semantic_vocab_size=32, coarse_vocab_size=16, fine_vocab_size=8,
-        n_codes_total=4, n_codes_given=2, text_vocab_size=128,
-        gpt_layers=1, gpt_heads=2, gpt_channels=16, kv_cache_len=256,
-        text_encoding_offset=0, semantic_infer_token=127,
-        semantic_history_len=8, coarse_history_len=12, fine_history_len=6,
-    )
-    cfg.sample_rate = 24000
+    cfg = tiny_bark_config()
     m = Bark(cfg, tokenizer=tokenizer)
     m.init_params(jax.random.PRNGKey(0))
     return m
@@ -50,7 +42,7 @@ def _make_voice_dir(tmp_path, name="alice"):
     d = tmp_path / "voices" / name
     d.mkdir(parents=True)
     sem = np.arange(10) % 32
-    coarse = (np.arange(24) % 16).reshape(2, 12)
+    coarse = (np.arange(24) % 8).reshape(2, 12)
     fine = (np.arange(48) % 8).reshape(4, 12)
     np.savez(d / "alice.npz", semantic_prompt=sem, coarse_prompt=coarse, fine_prompt=fine)
     return str(tmp_path / "voices")
@@ -71,25 +63,28 @@ def test_generate_audio_with_history():
     m = _tiny_bark()
     hist = (
         np.arange(10) % 32,
-        (np.arange(24) % 16).reshape(2, 12),
+        (np.arange(24) % 8).reshape(2, 12),
         (np.arange(48) % 8).reshape(4, 12),
     )
     wav, sem, codes = m.generate_audio(
-        np.arange(1, 7, dtype=np.int32), history_prompt=hist, max_semantic=8, max_coarse=8
+        np.arange(1, 7, dtype=np.int32), history_prompt=hist,
+        max_coarse_history=20, sliding_window_len=6,
     )
     assert wav.ndim == 1 and np.isfinite(wav).all()
     assert codes.shape[-1] == 4
-    # history frames must not leak into the output codes
-    assert codes.shape[1] == 8 // 2
+    # history frames must not leak into the output codes: the coarse stage
+    # emits floor(len(sem) * ratio / NC) frames for the NEW semantics only
+    ratio = m.COARSE_RATE_HZ / m.SEMANTIC_RATE_HZ * m.N_COARSE_CODEBOOKS
+    assert codes.shape[0] == int(np.floor(len(sem) * ratio / 2))
 
 
 def test_synthesize_with_cloned_voice(tmp_path):
     class ByteTok:
         def encode(self, text):
-            return [b % 100 for b in text.encode("utf-8")][:8]
+            return [b % 70 for b in text.encode("utf-8")][:8]
 
     m = _tiny_bark(tokenizer=ByteTok())
     vdir = _make_voice_dir(tmp_path)
     out = m.synthesize("hi there", m.config, speaker_id="alice", voice_dirs=vdir,
-                       max_semantic=8, max_coarse=8)
+                       max_coarse_history=20, sliding_window_len=6)
     assert np.isfinite(out["wav"]).all() and out["text_inputs"] == "hi there"

@@ -13,9 +13,28 @@ from tpu_tts.models.tortoise import TortoiseArgs
 @register_config_class("bark")
 @dataclass
 class BarkConfig(BaseTTSConfig):
+    """Bark config; constants mirror ref configs/bark_config.py:55-70."""
+
     model: str = "bark"
     model_args: BarkArgs = field(default_factory=BarkArgs)
     num_chars: int = 0
+    CONTEXT_WINDOW_SIZE: int = 1024
+    SEMANTIC_RATE_HZ: float = 49.9
+    SEMANTIC_VOCAB_SIZE: int = 10_000
+    CODEBOOK_SIZE: int = 1024
+    N_COARSE_CODEBOOKS: int = 2
+    N_FINE_CODEBOOKS: int = 8
+    COARSE_RATE_HZ: int = 75
+    SAMPLE_RATE: int = 24_000
+    TEXT_ENCODING_OFFSET: int = 10_048
+    SEMANTIC_PAD_TOKEN: int = 10_000
+    TEXT_PAD_TOKEN: int = 129_595
+    SEMANTIC_INFER_TOKEN: int = 129_599
+    COARSE_SEMANTIC_PAD_TOKEN: int = 12_048
+    COARSE_INFER_TOKEN: int = 12_050
+    # scaled-down test knobs (reference values are the literals 256 / 768)
+    TEXT_CONTEXT: int = 256
+    SEMANTIC_STEPS: int = 768
 
 
 @register_config_class("tortoise")

@@ -218,17 +218,35 @@ def generate_voice(audio, model, output_path: str, hubert_model=None, hubert_tok
             audio_t = audio_t[None]
         sr = sample_rate
 
-    if codec_encoder is None:
-        from transformers import EncodecModel
-
-        codec_encoder = EncodecModel.from_pretrained("facebook/encodec_24khz")
-        codec_encoder.eval()
     if sr != sample_rate:
         audio_t = torch.from_numpy(_resample(audio_t.cpu().numpy(), sr, sample_rate))
-    with torch.no_grad():
-        enc = codec_encoder.encode(audio_t[None])
-    codes = enc.audio_codes if hasattr(enc, "audio_codes") else enc[0]
-    codes = torch.cat([c for c in codes], dim=-1).squeeze().cpu().numpy()  # [n_q, T]
+    if codec_encoder is None and getattr(model, "encodec", None) is not None and (
+        model.params or {}
+    ).get("encodec") is not None:
+        # the model's own (JAX) EnCodec — ref uses model.encodec.encode at
+        # 6 kbps = 8 codebooks (inference_funcs.py:124, load via bark.py:49)
+        import jax.numpy as jnp
+
+        from tpu_tts.layers.encodec import EncodecModel as _JaxEncodec
+
+        n_fine = getattr(model, "N_FINE_CODEBOOKS", 8)
+        wav = jnp.asarray(audio_t.cpu().numpy().reshape(1, -1, 1))
+        codes = np.asarray(
+            model.encodec.apply(
+                {"params": model.params["encodec"]}, wav, n_q=n_fine,
+                method=_JaxEncodec.encode,
+            )
+        )[0].T  # [n_q, T]
+    else:
+        if codec_encoder is None:
+            from transformers import EncodecModel
+
+            codec_encoder = EncodecModel.from_pretrained("facebook/encodec_24khz")
+            codec_encoder.eval()
+        with torch.no_grad():
+            enc = codec_encoder.encode(audio_t[None])
+        codes = enc.audio_codes if hasattr(enc, "audio_codes") else enc[0]
+        codes = torch.cat([c for c in codes], dim=-1).squeeze().cpu().numpy()  # [n_q, T]
 
     paths = getattr(model.config, "LOCAL_MODEL_PATHS", {}) or {}
     if hubert_model is None:
