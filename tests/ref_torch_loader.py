@@ -116,6 +116,23 @@ def load_reference():
 
     import torch
 
+    # transformers>=4.46 removed LogitsWarper; the reference tortoise
+    # arch_utils imports it (arch_utils.py:10) only to subclass. Materialize
+    # every lazy attribute the reference pulls FIRST: under pytest, pulling a
+    # heavy attribute (GPT2PreTrainedModel) swaps sys.modules["transformers"]
+    # for a fresh module object, dropping anything patched onto the lazy
+    # placeholder.
+    from transformers import (  # noqa: F401  (forces materialization)
+        GPT2Config,
+        GPT2PreTrainedModel,
+        LogitsProcessorList,
+    )
+    from transformers.modeling_outputs import CausalLMOutputWithCrossAttentions  # noqa: F401
+
+    transformers = sys.modules["transformers"]
+    if not hasattr(transformers, "LogitsWarper"):
+        transformers.LogitsWarper = transformers.LogitsProcessor
+
     trainer = _stub("trainer")
     trainer.TrainerConfig = TrainerConfig
     trainer.TrainerArgs = TrainerConfig

@@ -160,10 +160,12 @@ def _num2words(*args, **kwargs):
 
 def _has_num2words() -> bool:
     try:
-        import num2words  # noqa: F401
+        from num2words import num2words
 
-        return True
-    except ImportError:
+        # only trust a real string result — a stubbed/broken module must not
+        # pass the gate (same policy as the bangla phonemizer)
+        return isinstance(num2words(1, lang="en"), str)
+    except Exception:
         return False
 
 

@@ -59,6 +59,10 @@ class Gruut(BasePhonemizer):
     def is_available(cls) -> bool:
         if not _GRUUT_OK:
             return False
+        # only trust a real module: a test stub answers every attribute with
+        # a mock but has no string __version__
+        if not isinstance(getattr(gruut, "__version__", None), str):
+            return False
         try:
             return importlib.util.find_spec("gruut") is not None
         except (ImportError, ValueError):  # e.g. stubbed module without __spec__
