@@ -23,17 +23,28 @@ def test_bark_cascade():
 def test_tortoise_pipeline():
     cfg = register_config("tortoise")()
     cfg.model_args = TortoiseArgs(
-        num_chars=40, mel_code_vocab=30, gpt_layers=2, gpt_heads=2, gpt_channels=32,
-        clvp_dim=16, clvp_layers=1, diff_channels=16, diff_layers=2, out_channels=20,
-        kv_cache_len=96, num_ar_samples=3, diffusion_steps=4,
+        ar_layers=2, ar_model_dim=32, ar_heads=2, ar_max_text_tokens=40,
+        ar_max_mel_tokens=60, ar_number_text_tokens=40, ar_start_text_token=40,
+        ar_number_mel_codes=30, ar_start_mel_token=28, ar_stop_mel_token=29,
+        diff_model_channels=32, diff_num_layers=2, diff_in_channels=20,
+        diff_out_channels=40, diff_in_latent_channels=32, diff_in_tokens=31,
+        diff_num_heads=2,
+        clvp_dim_text=16, clvp_dim_speech=16, clvp_dim_latent=16,
+        clvp_num_text_tokens=41, clvp_text_enc_depth=1, clvp_text_heads=2,
+        clvp_num_speech_tokens=30, clvp_speech_enc_depth=1, clvp_speech_heads=2,
+        voc_noise_dim=4, voc_channel_size=4, voc_strides=(4, 4), voc_n_mel_channels=20,
+        calm_token=5, pad_fill_token=5, tail_tokens=(3, 3, 7),
     )
     t = setup_model(cfg)
     t.init_params(jax.random.PRNGKey(0))
-    out = t.inference(np.arange(1, 7, dtype=np.int32), max_code_tokens=12)
-    assert out["model_outputs"].shape == (1, 12, 20)
+    out = t.inference(np.arange(1, 7, dtype=np.int32), num_autoregressive_samples=3,
+                      max_mel_tokens=12, diffusion_iterations=4)
+    assert out["model_outputs"].shape[0] == 1 and out["model_outputs"].shape[2] == 20
     assert np.isfinite(out["model_outputs"]).all()
+    assert np.isfinite(out["wav"]).all()
     assert out["clvp_scores"].shape == (3,)
     assert 0 <= out["best_candidate"] < 3
+    assert out["gpt_codes"].shape == (3, 12)
 
 
 def test_gst_and_capacitron():

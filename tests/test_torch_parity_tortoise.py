@@ -1,0 +1,351 @@
+"""Numerical parity: reference torch Tortoise stages (UnifiedVoice, CLVP
+xformers variant, DiffusionTts) → converted flax params
+(`tpu_tts.models.tortoise_convert`). Covers conditioning latents,
+teacher-forced AR logits + return_latent, incremental AR decode, CLVP
+similarity scores, and the diffusion denoiser (conditioned, cond-free, and
+timestep_independent embeddings)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tests.ref_torch_loader import load_reference, ref_import  # noqa: E402
+
+pytestmark = pytest.mark.skipif(load_reference() is None, reason="reference import failed")
+
+
+@pytest.fixture(scope="module")
+def uv_pair():
+    am = ref_import("TTS.tts.layers.tortoise.autoregressive")
+    if am is None:
+        pytest.skip("reference autoregressive not importable")
+    import torch
+
+    torch.manual_seed(0)
+    kw = dict(layers=2, model_dim=64, heads=2, max_text_tokens=40, max_mel_tokens=60,
+              max_conditioning_inputs=1, number_text_tokens=50, number_mel_codes=80,
+              start_mel_token=78, stop_mel_token=79, checkpointing=False)
+    ref = am.UnifiedVoice(**kw).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from tpu_tts.layers.tortoise_ar import UnifiedVoice
+    from tpu_tts.models.tortoise_convert import convert_unified_voice_state_dict
+
+    mine = UnifiedVoice(layers=2, model_dim=64, heads=2, max_text_tokens=40,
+                        max_mel_tokens=60, max_conditioning_inputs=1,
+                        number_text_tokens=50, start_text_token=50,
+                        number_mel_codes=80, start_mel_token=78, stop_mel_token=79)
+    params = {"params": convert_unified_voice_state_dict(sd)}
+    return ref, mine, params
+
+
+def test_uv_conditioning_parity(uv_pair):
+    import torch
+
+    ref, mine, params = uv_pair
+    mel = np.random.RandomState(0).randn(2, 80, 37).astype(np.float32)
+    with torch.no_grad():
+        ref_cond = ref.get_conditioning(torch.from_numpy(mel)).numpy()
+    cond = mine.apply(params, jnp.asarray(mel.transpose(0, 2, 1)), method=mine.get_conditioning)
+    np.testing.assert_allclose(np.asarray(cond), ref_cond, atol=3e-5)
+
+
+def test_uv_forward_parity(uv_pair):
+    import torch
+
+    ref, mine, params = uv_pair
+    rs = np.random.RandomState(1)
+    cond = rs.randn(2, 64).astype(np.float32)
+    text = rs.randint(1, 50, (2, 9)).astype(np.int64)
+    mel = rs.randint(0, 78, (2, 14)).astype(np.int64)
+    with torch.no_grad():
+        # wav_lengths chosen so set_mel_padding is a no-op (ref :384)
+        _, _, ref_mel_logits = ref(
+            torch.from_numpy(cond), torch.from_numpy(text), torch.tensor([9, 9]),
+            torch.from_numpy(mel), torch.tensor([14 * 1024, 14 * 1024]),
+        )
+        ref_latents = ref(
+            torch.from_numpy(cond), torch.from_numpy(text), torch.tensor([9, 9]),
+            torch.from_numpy(mel), torch.tensor([14 * 1024, 14 * 1024]), return_latent=True,
+        ).numpy()
+    _, mel_logits = mine.apply(params, jnp.asarray(cond), jnp.asarray(text), jnp.asarray(mel))
+    # ref returns mel logits as [B, vocab, T]
+    np.testing.assert_allclose(
+        np.asarray(mel_logits), ref_mel_logits.numpy().transpose(0, 2, 1), atol=3e-5
+    )
+    latents = mine.apply(params, jnp.asarray(cond), jnp.asarray(text), jnp.asarray(mel),
+                         return_latent=True)
+    np.testing.assert_allclose(np.asarray(latents), ref_latents, atol=3e-5)
+
+
+def test_uv_incremental_decode_parity(uv_pair):
+    """Our prefill/decode_step vs the reference GPT2InferenceModel kv-cached
+    forward (autoregressive.py:40, driven as inference_speech :551 does —
+    transformers>=4.50 no longer attaches `generate` to the model, so the
+    greedy loop is replayed manually)."""
+    import torch
+    import torch.nn.functional as F
+
+    ref, mine, params = uv_pair
+    ref.post_init_gpt2_config(kv_cache=True)
+    rs = np.random.RandomState(2)
+    cond = rs.randn(1, 64).astype(np.float32)
+    text = rs.randint(1, 50, (1, 7)).astype(np.int64)
+    steps = 4
+    ref_logits_seq = []
+    with torch.no_grad():
+        ti = F.pad(torch.from_numpy(text), (0, 1), value=0)
+        ti, _ = ref.build_aligned_inputs_and_targets(ti, ref.start_text_token, 0)
+        text_emb = ref.text_embedding(ti) + ref.text_pos_embedding(ti)
+        conds = torch.from_numpy(cond).unsqueeze(1)
+        emb = torch.cat([conds, text_emb], dim=1)
+        ref.inference_model.store_mel_emb(emb)
+        fake = torch.full((1, conds.shape[1] + emb.shape[1]), 1, dtype=torch.long)
+        fake[:, -1] = ref.start_mel_token
+        attn = torch.ones_like(fake)
+        out = ref.inference_model(input_ids=fake, attention_mask=attn,
+                                  use_cache=True, return_dict=True)
+        ref_logits_seq.append(out.logits[:, -1].numpy())
+        past = out.past_key_values
+        for _ in range(steps):
+            tok = torch.from_numpy(ref_logits_seq[-1].argmax(-1)[None]).long()
+            attn = F.pad(attn, (0, 1), value=1)
+            out = ref.inference_model(input_ids=tok, past_key_values=past,
+                                      attention_mask=attn, use_cache=True, return_dict=True)
+            ref_logits_seq.append(out.logits[:, -1].numpy())
+            past = out.past_key_values
+
+    cache = mine.init_cache(1, 7 + 3 + 1 + steps)
+    cache, P, logits = mine.apply(params, jnp.asarray(cond), jnp.asarray(text), cache,
+                                  method=mine.prefill)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits_seq[0], atol=3e-4)
+    for i in range(steps):
+        tok = np.asarray(logits).argmax(-1).astype(np.int32)
+        assert tok[0] == ref_logits_seq[i].argmax(-1)[0]
+        logits, cache = mine.apply(
+            params, jnp.asarray(tok), jnp.full((1,), i + 1, dtype=jnp.int32),
+            cache, P + i, method=mine.decode_step,
+        )
+        np.testing.assert_allclose(np.asarray(logits), ref_logits_seq[i + 1], atol=3e-4)
+
+
+@pytest.fixture(scope="module")
+def clvp_pair():
+    cm = ref_import("TTS.tts.layers.tortoise.clvp")
+    if cm is None:
+        pytest.skip("reference clvp not importable")
+    import torch
+
+    torch.manual_seed(0)
+    kw = dict(dim_text=64, dim_speech=64, dim_latent=64, num_text_tokens=50,
+              text_enc_depth=2, text_heads=2, num_speech_tokens=80,
+              speech_enc_depth=2, speech_heads=2, use_xformers=True)
+    ref = cm.CLVP(**kw).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from tpu_tts.layers.tortoise_clvp import CLVP
+    from tpu_tts.models.tortoise_convert import convert_clvp_state_dict
+
+    mine = CLVP(dim_text=64, dim_speech=64, dim_latent=64, num_text_tokens=50,
+                text_enc_depth=2, text_heads=2, num_speech_tokens=80,
+                speech_enc_depth=2, speech_heads=2)
+    params = {"params": convert_clvp_state_dict(sd)}
+    return ref, mine, params
+
+
+def test_clvp_similarity_parity(clvp_pair):
+    import torch
+
+    ref, mine, params = clvp_pair
+    rs = np.random.RandomState(3)
+    text = rs.randint(0, 50, (3, 11)).astype(np.int64)
+    speech = rs.randint(0, 80, (3, 17)).astype(np.int64)
+    with torch.no_grad():
+        ref_sim = ref(torch.from_numpy(text), torch.from_numpy(speech), return_loss=False).numpy()
+    sim = mine.apply(params, jnp.asarray(text), jnp.asarray(speech))
+    np.testing.assert_allclose(np.asarray(sim), ref_sim, atol=3e-5)
+
+
+@pytest.fixture(scope="module")
+def diff_pair():
+    dm = ref_import("TTS.tts.layers.tortoise.diffusion_decoder")
+    if dm is None:
+        pytest.skip("reference diffusion_decoder not importable")
+    import torch
+
+    torch.manual_seed(0)
+    kw = dict(model_channels=64, num_layers=2, in_channels=20, in_latent_channels=64,
+              in_tokens=40, out_channels=40, num_heads=2, dropout=0,
+              layer_drop=0, unconditioned_percentage=0)
+    ref = dm.DiffusionTts(**kw).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from tpu_tts.layers.tortoise_diffusion import DiffusionTts
+    from tpu_tts.models.tortoise_convert import convert_diffusion_state_dict
+
+    mine = DiffusionTts(model_channels=64, num_layers=2, in_channels=20,
+                        in_latent_channels=64, in_tokens=40, out_channels=40, num_heads=2)
+    params = {"params": convert_diffusion_state_dict(sd)}
+    return ref, mine, params
+
+
+def test_diffusion_conditioning_parity(diff_pair):
+    import torch
+
+    ref, mine, params = diff_pair
+    mel = np.random.RandomState(4).randn(1, 20, 33).astype(np.float32)
+    with torch.no_grad():
+        ref_cond = ref.get_conditioning(torch.from_numpy(mel)).numpy()
+    cond = mine.apply(params, jnp.asarray(mel.transpose(0, 2, 1)), method=mine.get_conditioning)
+    np.testing.assert_allclose(np.asarray(cond), ref_cond, atol=3e-5)
+
+
+def test_diffusion_denoiser_parity(diff_pair):
+    import torch
+
+    ref, mine, params = diff_pair
+    rs = np.random.RandomState(5)
+    T = 24
+    x = rs.randn(1, 20, T).astype(np.float32)
+    latents = rs.randn(1, 9, 64).astype(np.float32)
+    cond = rs.randn(1, 128).astype(np.float32)
+    ts = np.array([117], dtype=np.int64)
+    with torch.no_grad():
+        ref_emb = ref.timestep_independent(
+            torch.from_numpy(latents), torch.from_numpy(cond), T, False
+        )
+        ref_out = ref(
+            torch.from_numpy(x), torch.from_numpy(ts),
+            precomputed_aligned_embeddings=ref_emb,
+        ).numpy()
+        ref_free = ref(
+            torch.from_numpy(x), torch.from_numpy(ts),
+            precomputed_aligned_embeddings=ref_emb, conditioning_free=True,
+        ).numpy()
+    emb = mine.apply(params, jnp.asarray(latents), jnp.asarray(cond), T,
+                     method=mine.timestep_independent)
+    np.testing.assert_allclose(
+        np.asarray(emb), ref_emb.numpy().transpose(0, 2, 1), atol=3e-5
+    )
+    out = mine.apply(params, jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(ts),
+                     precomputed_aligned_embeddings=emb)
+    np.testing.assert_allclose(np.asarray(out), ref_out.transpose(0, 2, 1), atol=5e-5)
+    out_free = mine.apply(params, jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(ts),
+                          conditioning_free=True)
+    np.testing.assert_allclose(np.asarray(out_free), ref_free.transpose(0, 2, 1), atol=5e-5)
+
+
+def test_diffusion_code_path_parity(diff_pair):
+    import torch
+
+    ref, mine, params = diff_pair
+    rs = np.random.RandomState(6)
+    codes = rs.randint(0, 40, (1, 9)).astype(np.int64)
+    cond = rs.randn(1, 128).astype(np.float32)
+    with torch.no_grad():
+        ref_emb = ref.timestep_independent(torch.from_numpy(codes), torch.from_numpy(cond), 24, False)
+    emb = mine.apply(params, jnp.asarray(codes), jnp.asarray(cond), 24,
+                     is_latent=False, method=mine.timestep_independent)
+    np.testing.assert_allclose(np.asarray(emb), ref_emb.numpy().transpose(0, 2, 1), atol=3e-5)
+
+
+def test_tortoise_vocoder_parity():
+    """Reference tortoise UnivNetGenerator (vocoder.py:277, mindslab naming,
+    per-block kpnet residuals, reflect pads, slope 0.2) → our flax UnivNet."""
+    vm = ref_import("TTS.tts.layers.tortoise.vocoder")
+    if vm is None:
+        pytest.skip("reference tortoise vocoder not importable")
+    import torch
+
+    torch.manual_seed(0)
+    # the reference overrides .eval() without returning self (vocoder.py:346)
+    ref = vm.UnivNetGenerator(noise_dim=6, channel_size=4, strides=[4, 2],
+                              n_mel_channels=10)
+    ref.train(False)
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from tpu_tts.models.tortoise_convert import convert_tortoise_vocoder_state_dict
+    from tpu_tts.vocoder.models.univnet_generator import UnivnetGenerator
+
+    mine = UnivnetGenerator(
+        in_channels=6, hidden_channels=4, cond_channels=10, upsample_factors=(4, 2),
+        kpnet_lrelu_slope=0.2, kpnet_per_block_residual=True,
+        post_lrelu_slope=0.2, pad_mode="reflect",
+    )
+    params = {"params": convert_tortoise_vocoder_state_dict(sd)}
+
+    rs = np.random.RandomState(8)
+    mel = rs.randn(1, 10, 12).astype(np.float32)
+    z = rs.randn(1, 6, 12).astype(np.float32)
+    with torch.no_grad():
+        ref_wav = ref(torch.from_numpy(mel), torch.from_numpy(z)).numpy()
+    wav = mine.apply(params, jnp.asarray(mel.transpose(0, 2, 1)),
+                     z=jnp.asarray(z.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(wav[..., 0]), ref_wav[:, 0], atol=3e-5)
+
+
+def test_rlg_parity():
+    rm = ref_import("TTS.tts.layers.tortoise.random_latent_generator")
+    if rm is None:
+        pytest.skip("reference rlg not importable")
+    import torch
+
+    torch.manual_seed(0)
+    ref = rm.RandomLatentConverter(16).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from tpu_tts.layers.tortoise_arch import RandomLatentConverter
+    from tpu_tts.models.tortoise_convert import convert_rlg_state_dict
+
+    mine = RandomLatentConverter(16)
+    params = {"params": convert_rlg_state_dict(sd)}
+    r = np.random.RandomState(9).randn(3, 16).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.layers(torch.from_numpy(r)).numpy()
+    out = mine.apply(params, jnp.asarray(r), method=mine.transform)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=3e-5)
+
+
+def test_spaced_diffusion_sampler_parity():
+    """Our SpacedDiffusion p/ddim loops vs the reference sampler on a dummy
+    denoiser (exact schedule + guidance semantics)."""
+    dref = ref_import("TTS.tts.layers.tortoise.diffusion")
+    if dref is None:
+        pytest.skip("reference diffusion not importable")
+    import torch
+
+    trained, desired = 100, 7
+    ref_diff = dref.SpacedDiffusion(
+        use_timesteps=dref.space_timesteps(trained, [desired]),
+        model_mean_type="epsilon", model_var_type="learned_range", loss_type="mse",
+        betas=dref.get_named_beta_schedule("linear", trained),
+        conditioning_free=True, conditioning_free_k=2.0, sampler="ddim",
+    )
+
+    C = 4
+
+    def torch_model(x, ts, conditioning_free=False, **kw):
+        t = ts.float()[:, None, None] / trained
+        base = torch.sin(x * 1.7) * (0.5 if conditioning_free else 1.0)
+        return torch.cat([base * (1 - t), torch.tanh(x) * 0 + 0.3], dim=1)
+
+    noise = torch.from_numpy(np.random.RandomState(7).randn(1, C, 10).astype(np.float32))
+    ref_out = ref_diff.ddim_sample_loop(
+        torch_model, (1, C, 10), noise=noise.clone(), device=torch.device("cpu")
+    ).numpy()
+
+    from tpu_tts.layers.tortoise_diffusion import SpacedDiffusion
+
+    mine = SpacedDiffusion(trained_steps=trained, desired_steps=desired,
+                           cond_free=True, cond_free_k=2.0, sampler="ddim")
+
+    def jax_model(x, ts, conditioning_free):
+        t = ts.astype(jnp.float32)[:, None, None] / trained
+        base = jnp.sin(x * 1.7) * (0.5 if conditioning_free else 1.0)
+        return jnp.concatenate([base * (1 - t), x * 0 + 0.3], axis=-1)
+
+    out = mine.sample_loop(jax_model, jnp.asarray(noise.numpy().transpose(0, 2, 1)),
+                           jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), ref_out.transpose(0, 2, 1), atol=1e-4)

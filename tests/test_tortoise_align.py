@@ -98,13 +98,21 @@ def test_tortoise_wav_output():
 
     cfg = Coqpit()
     cfg.model_args = TortoiseArgs(
-        num_chars=32, mel_code_vocab=24, gpt_layers=1, gpt_heads=2, gpt_channels=16,
-        clvp_dim=16, clvp_layers=1, diff_channels=16, diff_layers=1, out_channels=8,
-        kv_cache_len=64, num_ar_samples=2, diffusion_steps=2,
-        vocoder_upsample_factors=(4, 4),
+        ar_layers=1, ar_model_dim=32, ar_heads=2, ar_number_text_tokens=32,
+        ar_start_text_token=32, ar_number_mel_codes=24, ar_start_mel_token=22,
+        ar_stop_mel_token=23,
+        diff_model_channels=32, diff_num_layers=1, diff_in_channels=8,
+        diff_out_channels=16, diff_in_latent_channels=32, diff_in_tokens=25,
+        diff_num_heads=2,
+        clvp_dim_text=16, clvp_dim_speech=16, clvp_dim_latent=16,
+        clvp_num_text_tokens=33, clvp_text_enc_depth=1, clvp_text_heads=2,
+        clvp_num_speech_tokens=24, clvp_speech_enc_depth=1, clvp_speech_heads=2,
+        voc_noise_dim=4, voc_channel_size=4, voc_strides=(4, 4), voc_n_mel_channels=8,
+        calm_token=5, pad_fill_token=5, tail_tokens=(3, 3, 7),
     )
     m = Tortoise(cfg)
     m.init_params(jax.random.PRNGKey(0))
-    out = m.inference(np.arange(1, 6, dtype=np.int32), max_code_tokens=8)
+    out = m.inference(np.arange(1, 6, dtype=np.int32), num_autoregressive_samples=2,
+                      max_mel_tokens=8, diffusion_iterations=2)
     assert "wav" in out and np.isfinite(out["wav"]).all()
     assert out["wav"].shape[0] == out["model_outputs"].shape[1] * 16

@@ -239,6 +239,45 @@ def dynamic_range_decompression(x: jnp.ndarray, gain: float = 1.0) -> jnp.ndarra
     return jnp.exp(x) / gain
 
 
+def torchaudio_mel(
+    y: jnp.ndarray,
+    *,
+    fft_size: int,
+    hop_length: int,
+    win_length: int,
+    sample_rate: int,
+    num_mels: int,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    htk: bool = True,
+    log_clamp: float = 1e-5,
+    mel_norms: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """torchaudio.transforms.MelSpectrogram semantics (power=2, center=True
+    reflect, slaney norm; torchaudio defaults to the HTK mel scale) + the
+    tortoise log-clamp/per-bin normalization (reference
+    tts/layers/tortoise/arch_utils.py:299 `TorchMelSpectrogram`; set
+    `htk=False` for the librosa-mel `TorchSTFT` path of
+    utils/audio/torch_transforms.py used by `wav_to_univnet_mel`).
+
+    `[..., T] → [..., T_frames, num_mels]` (channels-last)."""
+    from tpu_tts.audio.numpy_transforms import mel_filterbank
+
+    re, im = stft_complex(
+        y, fft_size=fft_size, hop_length=hop_length, win_length=win_length, center=True
+    )
+    power = re * re + im * im  # [..., T_frames, n_freq]
+    basis = mel_filterbank(
+        sample_rate=sample_rate, fft_size=fft_size, num_mels=num_mels,
+        mel_fmin=fmin, mel_fmax=fmax, htk=htk, norm="slaney",
+    )  # [num_mels, n_freq]
+    mel = jnp.matmul(power, jnp.asarray(basis.T), preferred_element_type=jnp.float32)
+    mel = jnp.log(jnp.clip(mel, min=log_clamp))
+    if mel_norms is not None:
+        mel = mel / jnp.asarray(mel_norms)
+    return mel
+
+
 def wav_to_spec(
     y: jnp.ndarray,
     *,

@@ -37,6 +37,7 @@ class Synthesizer:
         self.tts_config_path = tts_config_path
         self.vocoder_checkpoint = vocoder_checkpoint
         self.vocoder_config_path = vocoder_config
+        self.voice_dir = voice_dir
         self.tts_model = None
         self.vocoder_model = None
         self.vc_model = None
@@ -196,16 +197,25 @@ class Synthesizer:
             wavs = list(np.asarray(wav, dtype=np.float32))
         else:
             for sen in sens:
-                outputs = synthesis(
-                    model=self.tts_model,
-                    text=sen,
-                    CONFIG=self.tts_config,
-                    speaker_id=speaker_id,
-                    d_vector=d_vector,
-                    language_id=language_id,
-                    use_griffin_lim=use_gl,
-                    do_trim_silence=False,
-                )
+                if hasattr(self.tts_model, "synthesize"):
+                    # self-contained pipelines: Bark / Tortoise / XTTS
+                    # (ref synthesizer.py:385)
+                    outputs = self.tts_model.synthesize(
+                        text=sen, config=self.tts_config,
+                        speaker_id=speaker_name or "random",
+                        voice_dirs=self.voice_dir, **kwargs,
+                    )
+                else:
+                    outputs = synthesis(
+                        model=self.tts_model,
+                        text=sen,
+                        CONFIG=self.tts_config,
+                        speaker_id=speaker_id,
+                        d_vector=d_vector,
+                        language_id=language_id,
+                        use_griffin_lim=use_gl,
+                        do_trim_silence=False,
+                    )
                 if outputs["wav"] is not None:
                     waveform = outputs["wav"]
                 else:

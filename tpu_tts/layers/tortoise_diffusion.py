@@ -1,0 +1,289 @@
+"""Tortoise diffusion mel decoder (flax) + spaced Gaussian diffusion sampler,
+weight-compatible with /root/reference/TTS/tts/layers/tortoise/
+diffusion_decoder.py:141 `DiffusionTts` and semantics-compatible with
+diffusion.py:176 `GaussianDiffusion`/:1096 `SpacedDiffusion` (linear beta
+schedule, epsilon prediction, learned_range variance, conditioning-free
+guidance with ramped k, p/ddim samplers).
+
+TPU notes: the per-step model call is jitted once and scanned over the
+(static) spaced timestep list; all schedule constants are computed in numpy
+float64 at build time and baked in as fp32 device constants.
+"""
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_tts.layers.tortoise_arch import (
+    AttentionBlock,
+    Conv1dSame,
+    DiffResBlock,
+    DiffusionLayer,
+    group_norm,
+    timestep_embedding,
+    tortoise_groups,
+)
+
+
+class DiffusionTts(nn.Module):
+    """diffusion_decoder.py:141. Channels-last; `x` is the noisy mel
+    `[B, T, in_channels]`, output `[B, T, out_channels]` (mean|var)."""
+
+    model_channels: int = 1024
+    num_layers: int = 10
+    in_channels: int = 100
+    in_latent_channels: int = 1024
+    in_tokens: int = 8193
+    out_channels: int = 200
+    num_heads: int = 16
+
+    def setup(self):
+        mc = self.model_channels
+        self.inp_block = Conv1dSame(mc, 3, padding=1, name="inp_block")
+        self.time_embed_1 = nn.Dense(mc, name="time_embed_1")
+        self.time_embed_2 = nn.Dense(mc, name="time_embed_2")
+        self.code_embedding = nn.Embed(self.in_tokens, mc, name="code_embedding")
+        self.code_converter = [
+            AttentionBlock(mc, self.num_heads, relative_pos_embeddings=True, name=f"code_converter_{i}")
+            for i in range(3)
+        ]
+        self.code_norm_scale = self.param("code_norm_scale", nn.initializers.ones, (mc,))
+        self.code_norm_bias = self.param("code_norm_bias", nn.initializers.zeros, (mc,))
+        self.latent_conditioner_conv = Conv1dSame(mc, 3, padding=1, name="latent_conditioner_conv")
+        self.latent_conditioner_attn = [
+            AttentionBlock(mc, self.num_heads, relative_pos_embeddings=True,
+                           name=f"latent_conditioner_{i}")
+            for i in range(4)
+        ]
+        self.contextual_embedder_conv1 = Conv1dSame(mc, 3, stride=2, padding=1,
+                                                    name="contextual_embedder_conv1")
+        self.contextual_embedder_conv2 = Conv1dSame(mc * 2, 3, stride=2, padding=1,
+                                                    name="contextual_embedder_conv2")
+        self.contextual_embedder_attn = [
+            AttentionBlock(mc * 2, self.num_heads, relative_pos_embeddings=True,
+                           name=f"contextual_embedder_{i}")
+            for i in range(5)
+        ]
+        self.unconditioned_embedding = self.param(
+            "unconditioned_embedding", nn.initializers.normal(1.0), (1, 1, mc)
+        )
+        self.conditioning_timestep_integrator = [
+            DiffusionLayer(mc, self.num_heads, name=f"cond_timestep_{i}") for i in range(3)
+        ]
+        self.integrating_conv = Conv1dSame(mc, 1, padding=0, name="integrating_conv")
+        self.mel_head = Conv1dSame(self.in_channels, 3, padding=1, name="mel_head")
+        self.layers = tuple(
+            [DiffusionLayer(mc, self.num_heads, name=f"layer_{i}") for i in range(self.num_layers)]
+            + [
+                DiffResBlock(mc, mc, mc, use_scale_shift_norm=True, name=f"layer_{self.num_layers + i}")
+                for i in range(3)
+            ]
+        )
+        self.out_norm = nn.GroupNorm(num_groups=tortoise_groups(mc), epsilon=1e-5, name="out_norm")
+        self.out_conv = Conv1dSame(self.out_channels, 3, padding=1, name="out_conv")
+
+    # ----------------------------------------------------------- conditioning
+    def get_conditioning(self, conditioning_input):
+        """mel clips `[B, n, T, in_channels]` (or `[B, T, C]`) → `[B, 2*mc]`
+        (diffusion_decoder.py:271: per-clip embedder outputs concatenated
+        along time then meaned)."""
+        if conditioning_input.ndim == 3:
+            conditioning_input = conditioning_input[:, None]
+        outs = []
+        for j in range(conditioning_input.shape[1]):
+            h = self.contextual_embedder_conv1(conditioning_input[:, j])
+            h = self.contextual_embedder_conv2(h)
+            for blk in self.contextual_embedder_attn:
+                h = blk(h)
+            outs.append(h)
+        return jnp.concatenate(outs, axis=1).mean(axis=1)
+
+    def _code_norm(self, x, cond_scale, cond_shift):
+        x = group_norm(x, tortoise_groups(self.model_channels))
+        x = x * self.code_norm_scale + self.code_norm_bias
+        return x * (1 + cond_scale[:, None]) + cond_shift[:, None]
+
+    def timestep_independent(self, aligned_conditioning, conditioning_latent,
+                             expected_seq_len: int, is_latent: bool = True):
+        """diffusion_decoder.py:282 (eval path, no unconditioned dropout).
+        aligned_conditioning: AR latents `[B, S, in_latent_channels]` when
+        `is_latent`, else mel-code ids `[B, S]`."""
+        cond_scale, cond_shift = jnp.split(conditioning_latent, 2, axis=1)
+        if is_latent:
+            code_emb = self.latent_conditioner_conv(aligned_conditioning)
+            for blk in self.latent_conditioner_attn:
+                code_emb = blk(code_emb)
+        else:
+            code_emb = self.code_embedding(aligned_conditioning)
+            for blk in self.code_converter:
+                code_emb = blk(code_emb)
+        code_emb = self._code_norm(code_emb, cond_scale, cond_shift)
+        # F.interpolate(mode="nearest") over time
+        S = code_emb.shape[1]
+        idx = (jnp.arange(expected_seq_len) * S // expected_seq_len).astype(jnp.int32)
+        return jnp.take(code_emb, idx, axis=1)
+
+    def __call__(self, x, timesteps, precomputed_aligned_embeddings=None,
+                 conditioning_free: bool = False):
+        """diffusion_decoder.py:322 eval path; x `[B, T, in_channels]`."""
+        if conditioning_free:
+            code_emb = jnp.broadcast_to(
+                self.unconditioned_embedding, (x.shape[0], x.shape[1], self.model_channels)
+            )
+        else:
+            code_emb = precomputed_aligned_embeddings
+        time_emb = self.time_embed_2(
+            jax.nn.silu(self.time_embed_1(timestep_embedding(timesteps, self.model_channels)))
+        )
+        for blk in self.conditioning_timestep_integrator:
+            code_emb = blk(code_emb, time_emb)
+        h = self.inp_block(x)
+        h = self.integrating_conv(jnp.concatenate([h, code_emb], axis=-1))
+        for lyr in self.layers:
+            h = lyr(h, time_emb)
+        return self.out_conv(jax.nn.silu(self.out_norm(h)))
+
+
+# ---------------------------------------------------------------- scheduler
+def get_named_beta_schedule(schedule_name: str, num_diffusion_timesteps: int) -> np.ndarray:
+    """diffusion.py:97."""
+    if schedule_name == "linear":
+        scale = 1000 / num_diffusion_timesteps
+        return np.linspace(scale * 0.0001, scale * 0.02, num_diffusion_timesteps, dtype=np.float64)
+    if schedule_name == "cosine":
+        def alpha_bar(t):
+            return math.cos((t + 0.008) / 1.008 * math.pi / 2) ** 2
+
+        betas = []
+        for i in range(num_diffusion_timesteps):
+            t1 = i / num_diffusion_timesteps
+            t2 = (i + 1) / num_diffusion_timesteps
+            betas.append(min(1 - alpha_bar(t2) / alpha_bar(t1), 0.999))
+        return np.array(betas)
+    raise NotImplementedError(schedule_name)
+
+
+def space_timesteps(num_timesteps: int, section_counts) -> list:
+    """diffusion.py:1146 (list form), returned sorted ascending."""
+    if isinstance(section_counts, int):
+        section_counts = [section_counts]
+    size_per = num_timesteps // len(section_counts)
+    extra = num_timesteps % len(section_counts)
+    start_idx = 0
+    all_steps = []
+    for i, section_count in enumerate(section_counts):
+        size = size_per + (1 if i < extra else 0)
+        if size < section_count:
+            raise ValueError(f"cannot divide section of {size} steps into {section_count}")
+        frac_stride = 1 if section_count <= 1 else (size - 1) / (section_count - 1)
+        cur_idx = 0.0
+        taken = []
+        for _ in range(section_count):
+            taken.append(start_idx + round(cur_idx))
+            cur_idx += frac_stride
+        all_steps += taken
+        start_idx += size
+    return sorted(set(all_steps))
+
+
+class SpacedDiffusion:
+    """Sampler over a spaced subsequence of a trained diffusion process
+    (diffusion.py:176,1096): epsilon mean, learned_range variance,
+    conditioning-free guidance with per-step ramped k (:359-365), "p"
+    (:546 p_sample) and "ddim" (:678, eta=0) samplers.
+
+    `model_fn(x, t_trained, conditioning_free) -> [B, T, 2*C]` is provided by
+    the caller (a jitted DiffusionTts apply)."""
+
+    def __init__(self, trained_steps: int = 4000, desired_steps: int = 200,
+                 cond_free: bool = True, cond_free_k: float = 1.0, sampler: str = "ddim"):
+        self.sampler = sampler
+        self.conditioning_free = cond_free
+        self.cond_free_k = cond_free_k
+        self.trained_steps = trained_steps
+        base_betas = get_named_beta_schedule("linear", trained_steps)
+        base_ac = np.cumprod(1.0 - base_betas)
+        self.timestep_map = space_timesteps(trained_steps, desired_steps)
+        last = 1.0
+        betas = []
+        for i in self.timestep_map:
+            betas.append(1 - base_ac[i] / last)
+            last = base_ac[i]
+        betas = np.array(betas, dtype=np.float64)
+        self.num_timesteps = len(betas)
+        alphas = 1.0 - betas
+        self.alphas_cumprod = np.cumprod(alphas)
+        self.alphas_cumprod_prev = np.append(1.0, self.alphas_cumprod[:-1])
+        self.betas = betas
+        self.sqrt_recip_alphas_cumprod = np.sqrt(1.0 / self.alphas_cumprod)
+        self.sqrt_recipm1_alphas_cumprod = np.sqrt(1.0 / self.alphas_cumprod - 1)
+        self.posterior_variance = betas * (1.0 - self.alphas_cumprod_prev) / (1.0 - self.alphas_cumprod)
+        self.posterior_log_variance_clipped = np.log(
+            np.append(self.posterior_variance[1], self.posterior_variance[1:])
+        )
+        self.posterior_mean_coef1 = betas * np.sqrt(self.alphas_cumprod_prev) / (1.0 - self.alphas_cumprod)
+        self.posterior_mean_coef2 = (
+            (1.0 - self.alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - self.alphas_cumprod)
+        )
+
+    def _p_mean_variance(self, model_fn, x, t: int):
+        t_trained = self.timestep_map[t]
+        ts = jnp.full((x.shape[0],), t_trained, dtype=jnp.int32)
+        out = model_fn(x, ts, False)
+        C = x.shape[-1]
+        eps, var_values = out[..., :C], out[..., C:]
+        if self.conditioning_free:
+            out_free = model_fn(x, ts, True)
+            eps_free = out_free[..., :C]
+            # ramped (:360-362): SpacedDiffusion._scale_timesteps is identity,
+            # so the ramp runs over the SPACED index / spaced count
+            cfk = self.cond_free_k * (1 - t / self.num_timesteps)
+            eps = (1 + cfk) * eps - cfk * eps_free
+        min_log = self.posterior_log_variance_clipped[t]
+        max_log = math.log(self.betas[t])
+        frac = (var_values + 1) / 2
+        model_log_variance = frac * max_log + (1 - frac) * min_log
+        pred_xstart = jnp.clip(
+            self.sqrt_recip_alphas_cumprod[t] * x - self.sqrt_recipm1_alphas_cumprod[t] * eps,
+            -1, 1,
+        )
+        mean = self.posterior_mean_coef1[t] * pred_xstart + self.posterior_mean_coef2[t] * x
+        return mean, model_log_variance, pred_xstart
+
+    def sample_loop(self, model_fn, noise, rng):
+        """noise `[B, T, C]` → sample, scanning t = T-1 … 0."""
+        x = noise
+        for t in range(self.num_timesteps - 1, -1, -1):
+            rng, sub = jax.random.split(rng)
+            mean, log_var, pred_xstart = self._p_mean_variance(model_fn, x, t)
+            if self.sampler == "p":
+                z = jax.random.normal(sub, x.shape)
+                nonzero = 1.0 if t != 0 else 0.0
+                x = mean + nonzero * jnp.exp(0.5 * log_var) * z
+            elif self.sampler == "ddim":  # eta = 0 (diffusion.py:678)
+                eps = (
+                    self.sqrt_recip_alphas_cumprod[t] * x - pred_xstart
+                ) / self.sqrt_recipm1_alphas_cumprod[t]
+                ab_prev = self.alphas_cumprod_prev[t]
+                x = pred_xstart * math.sqrt(ab_prev) + math.sqrt(1 - ab_prev) * eps
+            else:
+                raise NotImplementedError(self.sampler)
+        return x
+
+
+TACOTRON_MEL_MAX = 2.3143386840820312
+TACOTRON_MEL_MIN = -11.512925148010254
+
+
+def denormalize_tacotron_mel(norm_mel):
+    """audio_utils.py:79."""
+    return ((norm_mel + 1) / 2) * (TACOTRON_MEL_MAX - TACOTRON_MEL_MIN) + TACOTRON_MEL_MIN
+
+
+def normalize_tacotron_mel(mel):
+    """audio_utils.py:83."""
+    return 2 * ((mel - TACOTRON_MEL_MIN) / (TACOTRON_MEL_MAX - TACOTRON_MEL_MIN)) - 1

@@ -65,10 +65,10 @@ class GPTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, cache=None, cache_index=None):
         h, new_cache = CausalSelfAttention(self.n_head, self.n_embd, name="attn")(
-            nn.LayerNorm(name="ln1")(x), mask=mask, cache=cache, cache_index=cache_index
+            nn.LayerNorm(epsilon=1e-5, name="ln1")(x), mask=mask, cache=cache, cache_index=cache_index
         )
         x = x + h
-        m = nn.Dense(4 * self.n_embd, name="mlp_fc")(nn.LayerNorm(name="ln2")(x))
+        m = nn.Dense(4 * self.n_embd, name="mlp_fc")(nn.LayerNorm(epsilon=1e-5, name="ln2")(x))
         m = nn.Dense(self.n_embd, name="mlp_proj")(jax.nn.gelu(m, approximate=True))
         return x + m, new_cache
 
@@ -92,10 +92,10 @@ class XttsGPT(nn.Module):
         self.text_pos_embedding = nn.Embed(self.max_text_tokens + 2, self.n_embd)
         self.audio_pos_embedding = nn.Embed(self.max_audio_tokens + 3, self.n_embd)
         self.blocks = [GPTBlock(self.n_head, self.n_embd, name=f"h_{i}") for i in range(self.n_layer)]
-        self.ln_f = nn.LayerNorm()
+        self.ln_f = nn.LayerNorm(epsilon=1e-5)
         # ref gpt.py applies a second LayerNorm (final_norm) after GPT2's
         # own ln_f, before the heads / decoder latents
-        self.final_norm = nn.LayerNorm()
+        self.final_norm = nn.LayerNorm(epsilon=1e-5)
         self.text_head = nn.Dense(self.num_text_tokens)
         self.mel_head = nn.Dense(self.num_audio_tokens)
 

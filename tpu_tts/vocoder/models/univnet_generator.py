@@ -27,22 +27,36 @@ class KernelPredictor(nn.Module):
     kpnet_hidden_channels: int = 64
     kpnet_conv_size: int = 3
     dropout: float = 0.0
+    lrelu_slope: float = 0.1  # tortoise/vocoder.py:27 uses the block slope (0.2)
+    # coqui lvc_block.py:45-63 wraps ONE residual around the whole 6-conv
+    # chain; tortoise/vocoder.py:107-109 adds a residual around EACH 2-conv
+    # block
+    per_block_residual: bool = False
 
     @nn.compact
     def __call__(self, c, train: bool = False):
         kpnet_kernel_channels = self.conv_in_channels * self.conv_out_channels * self.conv_kernel_size * self.conv_layers
         kpnet_bias_channels = self.conv_out_channels * self.conv_layers
         h = WNConv1d(self.kpnet_hidden_channels, 5, name="input_conv")(c)
-        h = jax.nn.leaky_relu(h, 0.1)
-        # ONE residual over the whole 6-conv chain (ref lvc_block.py:45-63)
-        res = h
-        for i in range(3):
-            res = nn.Dropout(self.dropout, deterministic=not train)(res)
-            res = WNConv1d(self.kpnet_hidden_channels, self.kpnet_conv_size, name=f"res{i}_conv1")(res)
-            res = jax.nn.leaky_relu(res, 0.1)
-            res = WNConv1d(self.kpnet_hidden_channels, self.kpnet_conv_size, name=f"res{i}_conv2")(res)
-            res = jax.nn.leaky_relu(res, 0.1)
-        h = h + res
+        h = jax.nn.leaky_relu(h, self.lrelu_slope)
+        if self.per_block_residual:
+            for i in range(3):
+                res = nn.Dropout(self.dropout, deterministic=not train)(h)
+                res = WNConv1d(self.kpnet_hidden_channels, self.kpnet_conv_size, name=f"res{i}_conv1")(res)
+                res = jax.nn.leaky_relu(res, self.lrelu_slope)
+                res = WNConv1d(self.kpnet_hidden_channels, self.kpnet_conv_size, name=f"res{i}_conv2")(res)
+                res = jax.nn.leaky_relu(res, self.lrelu_slope)
+                h = h + res
+        else:
+            # ONE residual over the whole 6-conv chain (ref lvc_block.py:45-63)
+            res = h
+            for i in range(3):
+                res = nn.Dropout(self.dropout, deterministic=not train)(res)
+                res = WNConv1d(self.kpnet_hidden_channels, self.kpnet_conv_size, name=f"res{i}_conv1")(res)
+                res = jax.nn.leaky_relu(res, self.lrelu_slope)
+                res = WNConv1d(self.kpnet_hidden_channels, self.kpnet_conv_size, name=f"res{i}_conv2")(res)
+                res = jax.nn.leaky_relu(res, self.lrelu_slope)
+            h = h + res
         kernels = WNConv1d(kpnet_kernel_channels, self.kpnet_conv_size, name="kernel_conv")(h)
         bias = WNConv1d(kpnet_bias_channels, self.kpnet_conv_size, name="bias_conv")(h)
         B, T = kernels.shape[0], kernels.shape[1]
@@ -83,6 +97,9 @@ class LVCBlock(nn.Module):
     kpnet_hidden_channels: int = 64
     kpnet_conv_size: int = 3
     dropout: float = 0.0
+    kpnet_lrelu_slope: float = 0.1
+    kpnet_per_block_residual: bool = False
+    dilations: Tuple[int, ...] = (1, 3, 9, 27)
 
     @nn.compact
     def __call__(self, x, c, train: bool = False):
@@ -95,6 +112,8 @@ class LVCBlock(nn.Module):
             kpnet_hidden_channels=self.kpnet_hidden_channels,
             kpnet_conv_size=self.kpnet_conv_size,
             dropout=self.dropout,
+            lrelu_slope=self.kpnet_lrelu_slope,
+            per_block_residual=self.kpnet_per_block_residual,
             name="kernel_predictor",
         )(c, train=train)
         # transposed-conv upsample of the audio latent
@@ -105,7 +124,7 @@ class LVCBlock(nn.Module):
         x = WNConvTranspose1d(self.in_channels, 2 * stride, stride, name="convt_pre")(x)
         hop = x.shape[1] // c.shape[1]
         for i in range(self.conv_layers):
-            dilation = 3**i
+            dilation = self.dilations[i]
             y = jax.nn.leaky_relu(x, 0.2)
             y = WNConv1d(self.in_channels, self.conv_kernel_size, dilation=dilation, name=f"conv_{i}")(y)
             y = jax.nn.leaky_relu(y, 0.2)
@@ -129,6 +148,12 @@ class UnivnetGenerator(nn.Module):
     kpnet_hidden_channels: int = 64
     kpnet_conv_size: int = 3
     dropout: float = 0.0
+    # tortoise/vocoder.py variant: reflect-padded pre/post convs, slope 0.2
+    # everywhere (incl. the kernel predictor), n_mel=100 conditioning
+    kpnet_lrelu_slope: float = 0.1
+    kpnet_per_block_residual: bool = False
+    post_lrelu_slope: float = 0.1
+    pad_mode: str = "zeros"
 
     @nn.compact
     def __call__(self, c, z=None, train: bool = False):
@@ -136,7 +161,7 @@ class UnivnetGenerator(nn.Module):
         B, Tm, _ = c.shape
         if z is None:
             z = jax.random.normal(self.make_rng("noise"), (B, Tm, self.in_channels))
-        x = WNConv1d(self.hidden_channels, 7, name="conv_pre")(z)
+        x = WNConv1d(self.hidden_channels, 7, pad_mode=self.pad_mode, name="conv_pre")(z)
         for i, s in enumerate(self.upsample_factors):
             x = LVCBlock(
                 in_channels=self.hidden_channels,
@@ -147,10 +172,12 @@ class UnivnetGenerator(nn.Module):
                 kpnet_hidden_channels=self.kpnet_hidden_channels,
                 kpnet_conv_size=self.kpnet_conv_size,
                 dropout=self.dropout,
+                kpnet_lrelu_slope=self.kpnet_lrelu_slope,
+                kpnet_per_block_residual=self.kpnet_per_block_residual,
                 name=f"lvc_{i}",
             )(x, c, train=train)
-        x = jax.nn.leaky_relu(x, 0.1)  # ref univnet_generator.py:10 LRELU_SLOPE
-        x = WNConv1d(self.out_channels, 7, name="conv_post")(x)
+        x = jax.nn.leaky_relu(x, self.post_lrelu_slope)  # ref univnet_generator.py:10
+        x = WNConv1d(self.out_channels, 7, pad_mode=self.pad_mode, name="conv_post")(x)
         return jnp.tanh(x)
 
     def inference(self, c):
