@@ -251,6 +251,87 @@ def test_diffusion_code_path_parity(diff_pair):
     np.testing.assert_allclose(np.asarray(emb), ref_emb.numpy().transpose(0, 2, 1), atol=3e-5)
 
 
+def test_classifier_parity():
+    """Reference AudioMiniEncoderWithClassifierHead (classifier.py:132) →
+    converted flax params."""
+    cm = ref_import("TTS.tts.layers.tortoise.classifier")
+    if cm is None:
+        pytest.skip("reference classifier not importable")
+    import torch
+
+    torch.manual_seed(0)
+    kw = dict(spec_dim=1, embedding_dim=64, depth=2, downsample_factor=4,
+              resnet_blocks=1, attn_blocks=2, num_attn_heads=2, base_channels=16,
+              kernel_size=5)
+    ref = cm.AudioMiniEncoderWithClassifierHead(2, distribute_zero_label=False, **kw).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from tpu_tts.layers.tortoise_classifier import AudioMiniEncoderWithClassifierHead
+    from tpu_tts.models.tortoise_convert import convert_classifier_state_dict
+
+    mine = AudioMiniEncoderWithClassifierHead(classes=2, **kw)
+    params = {"params": convert_classifier_state_dict(sd)}
+    clip = np.random.RandomState(10).randn(1, 1, 160).astype(np.float32)
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(clip)).numpy()
+    logits = mine.apply(params, jnp.asarray(clip.transpose(0, 2, 1)))
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=3e-5)
+
+
+def test_dpm_pp_2m_sampler_parity():
+    """Our dpm++2m vs the reference dpm_solver.py classes wired exactly as
+    diffusion.py:451 k_diffusion_sample_loop does (continuous linear VP
+    schedule, classifier-free un-ramped guidance, multistep order 2)."""
+    dpm = ref_import("TTS.tts.layers.tortoise.dpm_solver")
+    if dpm is None:
+        pytest.skip("reference dpm_solver not importable")
+    import torch
+
+    C, steps, gscale = 4, 7, 2.0
+
+    def torch_model(x, ts, conditioning_free=False, **kw):
+        t = ts.float()[:, None, None] / 1000.0
+        base = torch.sin(x * 1.7) * (0.5 if conditioning_free else 1.0)
+        return torch.cat([base * (1 - t), x * 0 + 0.3], dim=1)
+
+    def model_split(x, t, **kwargs):
+        out = torch_model(x, t, **kwargs)
+        return torch.split(out, out.shape[1] // 2, dim=1)
+
+    def model_fn_prewrap(x, t, *args, **kwargs):
+        x, _ = x.chunk(2)
+        t, _ = (t * 1000).chunk(2)
+        return torch.cat(
+            [model_split(x, t, conditioning_free=True)[0], model_split(x, t)[0]]
+        )
+
+    ns = dpm.NoiseScheduleVP(schedule="linear", continuous_beta_0=0.1 / 4,
+                             continuous_beta_1=20.0 / 4)
+    wrapped = dpm.model_wrapper(
+        model_fn_prewrap, ns, model_type="noise", model_kwargs={},
+        guidance_type="classifier-free", condition=torch.Tensor(1),
+        unconditional_condition=torch.Tensor(1), guidance_scale=gscale,
+    )
+    solver = dpm.DPM_Solver(wrapped, ns, algorithm_type="dpmsolver++")
+    noise = torch.from_numpy(np.random.RandomState(11).randn(1, C, 10).astype(np.float32))
+    ref_out = solver.sample(noise.clone(), steps=steps, order=2,
+                            skip_type="time_uniform", method="multistep").numpy()
+
+    from tpu_tts.layers.tortoise_diffusion import SpacedDiffusion
+
+    mine = SpacedDiffusion(trained_steps=4000, desired_steps=steps, cond_free=True,
+                           cond_free_k=gscale, sampler="dpm++2m")
+
+    def jax_model(x, ts, conditioning_free):
+        t = ts.astype(jnp.float32)[:, None, None] / 1000.0
+        base = jnp.sin(x * 1.7) * (0.5 if conditioning_free else 1.0)
+        return jnp.concatenate([base * (1 - t), x * 0 + 0.3], axis=-1)
+
+    out = mine.sample_loop(jax_model, jnp.asarray(noise.numpy().transpose(0, 2, 1)),
+                           jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), ref_out.transpose(0, 2, 1), atol=1e-4)
+
+
 def test_tortoise_vocoder_parity():
     """Reference tortoise UnivNetGenerator (vocoder.py:277, mindslab naming,
     per-block kpnet residuals, reflect pads, slope 0.2) → our flax UnivNet."""

@@ -116,3 +116,26 @@ def test_tortoise_wav_output():
                       max_mel_tokens=8, diffusion_iterations=2)
     assert "wav" in out and np.isfinite(out["wav"]).all()
     assert out["wav"].shape[0] == out["model_outputs"].shape[1] * 16
+
+
+def test_voice_bpe_tokenizer_roundtrip():
+    """VoiceBpeTokenizer over a minimal BPE vocab (ref layers/tortoise/
+    tokenizer.py:13: english cleaning + [SPACE] substitution)."""
+    import tempfile
+
+    from tpu_tts.layers.tortoise_tokenizer import VoiceBpeTokenizer
+
+    from tokenizers import Tokenizer
+    from tokenizers.models import BPE
+
+    vocab = {ch: i for i, ch in enumerate(
+        ["[STOP]", "[UNK]", "[SPACE]"] + list("abcdefghijklmnopqrstuvwxyz"))}
+    t = Tokenizer(BPE(vocab=vocab, merges=[], unk_token="[UNK]"))
+    t.add_special_tokens(["[SPACE]", "[STOP]", "[UNK]"])
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        path = f.name
+    t.save(path)
+    tok = VoiceBpeTokenizer(vocab_file=path)
+    ids = tok.encode("Hello there")
+    assert all(isinstance(i, int) for i in ids) and len(ids) > 5
+    assert tok.decode(ids) == "hello there"

@@ -254,8 +254,82 @@ class SpacedDiffusion:
         mean = self.posterior_mean_coef1[t] * pred_xstart + self.posterior_mean_coef2[t] * x
         return mean, model_log_variance, pred_xstart
 
+    # ------------------------------------------------------------- dpm++2m
+    def _dpm_pp_2m(self, model_fn, noise):
+        """DPM-Solver++(2M) over the continuous linear VP schedule, exactly
+        as the reference wires it (diffusion.py:451 `k_diffusion_sample_loop`:
+        NoiseScheduleVP('linear', 0.025, 5.0), classifier-free guidance with
+        UN-ramped k, model timesteps = t*1000, time-uniform from 1.0 → 1e-3,
+        multistep order 2 with lower-order final when steps < 10)."""
+        beta0, beta1 = 0.1 / 4, 20.0 / 4
+        steps = self.num_timesteps
+        s = self.cond_free_k
+
+        def log_alpha(t):
+            return -0.25 * t**2 * (beta1 - beta0) - 0.5 * t * beta0
+
+        def alpha(t):
+            return math.exp(log_alpha(t))
+
+        def sigma(t):
+            return math.sqrt(1.0 - math.exp(2.0 * log_alpha(t)))
+
+        def lam(t):
+            return log_alpha(t) - 0.5 * math.log(1.0 - math.exp(2.0 * log_alpha(t)))
+
+        C = noise.shape[-1]
+
+        def data_pred(x, t):
+            ts = jnp.full((x.shape[0],), t * 1000.0, dtype=jnp.float32)
+            eps_c = model_fn(x, ts, False)[..., :C]
+            if self.conditioning_free:
+                eps_u = model_fn(x, ts, True)[..., :C]
+                eps = eps_u + s * (eps_c - eps_u)
+            else:
+                eps = eps_c
+            return (x - sigma(t) * eps) / alpha(t)
+
+        timesteps = np.linspace(1.0, 1.0 / 1000.0, steps + 1)
+        x = noise
+        t_prev = [timesteps[0]]
+        m_prev = [data_pred(x, timesteps[0])]
+
+        def first_update(x, s_t, t, model_s):
+            h = lam(t) - lam(s_t)
+            return sigma(t) / sigma(s_t) * x - alpha(t) * math.expm1(-h) * model_s
+
+        def second_update(x, m_prev, t_prev, t):
+            m1, m0 = m_prev[-2], m_prev[-1]
+            t1, t0 = t_prev[-2], t_prev[-1]
+            h0 = lam(t0) - lam(t1)
+            h = lam(t) - lam(t0)
+            r0 = h0 / h
+            d1 = (1.0 / r0) * (m0 - m1)
+            phi = math.expm1(-h)
+            return sigma(t) / sigma(t0) * x - alpha(t) * phi * m0 - 0.5 * alpha(t) * phi * d1
+
+        # init step (order 1)
+        x = first_update(x, timesteps[0], timesteps[1], m_prev[-1])
+        t_prev.append(timesteps[1])
+        m_prev.append(data_pred(x, timesteps[1]))
+        for step in range(2, steps + 1):
+            t = timesteps[step]
+            step_order = min(2, steps + 1 - step) if steps < 10 else 2
+            if step_order == 1:
+                x = first_update(x, t_prev[-1], t, m_prev[-1])
+            else:
+                x = second_update(x, m_prev, t_prev, t)
+            t_prev = [t_prev[-1], t]
+            if step < steps:
+                m_prev = [m_prev[-1], data_pred(x, t)]
+        return x
+
     def sample_loop(self, model_fn, noise, rng):
         """noise `[B, T, C]` → sample, scanning t = T-1 … 0."""
+        if self.sampler == "dpm++2m":
+            if not self.conditioning_free:
+                raise RuntimeError("cond_free must be true")  # ref :537
+            return self._dpm_pp_2m(model_fn, noise)
         x = noise
         for t in range(self.num_timesteps - 1, -1, -1):
             rng, sub = jax.random.split(rng)

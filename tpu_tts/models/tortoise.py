@@ -89,6 +89,8 @@ class TortoiseArgs(Coqpit):
     output_sample_rate: int = 24000
     duration_const: int = 102400  # ref :268 (diffusion cond clip samples)
     enable_redaction: bool = False
+    # path to the released BPE vocab (ref utils/assets/tortoise/tokenizer.json)
+    tokenizer_vocab_file: Optional[str] = None
 
 
 class Tortoise(BaseTTSModel):
@@ -133,6 +135,10 @@ class Tortoise(BaseTTSModel):
         )
         self.rlg_auto = RandomLatentConverter(a.ar_model_dim)
         self.rlg_diffusion = RandomLatentConverter(a.diff_model_channels * 2)
+        if self.tokenizer is None and a.tokenizer_vocab_file:
+            from tpu_tts.layers.tortoise_tokenizer import VoiceBpeTokenizer
+
+            self.tokenizer = VoiceBpeTokenizer(vocab_file=a.tokenizer_vocab_file)
         self._aligner = None
         self.params: Optional[Dict] = None
         self._jit_cache: Dict = {}
@@ -551,3 +557,23 @@ class Tortoise(BaseTTSModel):
     @staticmethod
     def init_from_config(config, samples=None):
         return Tortoise(config)
+
+
+def classify_audio_clip(clip: np.ndarray, model_dir: str) -> float:
+    """Probability the clip was generated by Tortoise (ref tortoise.py:150:
+    AudioMiniEncoderWithClassifierHead over the raw waveform, classifier.pth)."""
+    from tpu_tts.layers.tortoise_classifier import AudioMiniEncoderWithClassifierHead
+    from tpu_tts.models.tortoise_convert import convert_classifier_state_dict
+    from tpu_tts.train.torch_convert import load_torch_checkpoint
+
+    model = AudioMiniEncoderWithClassifierHead(
+        classes=2, spec_dim=1, embedding_dim=512, depth=5, downsample_factor=4,
+        resnet_blocks=2, attn_blocks=4, num_attn_heads=4, base_channels=32,
+        kernel_size=5,
+    )
+    ckpt = load_torch_checkpoint(os.path.join(str(model_dir), "classifier.pth"))
+    sd = ckpt.get("torch_state_dict") or ckpt
+    params = {"params": convert_classifier_state_dict(sd)}
+    x = jnp.asarray(np.asarray(clip, dtype=np.float32).reshape(1, -1, 1))
+    logits = model.apply(params, x)
+    return float(jax.nn.softmax(logits, axis=-1)[0, 0])

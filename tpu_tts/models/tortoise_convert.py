@@ -226,6 +226,39 @@ def convert_tortoise_vocoder_state_dict(state_dict: Dict[str, Any]) -> Dict[str,
     return tree
 
 
+def convert_classifier_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """`classifier.pth` (classifier.py:132 AudioMiniEncoderWithClassifierHead)
+    → `tortoise_classifier` params."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out: Dict[str, Any] = {}
+    _set(out, "enc/init/conv/kernel", _conv1d(sd["enc.init.0.weight"]))
+    _set(out, "enc/init/conv/bias", sd["enc.init.0.bias"])
+    n_res = 1 + max(int(m.group(1)) for k in sd if (m := re.match(r"enc\.res\.(\d+)\.", k)))
+    for i in range(n_res):
+        if f"enc.res.{i}.op.weight" in sd:  # Downsample slot
+            _set(out, f"enc/res_{i}/conv/kernel", _conv1d(sd[f"enc.res.{i}.op.weight"]))
+            _set(out, f"enc/res_{i}/conv/bias", sd[f"enc.res.{i}.op.bias"])
+        else:
+            _set(out, f"enc/res_{i}/in_norm/scale", sd[f"enc.res.{i}.in_layers.0.weight"])
+            _set(out, f"enc/res_{i}/in_norm/bias", sd[f"enc.res.{i}.in_layers.0.bias"])
+            _set(out, f"enc/res_{i}/in_conv/conv/kernel", _conv1d(sd[f"enc.res.{i}.in_layers.2.weight"]))
+            _set(out, f"enc/res_{i}/in_conv/conv/bias", sd[f"enc.res.{i}.in_layers.2.bias"])
+            _set(out, f"enc/res_{i}/out_norm/scale", sd[f"enc.res.{i}.out_layers.0.weight"])
+            _set(out, f"enc/res_{i}/out_norm/bias", sd[f"enc.res.{i}.out_layers.0.bias"])
+            _set(out, f"enc/res_{i}/out_conv/conv/kernel", _conv1d(sd[f"enc.res.{i}.out_layers.3.weight"]))
+            _set(out, f"enc/res_{i}/out_conv/conv/bias", sd[f"enc.res.{i}.out_layers.3.bias"])
+    _set(out, "enc/final_norm/scale", sd["enc.final.0.weight"])
+    _set(out, "enc/final_norm/bias", sd["enc.final.0.bias"])
+    _set(out, "enc/final_conv/conv/kernel", _conv1d(sd["enc.final.2.weight"]))
+    _set(out, "enc/final_conv/conv/bias", sd["enc.final.2.bias"])
+    n_attn = 1 + max(int(m.group(1)) for k in sd if (m := re.match(r"enc\.attn\.(\d+)\.", k)))
+    for a in range(n_attn):
+        _map_attention_block(sd, out, f"enc.attn.{a}", f"enc/attn_{a}")
+    _set(out, "head/kernel", _dense(sd["head.weight"]))
+    _set(out, "head/bias", sd["head.bias"])
+    return out
+
+
 def convert_rlg_state_dict(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """random_latent_generator.py:39 `RandomLatentConverter` → param tree for
     `tortoise_rlg` (5 EqualLinear + 1 Linear)."""
