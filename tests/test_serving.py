@@ -50,3 +50,29 @@ def test_batched_synthesizer_2d_mesh_matches_1d():
     for w_ref, w_got in zip(ref, got):
         assert w_got.shape == w_ref.shape
         np.testing.assert_allclose(w_got, w_ref, atol=3e-5)
+
+
+def test_synthesizer_dispatches_model_synthesize():
+    """Self-contained pipelines (Bark/Tortoise) route through
+    model.synthesize with voice_dirs (ref synthesizer.py:385)."""
+    import jax
+
+    from tests.fixtures import tiny_bark_config
+    from tpu_tts.infer.synthesizer import Synthesizer
+    from tpu_tts.models import setup_model
+
+    cfg = tiny_bark_config()
+    model = setup_model(cfg)
+    model.init_params(jax.random.PRNGKey(0))
+
+    s = Synthesizer.__new__(Synthesizer)
+    s.tts_model = model
+    s.tts_config = cfg
+    s.vocoder_model = None
+    s.speaker_manager = None
+    s.language_manager = None
+    s.voice_dir = None
+    s.output_sample_rate = cfg.SAMPLE_RATE
+    wav = s.tts("hi", split_sentences=False)
+    assert len(wav) > 0
+    assert np.isfinite(np.asarray(wav, dtype=np.float32)).all()

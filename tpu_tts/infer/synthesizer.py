@@ -99,8 +99,13 @@ class Synthesizer:
 
         self.tts_config = load_config(os.path.join(model_dir, "config.json"))
         self.tts_model = setup_model(self.tts_config)
-        ckpts = [p for p in ("model.pth", "model_file.pth", "checkpoint.pth") if os.path.exists(os.path.join(model_dir, p))]
-        ckpt = os.path.join(model_dir, ckpts[0]) if ckpts else next(iter(sorted(_glob.glob(os.path.join(model_dir, "*.pth")))), model_dir)
+        if getattr(self.tts_config, "model", "") in ("bark", "tortoise"):
+            # multi-checkpoint releases ingest the whole directory
+            # (ref bark.py:242, tortoise.py:832)
+            ckpt = model_dir
+        else:
+            ckpts = [p for p in ("model.pth", "model_file.pth", "checkpoint.pth") if os.path.exists(os.path.join(model_dir, p))]
+            ckpt = os.path.join(model_dir, ckpts[0]) if ckpts else next(iter(sorted(_glob.glob(os.path.join(model_dir, "*.pth")))), model_dir)
         self.tts_model.load_checkpoint(self.tts_config, ckpt, eval=True)
         self.speaker_manager = getattr(self.tts_model, "speaker_manager", None)
         self.language_manager = getattr(self.tts_model, "language_manager", None)
@@ -227,7 +232,7 @@ class Synthesizer:
                     if scale_factor != 1.0:
                         vocoder_input = _interpolate_mel(vocoder_input, scale_factor)
                     waveform = self.vocoder_model.inference(vocoder_input.astype(np.float32))[0, :, 0]
-                if getattr(self.tts_config.audio, "do_trim_silence", False):
+                if getattr(self.tts_config.audio, "do_trim_silence", False) and self.tts_model.ap is not None:
                     waveform = trim_silence(waveform, self.tts_model.ap)
                 wavs += list(np.asarray(waveform, dtype=np.float32))
                 wavs += [0.0] * 10000  # inter-sentence silence (ref :441)

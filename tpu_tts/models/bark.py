@@ -590,7 +590,11 @@ class Bark(BaseTTSModel):
             try:
                 from transformers import BertTokenizer
 
-                tok = BertTokenizer.from_pretrained("bert-base-multilingual-cased")
+                # local_files_only: never stall on network lookups (the cache
+                # either has the vocab or the byte fallback kicks in)
+                tok = BertTokenizer.from_pretrained(
+                    "bert-base-multilingual-cased", local_files_only=True
+                )
                 ids = np.asarray(tok.encode(text, add_special_tokens=False), dtype=np.int64)
             except Exception:
                 ids = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
