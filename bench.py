@@ -63,8 +63,31 @@ def main():
     x = jnp.asarray(np.random.default_rng(0).integers(1, 160, (B, T_en)), dtype=jnp.int32)
     xl = jnp.full((B,), T_en, dtype=jnp.int32)
 
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "1"))
     use_pallas = os.environ.get("BENCH_DECODER", "xla") == "pallas"
-    if use_pallas:
+    if n_chunks > 1:
+        # sequential halo-overlap time chunking: caps decoder activation
+        # liveness at T/n_chunks so batches past the B=128 HBM knee fit
+        from tpu_tts.parallel.sharded_decoder import hifigan_apply_chunked
+
+        a = cfg.model_args
+
+        def _infer(p, xi, xli, rng):
+            out = model.net.apply(
+                {"params": p}, xi, xli, Y_MAX,
+                method=VitsNet.inference, decode=False,
+                rngs={"noise": rng, "sdp": jax.random.fold_in(rng, 1)},
+            )
+            return hifigan_apply_chunked(
+                p["waveform_decoder"], out["z_in"], n_chunks,
+                resblock_kernel_sizes=tuple(a.resblock_kernel_sizes_decoder),
+                resblock_dilation_sizes=tuple(tuple(d) for d in a.resblock_dilation_sizes_decoder),
+                upsample_factors=tuple(a.upsample_rates_decoder),
+                upsample_kernel_sizes=tuple(a.upsample_kernel_sizes_decoder),
+            )
+
+        fn = jax.jit(_infer)
+    elif use_pallas:
         # fused Pallas MRF decoder (tpu_tts/ops/hifigan_pallas.py): the
         # waveform decoder is ~100% of inference time and bandwidth-bound in
         # the XLA path; the fused kernel keeps each stage VMEM-resident

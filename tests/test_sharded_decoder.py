@@ -79,3 +79,49 @@ def test_sharded_with_speaker_conditioning():
         upsample_factors=(4, 4), upsample_kernel_sizes=(8, 8),
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("n_chunks", [1, 2, 4])
+def test_chunked_matches_unchunked(n_chunks):
+    from tpu_tts.parallel.sharded_decoder import hifigan_apply_chunked
+
+    gen, params = _gen_and_params()
+    kw = dict(
+        resblock_kernel_sizes=(3, 7),
+        resblock_dilation_sizes=((1, 3), (1, 3, 5)),
+        upsample_factors=(4, 4),
+        upsample_kernel_sizes=(8, 8),
+    )
+    T = 4 * 48
+    z = jnp.asarray(np.random.default_rng(0).standard_normal((2, T, 16)) * 0.5, jnp.float32)
+    ref = gen.apply({"params": params}, z)
+    got = jax.jit(lambda p, zz: hifigan_apply_chunked(p, zz, n_chunks, **kw))(params, z)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_chunked_with_speaker_conditioning():
+    from tpu_tts.parallel.sharded_decoder import hifigan_apply_chunked
+
+    gen = HifiganGenerator(
+        in_channels=16,
+        out_channels=1,
+        resblock_type="1",
+        resblock_dilation_sizes=[[1, 3], [1, 3, 5]],
+        resblock_kernel_sizes=[3, 7],
+        upsample_kernel_sizes=[8, 8],
+        upsample_initial_channel=32,
+        upsample_factors=[4, 4],
+        cond_channels=8,
+    )
+    z0 = jnp.zeros((1, 8, 16), jnp.float32)
+    g = jnp.asarray(np.random.default_rng(1).standard_normal((2, 1, 8)) * 0.3, jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), z0, g=g[:1])["params"]
+    z = jnp.asarray(np.random.default_rng(0).standard_normal((2, 192, 16)) * 0.5, jnp.float32)
+    ref = gen.apply({"params": params}, z, g=g)
+    got = hifigan_apply_chunked(
+        params, z, 4, g=g,
+        resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3), (1, 3, 5)),
+        upsample_factors=(4, 4), upsample_kernel_sizes=(8, 8),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

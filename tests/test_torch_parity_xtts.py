@@ -86,21 +86,23 @@ def test_gpt_block_logits_parity(pair):
 
 
 def test_hifi_decoder_parity(pair):
+    """Full HifiDecoder.forward parity — includes the x4 latent-rate linear
+    interpolation and the 22050→24000 feature resample (hifigan_decoder.py:
+    688-699) ahead of the waveform decoder."""
     import torch
 
     ref_model, mine, params = pair
     rng = np.random.default_rng(2)
-    lat = rng.standard_normal((1, 64, 12)).astype(np.float32) * 0.3
+    lat = rng.standard_normal((1, 12, 64)).astype(np.float32) * 0.3  # [B, T, C]
     g = rng.standard_normal((1, 32, 1)).astype(np.float32)
     with torch.no_grad():
-        ref_wav = ref_model.hifigan_decoder.waveform_decoder(
+        ref_wav = ref_model.hifigan_decoder(
             torch.from_numpy(lat), g=torch.from_numpy(g)
-        ).numpy()
+        ).numpy()  # ref takes latents [B, T, C] and transposes internally
     from tpu_tts.models.xtts import XttsNet
 
     my_wav = mine.net.apply(
-        {"params": params}, jnp.asarray(np.transpose(lat, (0, 2, 1))),
-        jnp.asarray(g[:, :, 0]),
+        {"params": params}, jnp.asarray(lat), jnp.asarray(g[:, :, 0]),
         method=XttsNet.decode_latents,
     )
     my_wav = np.transpose(np.asarray(my_wav), (0, 2, 1))

@@ -99,3 +99,56 @@ def test_capacitron_optimizer_recipe_config_builds():
     updates, _ = tx.update(grads, state, params)
     flat = jax.tree_util.tree_leaves(updates)
     assert all(jnp.isfinite(u).all() for u in flat)
+
+
+# --------------------------------------------------------- balancer weights
+def _balancer_items(n=50, seed=0):
+    rng = np.random.RandomState(seed)
+    speakers = ["spk_a", "spk_b", "spk_c"]
+    langs = ["en", "fr"]
+    return [
+        {
+            "speaker_name": speakers[rng.randint(0, 3) if i % 7 else 0],
+            "language": langs[rng.randint(0, 2)],
+            "audio_length": float(rng.uniform(1.0, 12.0)),
+            "text": "x" * rng.randint(5, 40),
+        }
+        for i in range(n)
+    ]
+
+
+def test_balancer_weights_parity_with_reference():
+    """Weights must match ref speakers.py:213 / languages.py:115 / data.py:58."""
+    import pytest
+
+    from tests.ref_torch_loader import load_reference, ref_import
+    from tpu_tts.managers import (
+        get_language_balancer_weights,
+        get_length_balancer_weights,
+        get_speaker_balancer_weights,
+    )
+
+    if load_reference() is None:
+        pytest.skip("reference import failed")
+    ref_spk = ref_import("TTS.tts.utils.speakers").get_speaker_balancer_weights
+    ref_lang = ref_import("TTS.tts.utils.languages").get_language_balancer_weights
+    ref_len = ref_import("TTS.tts.utils.data").get_length_balancer_weights
+
+    items = _balancer_items()
+    np.testing.assert_allclose(
+        get_speaker_balancer_weights(items), ref_spk(items).numpy(), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        get_language_balancer_weights(items), ref_lang(items).numpy(), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        get_length_balancer_weights(items), ref_len(items).numpy(), rtol=1e-6
+    )
+
+
+def test_balancer_weights_favor_rare_classes():
+    from tpu_tts.managers import get_speaker_balancer_weights
+
+    items = [{"speaker_name": "common"}] * 9 + [{"speaker_name": "rare"}]
+    w = get_speaker_balancer_weights(items)
+    assert w[-1] > w[0] * 5  # rare speaker upweighted ~9x

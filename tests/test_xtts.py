@@ -72,6 +72,40 @@ def test_xtts_streaming(xtts_model):
     assert len(chunks) >= 1
     total = np.concatenate(chunks)
     assert np.isfinite(total).all()
-    hop = 16
-    # total streamed samples ≈ valid tokens * hop
-    assert len(total) % hop == 0
+    # emission follows the interpolated sample-per-token rate (decode_latents
+    # mirrors HifiDecoder.forward): each chunk emits _n_samples(nv) samples
+    spf = xtts_model._n_samples(1)
+    assert spf <= len(total) <= xtts_model._n_samples(24) + len(chunks)
+
+
+def test_xtts_streaming_matches_full_scan(xtts_model):
+    """The chunked stream_prefill/stream_chunk path must reproduce the
+    one-scan `generate_latents` codes/latents bit for bit (same key
+    threading), so streaming changes nothing but latency."""
+    from tpu_tts.models.xtts import XttsNet
+
+    wav = np.random.default_rng(2).standard_normal(11025).astype(np.float32) * 0.3
+    cond, _ = xtts_model.get_conditioning_latents(wav)
+    text = jnp.asarray(np.arange(1, 7, dtype=np.int32))[None]
+    p, net = xtts_model.params, xtts_model.net
+    seed, T, CK = jax.random.PRNGKey(7), 24, 8
+
+    codes_f, lats_f, valid_f = net.apply(
+        {"params": p}, cond, text, seed, T, 0.75, 5, method=XttsNet.generate_latents
+    )
+
+    cache, plen, code = net.apply({"params": p}, cond, text, method=XttsNet.stream_prefill)
+    stopped = jnp.zeros((1,), dtype=bool)
+    rng = seed
+    codes_c, lats_c = [], []
+    for i0 in range(0, T, CK):
+        (cache, code, stopped, rng), (cds, lts, _) = net.apply(
+            {"params": p}, cache, plen, code, stopped, rng, jnp.int32(i0), CK, 0.75, 5,
+            method=XttsNet.stream_chunk,
+        )
+        codes_c.append(np.asarray(cds))
+        lats_c.append(np.asarray(lts))
+    np.testing.assert_array_equal(np.concatenate(codes_c, axis=1), np.asarray(codes_f))
+    np.testing.assert_allclose(
+        np.concatenate(lats_c, axis=1), np.asarray(lats_f), atol=1e-5
+    )

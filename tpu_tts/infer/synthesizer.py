@@ -208,7 +208,9 @@ class Synthesizer:
                     outputs = self.tts_model.synthesize(
                         text=sen, config=self.tts_config,
                         speaker_id=speaker_name or "random",
-                        voice_dirs=self.voice_dir, **kwargs,
+                        voice_dirs=self.voice_dir,
+                        speaker_wav=speaker_wav,
+                        language=language_name or "en", **kwargs,
                     )
                 else:
                     outputs = synthesis(

@@ -121,10 +121,13 @@ class UnifiedVoice(nn.Module):
         return self.text_head(text_latents), self.mel_head(mel_latents)
 
     # ----------------------------------------------------------- incremental
-    def init_cache(self, B: int, T_max: int) -> Cache:
+    def init_cache(self, B: int, T_max: int, dtype=jnp.float32) -> Cache:
+        """KV-cache pytree; pass the parameter dtype when serving bf16-cast
+        weights so the cache reads (bandwidth-bound) stay bf16. (Called on the
+        unbound module, so the dtype can't be inferred from params here.)"""
         H, D = self.heads, self.model_dim // self.heads
         return [
-            (jnp.zeros((B, T_max, H, D)), jnp.zeros((B, T_max, H, D)))
+            (jnp.zeros((B, T_max, H, D), dtype), jnp.zeros((B, T_max, H, D), dtype))
             for _ in range(self.layers)
         ]
 

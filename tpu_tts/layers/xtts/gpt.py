@@ -126,10 +126,16 @@ class XttsGPT(nn.Module):
         }
 
     # ----------------------------------------------------------- incremental
-    def init_cache(self, B: int, T_max: int):
+    def init_cache(self, B: int, T_max: int, dtype=None):
+        """KV-cache pytree. `dtype` follows the parameter dtype by default so
+        bf16-cast weights keep the cache (the bandwidth-bound read in every
+        decode step) in bf16 too."""
+        if dtype is None:
+            dtype = self.text_embedding.embedding.dtype
         H, D = self.n_head, self.n_embd // self.n_head
         return [
-            (jnp.zeros((B, T_max, H, D)), jnp.zeros((B, T_max, H, D))) for _ in range(self.n_layer)
+            (jnp.zeros((B, T_max, H, D), dtype), jnp.zeros((B, T_max, H, D), dtype))
+            for _ in range(self.n_layer)
         ]
 
     def prefill(self, cond_latents, text_tokens, cache):

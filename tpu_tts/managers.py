@@ -265,19 +265,34 @@ class LanguageManager(BaseIDManager):
         return None
 
 
+def _class_balancer_weights(names: np.ndarray) -> np.ndarray:
+    """Inverse-frequency per-class sample weights, L2-normalized
+    (ref TTS/tts/utils/speakers.py:213-222, languages.py:115-125)."""
+    unique, counts = np.unique(names, return_counts=True)
+    per_class = 1.0 / counts
+    w = np.array([per_class[np.where(unique == n)[0][0]] for n in names], dtype=np.float64)
+    return w / np.linalg.norm(w)
+
+
 def get_speaker_balancer_weights(items: list) -> np.ndarray:
-    speaker_names = np.array([item["speaker_name"] for item in items])
-    unique, counts = np.unique(speaker_names, return_counts=True)
-    weight = 1.0 / len(items)
-    dataset_samples_weight = np.array([weight * counts[np.where(unique == n)[0][0]] for n in speaker_names])
-    dataset_samples_weight = dataset_samples_weight / np.linalg.norm(dataset_samples_weight)
-    return dataset_samples_weight * (1.0 / dataset_samples_weight.min())
+    return _class_balancer_weights(np.array([item["speaker_name"] for item in items]))
 
 
 def get_language_balancer_weights(items: list) -> np.ndarray:
-    language_names = np.array([item["language"] for item in items])
-    unique, counts = np.unique(language_names, return_counts=True)
-    weight = 1.0 / len(items)
-    dataset_samples_weight = np.array([weight * counts[np.where(unique == n)[0][0]] for n in language_names])
-    dataset_samples_weight = dataset_samples_weight / np.linalg.norm(dataset_samples_weight)
-    return dataset_samples_weight * (1.0 / dataset_samples_weight.min())
+    return _class_balancer_weights(np.array([item["language"] for item in items]))
+
+
+def get_length_balancer_weights(items: list, num_buckets: int = 10) -> np.ndarray:
+    """Audio-duration bucket balancing (ref TTS/tts/utils/data.py:58-78):
+    bucket durations into `num_buckets` equal-width classes, weight each
+    sample by the inverse population of its bucket, L2-normalize."""
+    import bisect
+
+    lengths = np.array(
+        [item.get("audio_length") or len(item.get("text", "")) for item in items], dtype=np.float64
+    )
+    max_length, min_length = int(lengths.max()), int(lengths.min())
+    step = int((max_length - min_length) / num_buckets) + 1
+    buckets_classes = [i + step for i in range(min_length, (max_length - step) + num_buckets + 1, step)]
+    bucket_names = np.array([buckets_classes[bisect.bisect_left(buckets_classes, l)] for l in lengths])
+    return _class_balancer_weights(bucket_names)

@@ -273,7 +273,9 @@ class Bark(BaseTTSModel):
                 B = prompt.shape[0]
                 prompt_emb_len = prompt.shape[1] - W  # merged contexts share rows
                 T_max = prompt_emb_len + n_steps
-                cache = model.init_cache(B, T_max)
+                cache = model.init_cache(
+                    B, T_max, dtype=jax.tree_util.tree_leaves(params)[0].dtype
+                )
                 bind = model.bind({"params": params})
                 cache, hidden = bind.prefill(prompt, cache, merge_context=True)
                 logits0 = bind.logits_at(hidden[:, -1])
@@ -381,7 +383,9 @@ class Bark(BaseTTSModel):
             def run(params, prompt, true_len, first_parity, rng, temp, top_k, top_p):
                 B = prompt.shape[0]
                 T_max = P_max + sliding_window_len
-                cache = model.init_cache(B, T_max)
+                cache = model.init_cache(
+                    B, T_max, dtype=jax.tree_util.tree_leaves(params)[0].dtype
+                )
                 bind = model.bind({"params": params})
                 rows = jnp.arange(T_max)[None]
                 key_valid = rows < true_len
@@ -604,6 +608,9 @@ class Bark(BaseTTSModel):
         """Reference `Bark.synthesize` surface (ref bark.py:197): resolve the
         voice (cloning + caching on first use), run the cascade."""
         from tpu_tts.layers.bark_voice_clone import load_voice
+
+        kwargs.pop("speaker_wav", None)
+        kwargs.pop("language", None)
 
         speaker_id = "random" if speaker_id is None else speaker_id
         if voice_dirs is None:

@@ -186,7 +186,11 @@ class BaseTTSModel:
         (ref base_tts.get_sampler weighted-sampler stack)."""
         import numpy as np
 
-        from tpu_tts.managers import get_language_balancer_weights, get_speaker_balancer_weights
+        from tpu_tts.managers import (
+            get_language_balancer_weights,
+            get_length_balancer_weights,
+            get_speaker_balancer_weights,
+        )
 
         weights = None
         if getattr(config, "use_speaker_weighted_sampler", False):
@@ -196,8 +200,8 @@ class BaseTTSModel:
             w = get_language_balancer_weights(samples) * config.language_weighted_sampler_alpha
             weights = w if weights is None else weights + w
         if getattr(config, "use_length_weighted_sampler", False):
-            lens = np.array([len(s["text"]) for s in samples], dtype=np.float64)
-            w = (lens / lens.sum()) * config.length_weighted_sampler_alpha
+            alpha = getattr(config, "length_weighted_sampler_alpha", 1.0)
+            w = get_length_balancer_weights(samples) * alpha
             weights = w if weights is None else weights + w
         return weights
 

@@ -266,7 +266,9 @@ class Tortoise(BaseTTSModel):
                 cond = jnp.repeat(cond, num_samples, axis=0)
                 B = num_samples
                 T_max = (T_text + 3) + 1 + max_mel_tokens
-                cache = model.init_cache(B, T_max)
+                cache = model.init_cache(
+                    B, T_max, dtype=jax.tree_util.tree_leaves(params)[0].dtype
+                )
                 cache, P, logits0 = model.apply(
                     {"params": params}, cond, tt, cache, method=UnifiedVoice.prefill
                 )
@@ -471,6 +473,9 @@ class Tortoise(BaseTTSModel):
                    voice_dirs=None, **kwargs):
         """ref tortoise.py:500: resolve the voice then run inference."""
         from tpu_tts.layers.tortoise_voices import load_voice
+
+        kwargs.pop("speaker_wav", None)
+        kwargs.pop("language", None)
 
         tokens = self._text_to_tokens(text)
         voice_samples, conditioning_latents = None, None

@@ -6,11 +6,13 @@ crossfaded chunks `handle_chunks`:585). Key design changes:
 - the whole autoregressive decode is ONE `lax.scan` over a static-shape
   KV-cache with on-device top-k sampling (the reference loops per token in
   Python through HF `generate`);
-- streaming decodes each latent chunk with a small fixed latent context and
-  cross-fades, instead of re-decoding the full history every chunk (the
-  reference's O(T²) cost, SURVEY.md §3.3).
+- streaming is incremental: one prefill program + a fixed-size decode program
+  with the KV cache carried on-device between calls; each chunk is vocoded
+  with a small left latent context and cropped, instead of re-decoding the
+  full history every chunk (the reference's O(T²) cost, SURVEY.md §3.3).
 """
 
+import math
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional
 
@@ -46,8 +48,23 @@ class XttsArgs(Coqpit):
     output_sample_rate: int = 24000
     input_sample_rate: int = 22050
     output_hop_length: int = 256
+    gpt_code_stride: int = 1024  # ar_mel_length_compression (hifigan_decoder.py:621)
     decoder_upsample_rates: tuple = (8, 8, 2, 2)
     kv_cache_len: int = 1100
+
+
+def _torch_linear_interp(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """torch `F.interpolate(mode="linear", align_corners=False,
+    scale_factor=scale)` on the time axis of `[B, T, C]`: out length
+    floor(T·scale), half-pixel source coordinates computed from the GIVEN
+    scale (recompute_scale_factor=False semantics)."""
+    T = x.shape[1]
+    out_len = int(math.floor(T * scale))
+    pos = jnp.clip((jnp.arange(out_len) + 0.5) / scale - 0.5, 0.0, T - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, T - 1)
+    w = (pos - lo).astype(x.dtype)[None, :, None]
+    return x[:, lo] * (1 - w) + x[:, hi] * w
 
 
 class XttsNet(nn.Module):
@@ -163,8 +180,71 @@ class XttsNet(nn.Module):
             jnp.swapaxes(valid, 0, 1),
         )
 
+    def stream_prefill(self, cond_latents, text_tokens):
+        """Prefill-only program for incremental streaming: build the KV cache
+        over the prompt and return the initial decode carry."""
+        a = self.a
+        B = text_tokens.shape[0]
+        cache = self.gpt.init_cache(B, a["kv_cache_len"])
+        cache, prompt_len, _ = self.gpt.prefill(cond_latents, text_tokens, cache)
+        start = jnp.full((B,), a["gpt_start_audio_token"], dtype=jnp.int32)
+        return cache, prompt_len, start
+
+    def stream_chunk(
+        self,
+        cache,
+        prompt_len,
+        code,
+        stopped,
+        rng,
+        i0,
+        chunk_len: int,
+        temperature: float = 0.75,
+        top_k: int = 50,
+    ):
+        """`chunk_len` sampled decode steps starting at absolute step `i0`
+        (traced scalar — one compile serves every chunk). Same per-step math
+        and key-threading as `generate_latents`, so a chunked run reproduces
+        the one-scan run bit for bit."""
+        a = self.a
+
+        def step(carry, i):
+            cache, code, stopped, key = carry
+            key, sub = jax.random.split(key)
+            logits, latent, cache = self.gpt.decode_step(code, i, cache, prompt_len + i)
+            logits = logits / temperature
+            if top_k:
+                kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+                logits = jnp.where(logits < kth, -1e9, logits)
+            nxt = jax.random.categorical(sub, logits).astype(jnp.int32)
+            new_stopped = stopped | (nxt == a["gpt_stop_audio_token"])
+            valid = ~stopped
+            return (cache, nxt, new_stopped, key), (nxt, latent, valid)
+
+        (cache, code, stopped, rng), (codes, latents, valid) = jax.lax.scan(
+            step, (cache, code, stopped, rng), i0 + jnp.arange(chunk_len)
+        )
+        return (cache, code, stopped, rng), (
+            jnp.swapaxes(codes, 0, 1),
+            jnp.swapaxes(latents, 0, 1),
+            jnp.swapaxes(valid, 0, 1),
+        )
+
     def decode_latents(self, latents, spk_embedding):
-        """GPT latents `[B, T, C]` → waveform via the HiFi-GAN decoder."""
+        """GPT latents `[B, T, C]` → waveform via the HiFi-GAN decoder.
+        Mirrors HifiDecoder.forward (ref hifigan_decoder.py:674-699): the
+        latent track is linearly interpolated ×(ar_mel_length_compression /
+        output_hop_length) to the vocoder frame rate, then ×(output_sr /
+        input_sr) for the sample-rate change, then decoded — one GPT token is
+        1024·(24000/22050) output samples, not one hop."""
+        a = self.a
+        latents = _torch_linear_interp(
+            latents, a["gpt_code_stride"] / a["output_hop_length"]
+        )
+        if a["output_sample_rate"] != a["input_sample_rate"]:
+            latents = _torch_linear_interp(
+                latents, a["output_sample_rate"] / a["input_sample_rate"]
+            )
         return self.hifigan_decoder(latents, g=spk_embedding[:, None, :])
 
     def init_all(self, mel_cond, text_tokens, audio_codes):
@@ -187,6 +267,76 @@ class Xtts(BaseTTSModel):
             getattr(config, "model_dir", None) and f"{config.model_dir}/vocab.json"
         )
         self._jit = {}
+        self._speakers = None  # lazy speakers_xtts.pth (name → cloning latents)
+
+    # ----------------------------------------------------- bundled speakers
+    def _bundled_speakers(self) -> Dict:
+        """Released XTTS-v2 packs `speakers_xtts.pth`: speaker name →
+        precomputed {gpt_cond_latent, speaker_embedding} (ref xtts.py
+        SpeakerManager-style lookup in synthesize:382)."""
+        if self._speakers is None:
+            self._speakers = {}
+            model_dir = getattr(self.config, "model_dir", None)
+            if model_dir:
+                import os
+
+                path = os.path.join(str(model_dir), "speakers_xtts.pth")
+                if os.path.exists(path):
+                    import torch
+
+                    data = torch.load(path, map_location="cpu", weights_only=False)
+                    for name, d in data.items():
+                        self._speakers[name] = {
+                            k: np.asarray(v.detach() if hasattr(v, "detach") else v)
+                            for k, v in d.items()
+                        }
+        return self._speakers
+
+    def synthesize(
+        self,
+        text: str,
+        config=None,
+        speaker_wav=None,
+        language: str = "en",
+        speaker_id: str = None,
+        voice_dirs=None,
+        **kwargs,
+    ) -> Dict:
+        """Self-contained pipeline entry the Synthesizer dispatches to
+        (ref xtts.py:382 synthesize → full_inference): resolve cloning
+        latents from `speaker_id` (bundled speakers_xtts.pth) or
+        `speaker_wav` (file path(s) / array), then run `inference`."""
+        cfg = config or self.config
+        if speaker_id and speaker_id != "random" and speaker_id in self._bundled_speakers():
+            d = self._bundled_speakers()[speaker_id]
+            cond = jnp.asarray(d["gpt_cond_latent"], jnp.float32)
+            spk = jnp.asarray(d["speaker_embedding"], jnp.float32)
+            if cond.ndim == 2:
+                cond = cond[None]
+            spk = spk.reshape(1, -1)
+        elif speaker_wav is not None:
+            from tpu_tts.audio.numpy_transforms import load_wav
+
+            files = speaker_wav if isinstance(speaker_wav, (list, tuple)) else [speaker_wav]
+            sr = self.args.input_sample_rate
+            arrs = [
+                w if isinstance(w, np.ndarray) else load_wav(filename=w, sample_rate=sr, resample=True)
+                for w in files
+            ]
+            cond, spk = self.get_conditioning_latents(np.concatenate(arrs), sr=sr)
+        else:
+            raise ValueError(
+                " [!] XTTS needs `speaker_wav` (cloning audio) or a bundled `speaker_id`."
+            )
+        return self.inference(
+            text=text,
+            language=language,
+            gpt_cond_latent=cond,
+            speaker_embedding=spk,
+            temperature=kwargs.pop("temperature", getattr(cfg, "temperature", 0.75)),
+            top_k=kwargs.pop("top_k", getattr(cfg, "top_k", 50)) or 50,
+            **kwargs,
+        )
 
     def init_params(self, rng):
         a = self.args
@@ -304,8 +454,22 @@ class Xtts(BaseTTSModel):
             )
         wav = self._jit[dec_key](self.params, latents, speaker_embedding)
         n_valid = int(np.asarray(valid.sum(axis=1))[0])
-        hop = int(np.prod(self.args.decoder_upsample_rates))
-        return {"wav": np.asarray(wav)[0, : n_valid * hop, 0], "gpt_codes": np.asarray(codes)}
+        return {
+            "wav": np.asarray(wav)[0, : self._n_samples(n_valid), 0],
+            "gpt_codes": np.asarray(codes),
+        }
+
+    def _n_samples(self, n_tokens: int) -> int:
+        """Output samples per GPT token through decode_latents: interpolation
+        x(gpt_code_stride/output_hop_length) x (output_sr/input_sr), then the
+        decoder's upsampling — 1024 x 24000/22050 ~ 1114.56 for XTTS-v2."""
+        a = self.args
+        spf = (
+            a.gpt_code_stride / a.output_hop_length
+            * (a.output_sample_rate / a.input_sample_rate)
+            * int(np.prod(a.decoder_upsample_rates))
+        )
+        return int(n_tokens * spf)
 
     def inference_stream(
         self,
@@ -314,6 +478,7 @@ class Xtts(BaseTTSModel):
         gpt_cond_latent=None,
         speaker_embedding=None,
         stream_chunk_size: int = 20,
+        first_chunk_size: int = 8,
         overlap_latents: int = 4,
         max_new_tokens: int = 256,
         temperature: float = 0.75,
@@ -321,39 +486,80 @@ class Xtts(BaseTTSModel):
         seed: int = 0,
         **kwargs,
     ) -> Iterator[np.ndarray]:
-        """Chunked streaming: decode `stream_chunk_size` latents at a time
-        with `overlap_latents` context, crossfade the overlap
-        (ref inference_stream xtts.py:611 + handle_chunks:585)."""
+        """Incremental streaming (ref inference_stream xtts.py:611 +
+        handle_chunks:585): ONE prefill program builds the KV cache, then a
+        `stream_chunk_size`-step decode program runs per chunk with the cache
+        carried on-device between calls, yielding audio after EVERY chunk —
+        first-chunk latency is prefill + one chunk, not the full generation.
+        The first chunk is smaller (`first_chunk_size`) so first audio lands
+        in ~prefill + first_chunk steps while still covering the compute time
+        of the next full chunk. The per-step sampling math (and the key
+        threading) matches `generate_latents` bit for bit.
+        Each emitted chunk is decoded with `overlap_latents` of left latent
+        context so the conv decoder's receptive field sees history."""
         ids = self.bpe.encode(text, language)
         text_tokens = jnp.asarray(ids, dtype=jnp.int32)[None]
-        key = ("gen", text_tokens.shape, max_new_tokens, temperature, top_k)
-        if key not in self._jit:
-            self._jit[key] = jax.jit(
-                lambda p, c, t, r: self.net.apply(
-                    {"params": p}, c, t, r, max_new_tokens, temperature, top_k,
-                    method=XttsNet.generate_latents,
-                )
+        pf_key = ("stream_prefill", text_tokens.shape)
+        if pf_key not in self._jit:
+            self._jit[pf_key] = jax.jit(
+                lambda p, c, t: self.net.apply({"params": p}, c, t, method=XttsNet.stream_prefill)
             )
-        codes, latents, valid = self._jit[key](
-            self.params, gpt_cond_latent, text_tokens, jax.random.PRNGKey(seed)
-        )
-        n_valid = int(np.asarray(valid.sum(axis=1))[0])
-        hop = int(np.prod(self.args.decoder_upsample_rates))
+        def chunk_fn(n_steps):
+            key = ("stream_chunk", n_steps, temperature, top_k)
+            if key not in self._jit:
+                self._jit[key] = jax.jit(
+                    lambda p, cache, pl, code, stop, r, i0: self.net.apply(
+                        {"params": p}, cache, pl, code, stop, r, i0,
+                        n_steps, temperature, top_k,
+                        method=XttsNet.stream_chunk,
+                    )
+                )
+            return self._jit[key]
         dec = self._jit.setdefault(
             "dec_stream",
             jax.jit(lambda p, l, s: self.net.apply({"params": p}, l, s, method=XttsNet.decode_latents)),
         )
-        pos = 0
-        while pos < n_valid:
-            # decode with `overlap_latents` of left context so the conv
-            # decoder's receptive field sees history; emit only [pos, end)
-            start = max(0, pos - overlap_latents)
-            end = min(pos + stream_chunk_size, n_valid)
-            chunk_lat = latents[:, start:end]
-            wav = np.asarray(dec(self.params, chunk_lat, speaker_embedding))[0, :, 0]
-            lead = (pos - start) * hop
-            yield wav[lead:]
-            pos = end
+
+        cache, prompt_len, code = self._jit[pf_key](self.params, gpt_cond_latent, text_tokens)
+        stopped = jnp.zeros((text_tokens.shape[0],), dtype=bool)
+        rng = jax.random.PRNGKey(seed)
+        # ALL glue happens on host numpy at fixed shapes: anything else (a
+        # growing `jnp.concatenate`, a tail `jnp.pad`) hits a new shape per
+        # chunk and pays a device-program compile mid-stream
+        latent_hist = None  # host [B, n_valid, C] for overlap context
+        i0 = 0
+        while i0 < max_new_tokens:
+            size = min(first_chunk_size if i0 == 0 else stream_chunk_size, max_new_tokens)
+            n_steps = min(size, max_new_tokens - i0)
+            (cache, code, stopped, rng), (codes, lats, valid) = chunk_fn(size)(
+                self.params, cache, prompt_len, code, stopped, rng, jnp.int32(i0)
+            )
+            lats_np = np.asarray(lats, dtype=np.float32)
+            nv = int(np.asarray(valid)[0, :n_steps].sum())
+            if nv > 0:
+                # fixed decode shape: zero-pad a truncated tail chunk and crop
+                # the emitted samples, so the decoder compiles a fixed set of
+                # programs (first chunk / steady) regardless of where the
+                # generation stops
+                new_lat = lats_np[:, :nv]
+                if nv < size:
+                    pad = np.zeros(
+                        (new_lat.shape[0], size - nv, new_lat.shape[2]), new_lat.dtype
+                    )
+                    new_lat = np.concatenate([new_lat, pad], axis=1)
+                if latent_hist is None:
+                    chunk_lat, lead = new_lat, 0
+                else:
+                    ctx = latent_hist[:, -overlap_latents:] if overlap_latents else latent_hist[:, :0]
+                    chunk_lat, lead = np.concatenate([ctx, new_lat], axis=1), self._n_samples(ctx.shape[1])
+                wav = np.asarray(dec(self.params, jnp.asarray(chunk_lat), speaker_embedding))[0, :, 0]
+                yield wav[lead : lead + self._n_samples(nv)]
+                latent_hist = new_lat[:, :nv] if latent_hist is None else np.concatenate(
+                    [latent_hist, new_lat[:, :nv]], axis=1
+                )
+            if bool(np.asarray(stopped.all())) or nv < n_steps:
+                break
+            i0 += size
 
     @staticmethod
     def init_from_config(config, samples=None):

@@ -120,3 +120,60 @@ def hifigan_apply_sharded(
         in_specs=(P(), P(batch_axis, axis, None), g_spec),
         out_specs=P(batch_axis, axis, None),
     )(gen_params, z, g_in)
+
+
+def hifigan_apply_chunked(
+    gen_params,
+    z: jnp.ndarray,
+    n_chunks: int,
+    g: jnp.ndarray = None,
+    *,
+    resblock_kernel_sizes=(3, 7, 11),
+    resblock_dilation_sizes=((1, 3, 5),) * 3,
+    upsample_factors=(8, 8, 2, 2),
+    upsample_kernel_sizes=(16, 16, 4, 4),
+    apply_fn=None,
+) -> jnp.ndarray:
+    """Single-device counterpart of `hifigan_apply_sharded`: decode `z`
+    `[B, T, C]` in `n_chunks` sequential halo-overlapped time chunks via
+    `lax.map`, so the decoder's activation liveness is ~T/n_chunks instead of
+    T. Same window/crop geometry as the sharded path (edge chunks shift the
+    receptive-field window inward so the generator's own SAME padding handles
+    the true sequence edges); redundant compute is 2·halo/(T/n) per interior
+    chunk. Trades peak HBM for a small FLOP overhead — the lever that lifts
+    the single-chip batch ceiling (B=256 VITS decode OOMs unchunked)."""
+    if apply_fn is None:
+        from tpu_tts.ops.hifigan_pallas import hifigan_apply_pallas
+
+        apply_fn = partial(
+            hifigan_apply_pallas,
+            resblock_kernel_sizes=resblock_kernel_sizes,
+            resblock_dilation_sizes=resblock_dilation_sizes,
+            upsample_factors=upsample_factors,
+            max_pallas_channels=0,
+        )
+    B, T, C = z.shape
+    n = int(n_chunks)
+    if n <= 1:
+        return apply_fn(gen_params, z, g)
+    assert T % n == 0, f"T={T} must divide n_chunks={n}"
+    L = T // n
+    hop = int(np.prod(upsample_factors))
+    halo = decoder_input_halo(
+        upsample_factors, upsample_kernel_sizes, resblock_kernel_sizes, resblock_dilation_sizes
+    )
+    assert L >= 2 * halo, f"chunk length {L} < 2x receptive-field halo ({2 * halo}): use fewer chunks"
+
+    # static window starts (shifted inward at the edges) + per-chunk crop start
+    win_len = L + 2 * halo
+    starts = [min(max(i * L - halo, 0), T - win_len) for i in range(n)]
+    crops = np.array([(i * L - s) * hop for i, s in enumerate(starts)], dtype=np.int32)
+    windows = jnp.stack([jax.lax.dynamic_slice_in_dim(z, s, win_len, axis=1) for s in starts])
+
+    def one(args):
+        win, crop = args
+        wav = apply_fn(gen_params, win, g)
+        return jax.lax.dynamic_slice_in_dim(wav, crop, L * hop, axis=1)
+
+    wavs = jax.lax.map(one, (windows, jnp.asarray(crops)))  # [n, B, L*hop, 1]
+    return jnp.transpose(wavs, (1, 0, 2, 3)).reshape(B, T * hop, 1)

@@ -6,9 +6,10 @@ WavLM, wavlm/wavlm.py:719) feeds a WN bottleneck encoder; a residual-coupling
 flow maps the posterior to a speaker-independent prior; a HiFi-GAN generator
 reconstructs waveforms conditioned on a mel-derived speaker embedding.
 
-The content encoder here is a compact WavLM-shaped conv+transformer stack —
-weight ingest from a real WavLM checkpoint goes through
-`tpu_tts.train.torch_convert` (round 2 target for checkpoint parity).
+Two content encoders: the exact reference WavLM (tpu_tts/vc/modules/wavlm.py,
+parity-tested; selected automatically when a checkpoint embeds `wavlm.*`
+weights, as the released freevc24 does) and a compact WavLM-shaped stack for
+training from scratch (`content_encoder_type="compact"`).
 """
 
 from dataclasses import dataclass, field
@@ -46,6 +47,8 @@ class FreeVCArgs(Coqpit):
     ssl_dim: int = 1024
     use_spk: bool = False
     num_spks: int = 0
+    content_encoder_type: str = "compact"  # "wavlm" = exact reference WavLM-Large
+    wavlm_config: Optional[dict] = None  # overrides for vc.modules.wavlm.WavLMConfig
     content_encoder_layers: int = 4
     content_encoder_heads: int = 8
 
@@ -78,6 +81,22 @@ class ContentEncoder(nn.Module):
         return nn.LayerNorm(name="ln_out")(h)
 
 
+class WavLMContentEncoder(nn.Module):
+    """Exact reference content encoder: the vendored WavLM
+    (vc/modules/freevc/wavlm) re-implemented in `tpu_tts.vc.modules.wavlm`;
+    weights ingest from the `wavlm.*` keys embedded in the freevc24
+    checkpoint. Same call signature as `ContentEncoder`."""
+
+    config_overrides: tuple = ()
+
+    @nn.compact
+    def __call__(self, wav, train: bool = False):
+        from tpu_tts.vc.modules.wavlm import WavLM, WavLMConfig
+
+        cfg = WavLMConfig(**dict(self.config_overrides))
+        return WavLM(cfg, name="wavlm")(wav[:, :, 0])
+
+
 class MelSpeakerEncoder(nn.Module):
     """Reference-style mel speaker encoder: 3-layer LSTM → linear → relu →
     L2-norm (ref freevc.py:256 SpeakerEncoder; hidden/embedding sizes track
@@ -105,9 +124,15 @@ class FreeVCNet(nn.Module):
 
     def setup(self):
         a = self.a
-        self.content_encoder = ContentEncoder(
-            dim=a["ssl_dim"], layers=a["content_encoder_layers"], heads=a["content_encoder_heads"]
-        )
+        if a.get("content_encoder_type", "compact") == "wavlm":
+            overrides = a.get("wavlm_config") or {}
+            self.content_encoder = WavLMContentEncoder(
+                config_overrides=tuple(sorted(overrides.items()))
+            )
+        else:
+            self.content_encoder = ContentEncoder(
+                dim=a["ssl_dim"], layers=a["content_encoder_layers"], heads=a["content_encoder_heads"]
+            )
         self.enc_p = VitsPosteriorEncoder(  # bottleneck over SSL features
             in_channels=a["ssl_dim"],
             out_channels=a["inter_channels"],
@@ -198,13 +223,26 @@ class Freevc(BaseTTSModel):
     # ------------------------------------------------------- torch ingest
     def convert_torch_state_dict(self, state_dict):
         """Reference `FreeVC` torch weights → our flax tree (parity-tested in
-        tests/test_torch_parity_freevc.py). WavLM weights are skipped — our
-        content encoder stands in for WavLM (documented deviation); ssl
-        features fed to enc_p convert exactly. The content encoder keeps its
+        tests/test_torch_parity_freevc.py). When the checkpoint embeds WavLM
+        weights (`wavlm.*`, present in the released freevc24 per the strict
+        load at freevc.py:557), the net switches to the exact WavLM content
+        encoder and ingests them; otherwise the compact stand-in keeps its
         fresh init (merge-filled)."""
         from tpu_tts.vc.models.freevc_convert import convert_freevc_torch_state_dict
 
         params = convert_freevc_torch_state_dict(state_dict)
+        if any(str(k).startswith("wavlm.") for k in state_dict):
+            from tpu_tts.vc.modules.wavlm import convert_wavlm_torch_state_dict
+
+            if self.args.content_encoder_type != "wavlm":
+                self.args.content_encoder_type = "wavlm"
+                self.net = FreeVCNet(
+                    args=tuple(sorted(self.args.to_dict().items(), key=lambda kv: str(kv[0])))
+                )
+                self.params = None
+            params["content_encoder"] = {
+                "wavlm": convert_wavlm_torch_state_dict(state_dict, prefix="wavlm.")
+            }
         if self.params is None:
             self.init_params(jax.random.PRNGKey(0))
 
