@@ -163,3 +163,34 @@ def test_glow_tts_d_vector():
     batch["d_vectors"] = jnp.asarray(np.random.default_rng(1).standard_normal((2, 16)), dtype=jnp.float32)
     loss, _ = model.loss_fn(params, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+ENC_VARIANTS = {
+    "gated_conv": {"kernel_size": 5, "dropout_p": 0.1, "num_layers": 2},
+    "residual_conv_bn": {"kernel_size": 4, "dilations": [1, 2, 4, 1], "num_conv_blocks": 2},
+    "time_depth_separable": {"kernel_size": 5, "num_layers": 2},
+}
+
+
+@pytest.mark.parametrize("enc_type", sorted(ENC_VARIANTS))
+def test_glow_tts_encoder_variants(enc_type):
+    """The three non-transformer encoder types (ref glow_tts/encoder.py:
+    106-131) train and infer; BN stats (when present) thread as model_state."""
+    cfg = _small_config(
+        encoder_type=enc_type,
+        encoder_params=ENC_VARIANTS[enc_type],
+        # the reference's residual_conv_bn prenet is called with two args but
+        # is an nn.Sequential — unusable there, so mirror with prenet off
+        use_encoder_prenet=enc_type != "residual_conv_bn",
+    )
+    model = GlowTTS(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    loss, (logs, new_state) = model.loss_fn(
+        params, _batch(), jax.random.PRNGKey(1), model_state=model.model_state
+    )
+    assert np.isfinite(float(loss))
+    if enc_type in ("residual_conv_bn", "time_depth_separable"):
+        assert jax.tree_util.tree_leaves(new_state), "BN variants must carry batch_stats"
+        model.model_state = new_state
+    out = model.inference(np.ones((1, 8), dtype=np.int32))
+    assert np.isfinite(np.asarray(out["model_outputs"])).all()

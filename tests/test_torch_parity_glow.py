@@ -123,3 +123,68 @@ def test_decoder_parity(pair):
     np.testing.assert_allclose(
         np.transpose(np.asarray(my_y), (0, 2, 1)), ref_y.numpy(), atol=2e-4, rtol=1e-3
     )
+
+
+ENC_VARIANTS = {
+    "gated_conv": {"kernel_size": 5, "dropout_p": 0.1, "num_layers": 3},
+    "residual_conv_bn": {
+        "kernel_size": 4, "dilations": [1, 2, 4, 1], "num_conv_blocks": 2,
+        "num_res_blocks": 4,
+    },
+    "time_depth_separable": {"kernel_size": 5, "num_layers": 3},
+}
+
+
+@pytest.mark.parametrize("enc_type", sorted(ENC_VARIANTS))
+def test_encoder_variant_parity(enc_type):
+    """Converted reference weights reproduce the torch encoder for the
+    gated_conv / residual_conv_bn / time_depth_separable types
+    (ref glow_tts/encoder.py:106-131)."""
+    gm = ref_import("TTS.tts.models.glow_tts")
+    cfgmod = ref_import("TTS.tts.configs.glow_tts_config")
+    if gm is None or cfgmod is None:
+        pytest.skip("reference torch GlowTTS not importable")
+    import torch
+
+    kw = dict(TINY)
+    kw["encoder_params"] = dict(ENC_VARIANTS[enc_type])
+    kw["use_encoder_prenet"] = enc_type != "residual_conv_bn"  # ref Sequential
+    torch.manual_seed(0)
+    ref_model = gm.GlowTTS(cfgmod.GlowTTSConfig(encoder_type=enc_type, **kw))
+    # give BN running stats non-trivial values so frozen_batch folding is
+    # actually exercised
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.4)
+    ref_model.eval()
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    from tpu_tts.configs.glow_tts_config import GlowTTSConfig
+    from tpu_tts.models.glow_tts import GlowTTS
+
+    mine = GlowTTS(GlowTTSConfig(encoder_type=enc_type, **kw))
+    params = mine.convert_torch_state_dict(sd)
+    rng = np.random.default_rng(0)
+    # T must cover the largest valid-conv receptive field (dilation 4, k=4)
+    x = rng.integers(0, 30, size=(2, 16)).astype(np.int64)
+    lens = np.array([16, 16], dtype=np.int64)
+    with torch.no_grad():
+        ref_o = ref_model.encoder(torch.from_numpy(x), torch.from_numpy(lens))
+    ref_m, ref_logw, ref_mask = ref_o[0], ref_o[2], ref_o[3]
+    my_m, _, my_logw, my_mask = mine.net.apply(
+        {"params": params},
+        jnp.asarray(x.astype(np.int32)),
+        jnp.asarray(lens.astype(np.int32)),
+        method=lambda net, xi, xl: net.encoder(xi, xl),
+    )
+    mask_t = np.transpose(np.asarray(my_mask), (0, 2, 1))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(my_m), (0, 2, 1)) * mask_t,
+        ref_m.numpy() * ref_mask.numpy(), atol=2e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(my_logw), (0, 2, 1)) * mask_t,
+        ref_logw.numpy() * ref_mask.numpy(), atol=2e-4, rtol=1e-3,
+    )

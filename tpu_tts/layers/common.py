@@ -178,6 +178,85 @@ class ResidualConv1dLayerNormBlock(nn.Module):
         return x * x_mask
 
 
+class GatedConvBlock(nn.Module):
+    """Gated convolutional block (ref generic/gated_conv.py:6, GLU from
+    arXiv:1612.08083): [dropout → k-conv to 2C → LayerNorm(2C) → GLU] × N
+    with a running residual. x/x_mask: `[B, T, C]` / `[B, T, 1]`."""
+
+    channels: int
+    kernel_size: int
+    dropout_p: float
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x, x_mask, train: bool = False):
+        o, res = x, x
+        for i in range(self.num_layers):
+            o = nn.Dropout(self.dropout_p, deterministic=not train)(o)
+            o = Conv1d(2 * self.channels, self.kernel_size, name=f"conv_{i}")(o * x_mask)
+            o = LayerNorm(2 * self.channels, name=f"norm_{i}")(o)
+            a, b = jnp.split(o, 2, axis=-1)  # torch glu(dim=channels)
+            o = res + a * jax.nn.sigmoid(b)
+            res = o
+        return o
+
+
+class TimeDepthSeparableConv(nn.Module):
+    """Time-depth separable conv (ref generic/time_depth_sep_conv.py:5,
+    arXiv:1904.02619): 1×1→BN→GLU → depthwise k-conv→BN→x·σ(x) → 1×1→BN,
+    with a residual add. BatchNorm follows the framework's norm_type
+    convention ("batch" trains with threaded batch_stats, "frozen_batch"
+    folds running stats for checkpoint ingest)."""
+
+    hid_channels: int
+    out_channels: int
+    kernel_size: int
+    norm_type: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from tpu_tts.layers.tacotron import _apply_norm
+
+        res = x
+        x = nn.Dense(2 * self.hid_channels, name="time_conv")(x)
+        x = _apply_norm(self.norm_type, 2 * self.hid_channels, "norm1", x, train)
+        a, b = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(b)
+        half = (self.kernel_size - 1) // 2
+        x = nn.Conv(
+            self.hid_channels,
+            kernel_size=(self.kernel_size,),
+            padding=[(half, half)],
+            feature_group_count=self.hid_channels,
+            name="depth_conv",
+        )(x)
+        x = _apply_norm(self.norm_type, self.hid_channels, "norm2", x, train)
+        x = x * jax.nn.sigmoid(x)
+        x = nn.Dense(self.out_channels, name="time_conv2")(x)
+        x = _apply_norm(self.norm_type, self.out_channels, "norm3", x, train)
+        return res + x
+
+
+class TimeDepthSeparableConvBlock(nn.Module):
+    """Stack of TimeDepthSeparableConv, out_channels on the final layer only
+    (ref generic/time_depth_sep_conv.py:60); each layer sees `x * x_mask`."""
+
+    hid_channels: int
+    out_channels: int
+    num_layers: int
+    kernel_size: int
+    norm_type: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, x_mask, train: bool = False):
+        for i in range(self.num_layers):
+            out_ch = self.out_channels if i == self.num_layers - 1 else self.hid_channels
+            x = TimeDepthSeparableConv(
+                self.hid_channels, out_ch, self.kernel_size, self.norm_type, name=f"layer_{i}"
+            )(x * x_mask, train=train)
+        return x
+
+
 class WN(nn.Module):
     """Gated WaveNet stack with weight norm and optional conditioning
     (ref generic/wavenet.py:16). x: `[B, T, C]`, g: `[B, 1 or T, C_g]`."""

@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpu_tts.layers.common import DurationPredictor, ResidualConv1dLayerNormBlock
+from tpu_tts.layers.common import (
+    DurationPredictor,
+    GatedConvBlock,
+    ResidualConv1dLayerNormBlock,
+    TimeDepthSeparableConvBlock,
+)
+from tpu_tts.layers.feed_forward import ResidualConv1dBNBlock
 from tpu_tts.layers.glow import GlowDecoder
 from tpu_tts.layers.losses import glow_tts_loss
 from tpu_tts.layers.transformer import RelativePositionTransformer
@@ -41,6 +47,7 @@ class GlowTTSEncoder(nn.Module):
     mean_only: bool = False
     use_prenet: bool = True
     c_in_channels: int = 0
+    norm_type: str = "batch"  # BN-based encoder variants; "frozen_batch" on ingest
 
     @nn.compact
     def __call__(self, x, x_lengths, g=None, train: bool = False):
@@ -54,7 +61,10 @@ class GlowTTSEncoder(nn.Module):
         )
         x = emb(x) * math.sqrt(self.hidden_channels)  # [B, T, C]
         x_mask = sequence_mask(x_lengths, x.shape[1]).astype(x.dtype)[:, :, None]
-        if self.use_prenet:
+        enc_type = self.encoder_type.lower()
+        # prenet per encoder type (ref glow_tts/encoder.py:106-131; gated_conv
+        # has none even with use_prenet=True)
+        if self.use_prenet and enc_type in ("rel_pos_transformer", "time_depth_separable"):
             x = ResidualConv1dLayerNormBlock(
                 hidden_channels=self.hidden_channels,
                 out_channels=self.hidden_channels,
@@ -63,19 +73,57 @@ class GlowTTSEncoder(nn.Module):
                 dropout_p=0.5,
                 name="prenet",
             )(x, x_mask, train=train)
-        if self.encoder_type != "rel_pos_transformer":
-            raise NotImplementedError(f"encoder_type {self.encoder_type} not implemented yet")
-        x = RelativePositionTransformer(
-            out_channels=self.hidden_channels,
-            hidden_channels=self.hidden_channels,
-            hidden_channels_ffn=params.get("hidden_channels_ffn", 768),
-            num_heads=params.get("num_heads", 2),
-            num_layers=params.get("num_layers", 6),
-            kernel_size=params.get("kernel_size", 3),
-            dropout_p=params.get("dropout_p", 0.1),
-            rel_attn_window_size=params.get("rel_attn_window_size", 4),
-            name="encoder",
-        )(x, x_mask, train=train)
+        elif self.use_prenet and enc_type == "residual_conv_bn":
+            # ref encoder.py:118: 1×1 conv + ReLU (the reference calls it with
+            # (x, x_mask), which nn.Sequential can't take — we apply it to the
+            # masked input, the intended semantics)
+            x = nn.relu(nn.Dense(self.hidden_channels, name="prenet")(x * x_mask))
+        if enc_type == "rel_pos_transformer":
+            x = RelativePositionTransformer(
+                out_channels=self.hidden_channels,
+                hidden_channels=self.hidden_channels,
+                hidden_channels_ffn=params.get("hidden_channels_ffn", 768),
+                num_heads=params.get("num_heads", 2),
+                num_layers=params.get("num_layers", 6),
+                kernel_size=params.get("kernel_size", 3),
+                dropout_p=params.get("dropout_p", 0.1),
+                rel_attn_window_size=params.get("rel_attn_window_size", 4),
+                name="encoder",
+            )(x, x_mask, train=train)
+        elif enc_type == "gated_conv":
+            x = GatedConvBlock(
+                channels=self.hidden_channels,
+                kernel_size=params.get("kernel_size", 5),
+                dropout_p=params.get("dropout_p", 0.1),
+                num_layers=params.get("num_layers", 9),
+                name="encoder",
+            )(x, x_mask, train=train)
+        elif enc_type == "residual_conv_bn":
+            x = ResidualConv1dBNBlock(
+                hidden_channels=self.hidden_channels,
+                out_channels=self.hidden_channels,
+                kernel_size=params.get("kernel_size", 4),
+                dilations=tuple(params.get("dilations", (1, 2, 4, 1, 2, 4, 1, 2, 4, 1, 2, 4, 1))),
+                num_conv_blocks=params.get("num_conv_blocks", 2),
+                norm_type=self.norm_type,
+                name="encoder",
+            )(x, x_mask, train=train)
+            # ref encoder.py:120: 1×1 conv → BatchNorm postnet
+            from tpu_tts.layers.tacotron import _apply_norm
+
+            x = nn.Dense(self.hidden_channels, name="postnet_conv")(x)
+            x = _apply_norm(self.norm_type, self.hidden_channels, "postnet_norm", x, train) * x_mask
+        elif enc_type == "time_depth_separable":
+            x = TimeDepthSeparableConvBlock(
+                hid_channels=self.hidden_channels,
+                out_channels=self.hidden_channels,
+                num_layers=params.get("num_layers", 9),
+                kernel_size=params.get("kernel_size", 5),
+                norm_type=self.norm_type,
+                name="encoder",
+            )(x, x_mask, train=train)
+        else:
+            raise ValueError(f" [!] Unknown encoder type {self.encoder_type}")
 
         # duration predictor input: detached features (+ broadcast speaker)
         x_dp = jax.lax.stop_gradient(x)
@@ -123,6 +171,7 @@ class GlowTTSNet(nn.Module):
     use_speaker_embedding: bool = False
     inference_noise_scale: float = 0.33
     length_scale: float = 1.0
+    norm_type: str = "batch"  # BN-based encoder variants; "frozen_batch" on ingest
 
     def setup(self):
         enc_params = dict(self.encoder_params) if self.encoder_params else None
@@ -137,6 +186,7 @@ class GlowTTSNet(nn.Module):
             mean_only=self.mean_only,
             use_prenet=self.use_encoder_prenet,
             c_in_channels=self.c_in_channels,
+            norm_type=self.norm_type,
         )
         self.decoder = GlowDecoder(
             in_channels=self.out_channels,
@@ -281,6 +331,7 @@ class GlowTTS(BaseTTSModel):
             use_speaker_embedding=use_spk,
             inference_noise_scale=config.inference_noise_scale,
             length_scale=config.length_scale,
+            norm_type=getattr(config, "norm_type", None) or "batch",
         )
         self._infer_cache = {}
 
@@ -300,7 +351,16 @@ class GlowTTS(BaseTTSModel):
         zero-filled (zero rel contribution == no rel attention)."""
         from tpu_tts.models.glow_convert import convert_glow_tts_torch_state_dict
 
-        params = convert_glow_tts_torch_state_dict(state_dict)
+        if (
+            self.net.encoder_type.lower() in ("residual_conv_bn", "time_depth_separable")
+            and self.net.norm_type != "frozen_batch"
+        ):
+            # reference BN encoders → running stats folded into params
+            self.net = self.net.clone(norm_type="frozen_batch")
+            self._infer_cache = {}
+        params = convert_glow_tts_torch_state_dict(
+            state_dict, encoder_type=self.net.encoder_type.lower()
+        )
         if self.params is None:
             self.init_params(jax.random.PRNGKey(0))
 
@@ -331,11 +391,12 @@ class GlowTTS(BaseTTSModel):
             kwargs["d_vectors"] = jnp.zeros((B, self.config.d_vector_dim or 512))
         variables = self.net.init(rng, x, xl, y, yl, **kwargs)
         self.params = variables["params"]
+        self.model_state = {k: v for k, v in variables.items() if k != "params"}
         return self.params
 
-    def loss_fn(self, params, batch: Dict, rng: jax.Array, optimizer_idx: int = 0):
-        outputs = self.net.apply(
-            {"params": params},
+    def loss_fn(self, params, batch: Dict, rng: jax.Array, optimizer_idx: int = 0, model_state=None):
+        outputs, new_state = self.net.apply(
+            {"params": params, **(model_state or {})},
             batch["text_input"],
             batch["text_lengths"],
             batch["mel_input"],
@@ -344,7 +405,10 @@ class GlowTTS(BaseTTSModel):
             d_vectors=batch.get("d_vectors"),
             train=True,
             rngs={"dropout": rng},
+            mutable=["batch_stats"],
         )
+        if not jax.tree_util.tree_leaves(new_state):
+            new_state = model_state or {}
         losses = glow_tts_loss(
             outputs["z"],
             outputs["y_mean"],
@@ -355,7 +419,9 @@ class GlowTTS(BaseTTSModel):
             outputs["total_durations_log"],
             batch["text_lengths"],
         )
-        return losses["loss"], losses
+        if model_state is None:
+            return losses["loss"], losses
+        return losses["loss"], (losses, new_state)
 
     # ------------------------------------------------------------- inference
     def inference(self, x: np.ndarray, aux_input=None, bucket: int = 128) -> Dict:
@@ -374,8 +440,8 @@ class GlowTTS(BaseTTSModel):
         key = (x.shape, int(y_max))
         if key not in self._infer_cache:
             self._infer_cache[key] = jax.jit(
-                lambda p, xi, xli, sid, dvec, nrng: self.net.apply(
-                    {"params": p},
+                lambda p, st, xi, xli, sid, dvec, nrng: self.net.apply(
+                    {"params": p, **st},
                     xi,
                     xli,
                     y_max,
@@ -387,6 +453,7 @@ class GlowTTS(BaseTTSModel):
             )
         out = self._infer_cache[key](
             self.params,
+            self.model_state or {},
             x,
             jnp.asarray(x_lengths),
             aux_input.get("speaker_ids"),
