@@ -76,3 +76,25 @@ def test_synthesizer_dispatches_model_synthesize():
     wav = s.tts("hi", split_sentences=False)
     assert len(wav) > 0
     assert np.isfinite(np.asarray(wav, dtype=np.float32)).all()
+
+
+def test_scaling_bench_harness():
+    """scripts/scaling_bench.py (SURVEY.md §7.8) runs the data-sharded
+    inference program at several device counts and reports efficiency."""
+    import json
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "scaling_bench.py"),
+         "--virtual", "2", "--devices", "1,2", "--mode", "infer", "--iters", "1"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines()]
+    assert {r["devices"] for r in rows} == {1, 2}
+    for r in rows:
+        assert r["audio_s_per_s"] > 0 and r["efficiency"] > 0
