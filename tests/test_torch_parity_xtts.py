@@ -108,3 +108,117 @@ def test_hifi_decoder_parity(pair):
     my_wav = np.transpose(np.asarray(my_wav), (0, 2, 1))
     assert my_wav.shape == ref_wav.shape
     np.testing.assert_allclose(my_wav, ref_wav, atol=3e-4, rtol=1e-3)
+
+
+def test_dvae_parity():
+    """Converted reference DVAE weights reproduce codebook indices and the
+    decoder (ref layers/xtts/dvae.py:201, XTTS configuration scaled down)."""
+    dm = ref_import("TTS.tts.layers.xtts.dvae")
+    if dm is None:
+        pytest.skip("reference dvae not importable")
+    import torch
+
+    torch.manual_seed(3)
+    ref = dm.DiscreteVAE(
+        channels=12, normalization=None, positional_dims=1, num_tokens=64,
+        codebook_dim=16, hidden_dim=8, num_resnet_blocks=2, kernel_size=3,
+        num_layers=2, use_transposed_convs=False,
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    from tpu_tts.layers.xtts.dvae import DiscreteVAE, convert_dvae_torch_state_dict
+
+    mine = DiscreteVAE(
+        num_tokens=64, codebook_dim=16, hidden_dim=8, num_layers=2,
+        num_resnet_blocks=2, channels=12, kernel_size=3,
+    )
+    params = convert_dvae_torch_state_dict(sd)
+    mel = np.random.default_rng(0).standard_normal((2, 12, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_codes = ref.get_codebook_indices(torch.from_numpy(mel))
+        ref_recon, _ = ref.decode(ref_codes)
+    my_codes = mine.apply(
+        {"params": params}, jnp.asarray(np.transpose(mel, (0, 2, 1))),
+        method=DiscreteVAE.get_codebook_indices,
+    )
+    np.testing.assert_array_equal(np.asarray(my_codes), ref_codes.numpy())
+    my_recon = mine.apply(
+        {"params": params}, my_codes, method=DiscreteVAE.decode
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(my_recon), (0, 2, 1)), ref_recon.numpy(),
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+def test_gpt_finetune_loss_parity():
+    """Our framed/masked fine-tune loss reproduces the reference GPT training
+    forward (ref gpt.py:370: set_inputs_and_targets framing, set_mel_padding,
+    key-side attention masks, CE with ignore_index=-1)."""
+    xm = ref_import("TTS.tts.models.xtts")
+    cfgmod = ref_import("TTS.tts.configs.xtts_config")
+    if xm is None or cfgmod is None:
+        pytest.skip("reference xtts not importable")
+    import torch
+
+    targs = dict(
+        gpt_layers=2, gpt_n_model_channels=64, gpt_n_heads=2,
+        gpt_number_text_tokens=50, gpt_num_audio_tokens=34,
+        gpt_start_audio_token=32, gpt_stop_audio_token=33,
+        gpt_max_audio_tokens=40, gpt_max_text_tokens=20,
+        decoder_input_dim=64, d_vector_dim=32, gpt_use_perceiver_resampler=True,
+    )
+    torch.manual_seed(0)
+    ref_model = xm.Xtts(cfgmod.XttsConfig(model_args=xm.XttsArgs(**targs)))
+    ref_model.eval()
+    # the reference leaves these None in XttsArgs; its F.pad(value=None)
+    # framing then effectively uses 0 for both
+    start_text = int(ref_model.args.gpt_start_text_token or 0)
+    stop_text = int(ref_model.args.gpt_stop_text_token or 0)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+
+    from tpu_tts.configs.xtts_config import XttsArgs, XttsConfig
+    from tpu_tts.models.xtts import Xtts
+
+    my_args = {k: v for k, v in targs.items() if k != "gpt_use_perceiver_resampler"}
+    mine = Xtts(XttsConfig(model_args=XttsArgs(
+        **{**my_args, "gpt_start_text_token": start_text, "gpt_stop_text_token": stop_text},
+    )))
+    params = mine.convert_torch_state_dict(sd)
+    mine.params = jax.tree.map(jnp.asarray, params)
+
+    rng = np.random.default_rng(5)
+    B, Tt, Tm = 2, 10, 12
+    text = rng.integers(1, 40, (B, Tt)).astype(np.int64)
+    text_lengths = np.array([10, 7], dtype=np.int64)
+    # the reference relies on its collate zero-padding text (= stop token,
+    # dataset.py:229); our framing overwrites padding with stop explicitly
+    text[1, 7:] = 0
+    codes = rng.integers(0, 32, (B, Tm)).astype(np.int64)
+    wav_lengths = np.array([1024 * 9, 1024 * 6], dtype=np.int64)  # → kl 12, 9
+    cond_mel = rng.standard_normal((B, 80, 24)).astype(np.float32)
+
+    with torch.no_grad():
+        loss_text, loss_mel, _ = ref_model.gpt(
+            torch.from_numpy(text),
+            torch.from_numpy(text_lengths),
+            torch.from_numpy(codes),
+            torch.from_numpy(wav_lengths),
+            cond_mels=torch.from_numpy(cond_mel)[:, None],
+            cond_idxs=None,
+            cond_lens=None,
+        )
+
+    batch = {
+        "cond_mel": jnp.asarray(np.transpose(cond_mel, (0, 2, 1))),
+        "text_tokens": jnp.asarray(text.astype(np.int32)),
+        "text_lengths": jnp.asarray(text_lengths.astype(np.int32)),
+        "audio_codes": jnp.asarray(codes.astype(np.int32)),
+        "code_lengths": jnp.asarray(
+            np.ceil(wav_lengths / 1024).astype(np.int32) + 3
+        ),
+    }
+    _, logs = mine.loss_fn(mine.params, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(logs["loss_text_ce"]), float(loss_text), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(logs["loss_mel_ce"]), float(loss_mel), rtol=2e-4, atol=2e-5)

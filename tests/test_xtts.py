@@ -18,6 +18,8 @@ def xtts_model():
         gpt_num_audio_tokens=34,
         gpt_start_audio_token=32,
         gpt_stop_audio_token=33,
+        gpt_start_text_token=48,
+        gpt_stop_text_token=0,
         num_cond_latents=4,
         d_vector_dim=16,
         decoder_input_dim=32,
@@ -34,6 +36,7 @@ def test_xtts_finetune_loss(xtts_model):
     batch = {
         "cond_mel": jnp.asarray(rng.standard_normal((2, 16, 80)), dtype=jnp.float32),
         "text_tokens": jnp.asarray(rng.integers(0, 50, (2, 10)), dtype=jnp.int32),
+        "text_lengths": jnp.array([10, 7], dtype=jnp.int32),
         "audio_codes": jnp.asarray(rng.integers(0, 32, (2, 14)), dtype=jnp.int32),
     }
     loss, logs = xtts_model.loss_fn(xtts_model.params, batch, jax.random.PRNGKey(1))

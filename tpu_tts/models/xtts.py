@@ -51,6 +51,19 @@ class XttsArgs(Coqpit):
     gpt_code_stride: int = 1024  # ar_mel_length_compression (hifigan_decoder.py:621)
     decoder_upsample_rates: tuple = (8, 8, 2, 2)
     kv_cache_len: int = 1100
+    # ------------------------------ fine-tuning (ref trainer/gpt_trainer.py:40)
+    gpt_start_text_token: int = 261  # vocab [START]/[STOP] ids
+    gpt_stop_text_token: int = 0
+    gpt_loss_text_ce_weight: float = 0.01
+    gpt_loss_mel_ce_weight: float = 1.0
+    dvae_sample_rate: int = 22050
+    max_wav_length: int = 255995  # ~11.6 s
+    max_text_length: int = 200
+    min_conditioning_length: int = 66150  # 3 s
+    max_conditioning_length: int = 132300  # 6 s
+    mel_norm_file: str = ""  # per-bin mel divisors (mel_stats.pth)
+    dvae_checkpoint: str = ""
+    tokenizer_file: str = ""
 
 
 def _torch_linear_interp(x: jnp.ndarray, scale: float) -> jnp.ndarray:
@@ -139,6 +152,63 @@ class XttsNet(nn.Module):
         """GPT fine-tuning pass (role of layers/xtts/trainer/gpt_trainer.py:69)."""
         cond, _ = self.compute_conditioning(mel_cond)
         return self.gpt(cond, text_tokens, audio_codes)
+
+    def train_forward(self, mel_cond, text_tokens, text_lengths, audio_codes, code_lengths):
+        """Teacher-forced fine-tune pass with the reference's sequence framing
+        (ref gpt.py:370 forward), fully static-shape:
+
+        - text: stop token written at position `text_len` and over padding,
+          then [start]+x inputs / x+[stop] targets (set_inputs_and_targets);
+        - codes: positions ≥ code_len replaced with the stop audio token
+          (set_mel_padding) before the same framing; `code_lengths` already
+          includes the reference's +3;
+        - key-side attention masks keep [start + l tokens] per segment
+          (gpt.py:481-494); CE target masks keep positions ≤ l (targets set
+          to -1 in the reference, gpt.py:530-535).
+
+        Returns dict with text/mel logits, framed targets, and loss masks.
+        """
+        a = self.a
+        B, Tt = text_tokens.shape
+        Tm = audio_codes.shape[1]
+        start_t, stop_t = a["gpt_start_text_token"], a["gpt_stop_text_token"]
+        start_a, stop_a = a["gpt_start_audio_token"], a["gpt_stop_audio_token"]
+
+        # --- text framing: x = tokens with stop at [len:] (covers the
+        # reference's appended stop + padding), inp=[start]+x, tar=x+[stop]
+        t_pos = jnp.arange(Tt + 1)[None]
+        text_ext = jnp.pad(text_tokens, ((0, 0), (0, 1)))
+        text_ext = jnp.where(t_pos < text_lengths[:, None], text_ext, stop_t)
+        text_in = jnp.pad(text_ext, ((0, 0), (1, 0)), constant_values=start_t)
+        text_tar = jnp.pad(text_ext, ((0, 0), (0, 1)), constant_values=stop_t)
+
+        # --- code framing: real codes end at code_len-3 (set_mel_padding)
+        m_pos = jnp.arange(Tm + 1)[None]
+        code_ext = jnp.pad(audio_codes, ((0, 0), (0, 1)))
+        code_ext = jnp.where(m_pos < (code_lengths - 3)[:, None], code_ext, stop_a)
+        code_in = jnp.pad(code_ext, ((0, 0), (1, 0)), constant_values=start_a)
+        code_tar = jnp.pad(code_ext, ((0, 0), (0, 1)), constant_values=stop_a)
+
+        # --- key-side attention mask over [cond | text_in | code_in]
+        mask_cond = jnp.ones((B, a["num_cond_latents"]), dtype=bool)
+        mask_text = jnp.arange(text_in.shape[1])[None] <= text_lengths[:, None]
+        mask_mel = jnp.arange(code_in.shape[1])[None] <= code_lengths[:, None]
+        attn_mask = jnp.concatenate([mask_cond, mask_text, mask_mel], axis=1)
+
+        cond, _ = self.compute_conditioning(mel_cond)
+        out = self.gpt(cond, text_in, code_in, attn_mask=attn_mask)
+
+        # --- CE masks: targets kept for positions ≤ l
+        tar_mask_text = (jnp.arange(text_tar.shape[1])[None] <= text_lengths[:, None]).astype(jnp.float32)
+        tar_mask_mel = (jnp.arange(code_tar.shape[1])[None] <= code_lengths[:, None]).astype(jnp.float32)
+        return {
+            "text_logits": out["text_logits"],
+            "mel_logits": out["mel_logits"],
+            "text_targets": text_tar,
+            "mel_targets": code_tar,
+            "text_mask": tar_mask_text,
+            "mel_mask": tar_mask_mel,
+        }
 
     # ------------------------------------------------------------- inference
     def generate_latents(
@@ -263,9 +333,21 @@ class Xtts(BaseTTSModel):
             args = XttsArgs.from_dict(args)
         self.args = args
         self.net = XttsNet(args=tuple(sorted(args.to_dict().items(), key=lambda kv: str(kv[0]))))
-        self.bpe = tokenizer if isinstance(tokenizer, VoiceBpeTokenizer) else VoiceBpeTokenizer(
-            getattr(config, "model_dir", None) and f"{config.model_dir}/vocab.json"
-        )
+        if isinstance(tokenizer, VoiceBpeTokenizer):
+            self.bpe = tokenizer
+        else:
+            vocab = getattr(args, "tokenizer_file", "") or (
+                getattr(config, "model_dir", None) and f"{config.model_dir}/vocab.json"
+            )
+            self.bpe = VoiceBpeTokenizer(vocab or None)
+        # resolve [START]/[STOP] framing ids from the vocab when loaded
+        # (ref xtts.py:222); the configured defaults otherwise
+        if getattr(self.bpe, "is_loaded", False):
+            for attr, token in (("gpt_start_text_token", "[START]"), ("gpt_stop_text_token", "[STOP]")):
+                tid = self.bpe.tokenizer.token_to_id(token)
+                if tid is not None:
+                    setattr(self.args, attr, int(tid))
+            self.net = XttsNet(args=tuple(sorted(self.args.to_dict().items(), key=lambda kv: str(kv[0]))))
         self._jit = {}
         self._speakers = None  # lazy speakers_xtts.pth (name → cloning latents)
 
@@ -401,23 +483,167 @@ class Xtts(BaseTTSModel):
         return fn(self.params, mel, spk_mel)
 
     # ---------------------------------------------------------- fine-tuning
+    def load_dvae(self, checkpoint_path: str = "", mel_norms_path: str = ""):
+        """Build the DVAE that tokenizes target audio for GPT fine-tuning
+        (ref gpt_trainer.py:172-191); ingests the released `dvae.pth` when a
+        path is given, otherwise random-inits (tests / from-scratch)."""
+        from tpu_tts.layers.xtts.dvae import DiscreteVAE, convert_dvae_torch_state_dict
+
+        self.dvae = DiscreteVAE(num_tokens=self.args.gpt_num_audio_tokens - 2)
+        path = checkpoint_path or self.args.dvae_checkpoint
+        if path:
+            import torch
+
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+            if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+                sd = sd["model"]
+            self.dvae_params = jax.tree.map(jnp.asarray, convert_dvae_torch_state_dict(sd))
+        else:
+            mel = jnp.zeros((1, 16, 80))
+            self.dvae_params = self.dvae.init(
+                jax.random.PRNGKey(0), mel, method=DiscreteVAE.get_codebook_indices
+            )["params"]
+        self.mel_norms = None
+        mp = mel_norms_path or self.args.mel_norm_file
+        if mp:
+            import os
+
+            if os.path.exists(str(mp)):
+                import torch
+
+                self.mel_norms = jnp.asarray(
+                    np.asarray(torch.load(mp, map_location="cpu", weights_only=False))
+                )
+
+    def _style_mel(self, wav):
+        """Conditioning mel for the perceiver path (ref gpt_trainer.py:146:
+        TorchMelSpectrogram fft 2048 / hop 256 / win 1024 / 80 mels / fmax
+        8000 + mel_norms)."""
+        a = self.args
+        return jt.torchaudio_mel(
+            wav, fft_size=2048, hop_length=256, win_length=1024,
+            sample_rate=a.input_sample_rate, num_mels=80, fmin=0.0, fmax=8000.0,
+            mel_norms=getattr(self, "mel_norms", None),
+        )
+
+    def _dvae_mel(self, wav):
+        """DVAE mel (ref dvae.py:27 dvae_wav_to_mel: fft 1024 / hop 256 /
+        win 1024 / 80 mels / fmax 8000 + mel_norms)."""
+        a = self.args
+        return jt.torchaudio_mel(
+            wav, fft_size=1024, hop_length=256, win_length=1024,
+            sample_rate=a.dvae_sample_rate, num_mels=80, fmin=0.0, fmax=8000.0,
+            mel_norms=getattr(self, "mel_norms", None),
+        )
+
     def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
-        """GPT fine-tune loss: text CE + mel-code CE (ref gpt_trainer.py)."""
+        """GPT fine-tune loss (ref gpt_trainer.py:298 train_step): weighted
+        text CE + mel-code CE over reference-framed sequences. Host batches
+        carry raw wavs; conditioning mels and DVAE codes are computed on
+        device inside the jitted step (role of format_batch_on_device,
+        gpt_trainer.py:258) — the DVAE params are a frozen closure constant."""
+        from tpu_tts.layers.xtts.dvae import DiscreteVAE
+
+        a = self.args
+        if not (0 <= a.gpt_start_text_token < a.gpt_number_text_tokens):
+            raise ValueError(
+                f"gpt_start_text_token={a.gpt_start_text_token} is outside the "
+                f"text vocab ({a.gpt_number_text_tokens}) — set it (or load a "
+                "vocab with [START]/[STOP]); an out-of-range id would train on "
+                "NaN embeddings"
+            )
+        if "audio_codes" in batch:  # precomputed-code path (tests, cached codes)
+            cond_mel = batch["cond_mel"]
+            codes = batch["audio_codes"]
+            code_lengths = batch.get(
+                "code_lengths",
+                jnp.full(codes.shape[:1], codes.shape[1] + 3, dtype=jnp.int32),
+            )
+        else:
+            if not hasattr(self, "dvae"):
+                raise RuntimeError("call load_dvae() before fine-tuning from raw wavs")
+            cond_mel = self._style_mel(batch["cond_wav"])
+            codes = self.dvae.apply(
+                {"params": self.dvae_params},
+                self._dvae_mel(batch["wav"]),
+                method=DiscreteVAE.get_codebook_indices,
+            )
+            code_lengths = (
+                jnp.ceil(batch["wav_lengths"] / a.gpt_code_stride).astype(jnp.int32) + 3
+            )
+        # headroom for the reference's +3 framing past the real code length
+        codes = jnp.pad(codes, ((0, 0), (0, 3)))
+        code_lengths = jnp.minimum(code_lengths, codes.shape[1])
         out = self.net.apply(
-            {"params": params}, batch["cond_mel"], batch["text_tokens"], batch["audio_codes"]
+            {"params": params},
+            cond_mel,
+            batch["text_tokens"],
+            batch["text_lengths"],
+            codes,
+            code_lengths,
+            method=XttsNet.train_forward,
         )
-        text_t = batch["text_tokens"]
-        code_t = batch["audio_codes"]
-        lt = out["text_logits"][:, :-1]
-        lc = out["mel_logits"][:, :-1]
-        ce_t = -jnp.mean(
-            jnp.take_along_axis(jax.nn.log_softmax(lt, -1), text_t[:, 1:, None], axis=-1)
-        )
-        ce_c = -jnp.mean(
-            jnp.take_along_axis(jax.nn.log_softmax(lc, -1), code_t[:, 1:, None], axis=-1)
-        )
-        loss = 0.01 * ce_t + ce_c
+
+        def masked_ce(logits, targets, mask):
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+            return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+        ce_t = masked_ce(out["text_logits"], out["text_targets"], out["text_mask"])
+        ce_c = masked_ce(out["mel_logits"], out["mel_targets"], out["mel_mask"])
+        loss = a.gpt_loss_text_ce_weight * ce_t + a.gpt_loss_mel_ce_weight * ce_c
         return loss, {"loss": loss, "loss_text_ce": ce_t, "loss_mel_ce": ce_c}
+
+    def on_init_start(self, trainer):
+        """Trainer lifecycle hook: make sure the frozen DVAE tokenizer is
+        available before the first train step."""
+        if not hasattr(self, "dvae"):
+            self.load_dvae()
+
+    def get_data_loader(self, config, assets, is_eval, samples, verbose=True, num_gpus=1, rank=0):
+        """Fixed-shape fine-tuning loader (ref gpt_trainer.py:353)."""
+        from tpu_tts.layers.xtts.dataset import XttsDataLoader, XttsDataset
+
+        a = self.args
+        dataset = XttsDataset(
+            samples=samples,
+            tokenizer=self.bpe,
+            sample_rate=a.input_sample_rate,
+            max_text_length=a.max_text_length,
+            max_wav_length=a.max_wav_length,
+            min_conditioning_length=a.min_conditioning_length,
+            max_conditioning_length=a.max_conditioning_length,
+            is_eval=is_eval,
+            seed=getattr(config, "training_seed", 0),
+        )
+        return XttsDataLoader(
+            dataset,
+            batch_size=config.eval_batch_size if is_eval else config.batch_size,
+            shuffle=not is_eval,
+            drop_last=not is_eval,
+            seed=getattr(config, "training_seed", 0),
+        )
+
+    def get_optimizer(self):
+        """AdamW over the GPT + conditioning stack only — the waveform
+        decoder and speaker encoder stay frozen (ref gpt_trainer.py:401
+        optimizes `xtts.gpt.parameters()`, which includes the conditioning
+        encoder/perceiver submodules)."""
+        import optax
+
+        lr = getattr(self.config, "lr", 5e-6)
+        params = getattr(self.config, "optimizer_params", None) or {}
+        betas = params.get("betas", [0.9, 0.96])
+        opt = optax.adamw(
+            lr, b1=betas[0], b2=betas[1], eps=params.get("eps", 1e-8),
+            weight_decay=params.get("weight_decay", 1e-2),
+        )
+        trained = ("gpt", "conditioning_encoder", "conditioning_perceiver")
+
+        def mask_fn(tree):
+            return {k: jax.tree.map(lambda _: k in trained, v) for k, v in tree.items()}
+
+        return optax.masked(opt, mask_fn)
 
     # ------------------------------------------------------------- inference
     def inference(
