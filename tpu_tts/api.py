@@ -32,9 +32,13 @@ class TTS:
 
         self.manager = ModelManager(verbose=False, progress_bar=progress_bar)
         self.synthesizer = None
+        self.voice_converter = None
         self.model_name = model_name
         if model_name:
-            self.load_tts_model_by_name(model_name)
+            if "voice_conversion" in model_name:
+                self.load_vc_model_by_name(model_name)
+            else:
+                self.load_tts_model_by_name(model_name)
         elif model_path:
             self.load_tts_model_by_path(model_path, config_path, vocoder_path, vocoder_config_path)
 
@@ -47,6 +51,15 @@ class TTS:
         from tpu_tts.zoo.manage import ModelManager
 
         return ModelManager(verbose=False).list_models()
+
+    @staticmethod
+    def get_models_file_path() -> str:
+        """Path to the bundled released-model registry (ref api.py:122)."""
+        import os
+
+        import tpu_tts.zoo as zoo
+
+        return os.path.join(os.path.dirname(zoo.__file__), "models.json")
 
     @property
     def is_multi_speaker(self) -> bool:
@@ -65,6 +78,28 @@ class TTS:
     @property
     def languages(self):
         return self.synthesizer.tts_model.language_manager.language_names if self.is_multi_lingual else None
+
+    def download_model_by_name(self, model_name: str):
+        """Resolve a zoo name to (model, config, vocoder, vocoder_config, model_dir) paths (ref api.py:128)."""
+        model_path, config_path, model_item = self.manager.download_model(model_name)
+        if "fairseq" in model_name or (model_item is not None and isinstance(model_item.get("model_url"), list)):
+            return None, None, None, None, model_path
+        if not model_item.get("default_vocoder"):
+            return model_path, config_path, None, None, None
+        vocoder_path, vocoder_config_path, _ = self.manager.download_model(model_item["default_vocoder"])
+        return model_path, config_path, vocoder_path, vocoder_config_path, None
+
+    def load_model_by_name(self, model_name: str, gpu: bool = False):
+        """Alias of `load_tts_model_by_name` (ref api.py:139)."""
+        self.load_tts_model_by_name(model_name)
+
+    def load_vc_model_by_name(self, model_name: str, gpu: bool = False):
+        """Load a released voice-conversion model (ref api.py:148)."""
+        from tpu_tts.infer.synthesizer import Synthesizer
+
+        self.model_name = model_name
+        model_path, config_path, _, _, _ = self.download_model_by_name(model_name)
+        self.voice_converter = Synthesizer(vc_checkpoint=model_path, vc_config=config_path)
 
     def load_tts_model_by_name(self, model_name: str):
         from tpu_tts.infer.synthesizer import Synthesizer
@@ -122,9 +157,56 @@ class TTS:
         return file_path
 
     def voice_conversion(self, source_wav: str, target_wav: str):
-        return self.synthesizer.voice_conversion(source_wav=source_wav, target_wav=target_wav)
+        synth = self.voice_converter or self.synthesizer
+        return synth.voice_conversion(source_wav=source_wav, target_wav=target_wav)
 
     def voice_conversion_to_file(self, source_wav: str, target_wav: str, file_path: str = "output.wav") -> str:
+        from tpu_tts.audio.numpy_transforms import save_wav
+
         wav = self.voice_conversion(source_wav, target_wav)
-        self.synthesizer.save_wav(wav=wav, path=file_path)
+        save_wav(wav=np.array(wav), path=file_path, sample_rate=self._vc_output_sample_rate())
+        return file_path
+
+    def _vc_output_sample_rate(self) -> int:
+        synth = self.voice_converter or self.synthesizer
+        return synth.output_sample_rate
+
+    def tts_with_vc(
+        self,
+        text: str,
+        language: str = None,
+        speaker_wav: str = None,
+        speaker: str = None,
+        split_sentences: bool = True,
+    ):
+        """Text-to-speech then voice conversion onto `speaker_wav` (ref api.py:381).
+
+        Synthesizes with the loaded TTS model, then converts the result to the
+        target speaker with FreeVC (loading the released model if none is).
+        """
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as fp:
+            self.tts_to_file(
+                text=text, speaker=speaker, language=language, file_path=fp.name, split_sentences=split_sentences
+            )
+        if self.voice_converter is None:
+            self.load_vc_model_by_name("voice_conversion_models/multilingual/vctk/freevc24")
+        return self.voice_converter.voice_conversion(source_wav=fp.name, target_wav=speaker_wav)
+
+    def tts_with_vc_to_file(
+        self,
+        text: str,
+        language: str = None,
+        speaker_wav: str = None,
+        file_path: str = "output.wav",
+        speaker: str = None,
+        split_sentences: bool = True,
+    ) -> str:
+        from tpu_tts.audio.numpy_transforms import save_wav
+
+        wav = self.tts_with_vc(
+            text=text, language=language, speaker_wav=speaker_wav, speaker=speaker, split_sentences=split_sentences
+        )
+        save_wav(wav=np.array(wav), path=file_path, sample_rate=self.voice_converter.output_sample_rate)
         return file_path
