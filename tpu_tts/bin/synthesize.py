@@ -61,6 +61,9 @@ def make_parser():
     parser.add_argument("--speaker_wav", nargs="+", default=None)
     parser.add_argument("--capacitron_style_wav", type=str, default=None)
     parser.add_argument("--capacitron_style_text", type=str, default=None)
+    parser.add_argument("--gst_style", type=str, default=None, help="Wav path (or style-token JSON) for GST style reference.")
+    parser.add_argument("--save_spectogram", type=bool, default=False, help="Accepted for reference-CLI compat.")
+    parser.add_argument("--device", type=str, default="cpu", help="Accepted for reference-CLI compat; JAX manages devices.")
     # voice conversion
     parser.add_argument("--reference_wav", type=str, default=None)
     parser.add_argument("--reference_speaker_idx", type=str, default=None)
@@ -126,6 +129,7 @@ def main(argv=None):
             sys.exit(1)
         if args.text:
             print(f" > Text: {args.text}")
+        style_wav = args.capacitron_style_wav or args.gst_style
         wav = synthesizer.tts(
             text=args.text or "",
             speaker_name=args.speaker_idx or "",
@@ -133,6 +137,8 @@ def main(argv=None):
             speaker_wav=args.speaker_wav,
             reference_wav=args.reference_wav,
             reference_speaker_name=args.reference_speaker_idx,
+            style_wav=style_wav,
+            style_text=args.capacitron_style_text,
         )
 
     print(f" > Saving output to {args.out_path}")

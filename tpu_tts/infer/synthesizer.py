@@ -35,6 +35,7 @@ class Synthesizer:
     ) -> None:
         self.tts_checkpoint = tts_checkpoint
         self.tts_config_path = tts_config_path
+        self.tts_speakers_file = tts_speakers_file
         self.vocoder_checkpoint = vocoder_checkpoint
         self.vocoder_config_path = vocoder_config
         self.voice_dir = voice_dir
@@ -62,6 +63,14 @@ class Synthesizer:
         from tpu_tts.models import setup_model
 
         self.tts_config = load_config(config_path)
+        if self.tts_speakers_file:
+            # CLI/server override of the config's speakers file (ref synthesizer.py:30)
+            if hasattr(self.tts_config, "speakers_file"):
+                self.tts_config.speakers_file = self.tts_speakers_file
+            if getattr(self.tts_config, "model_args", None) is not None and hasattr(
+                self.tts_config.model_args, "speakers_file"
+            ):
+                self.tts_config.model_args.speakers_file = self.tts_speakers_file
         self.tts_model = setup_model(self.tts_config)
         self.tts_model.load_checkpoint(self.tts_config, checkpoint, eval=True)
         self.speaker_manager = self.tts_model.speaker_manager

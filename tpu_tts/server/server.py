@@ -137,17 +137,22 @@ def create_server(args):
 
     model_path, config_path = args.model_path, args.config_path
     vocoder_path, vocoder_config_path = args.vocoder_path, args.vocoder_config_path
+    vocoder_name = getattr(args, "vocoder_name", None)
     if args.model_name and not model_path:
         from tpu_tts.zoo.manage import ModelManager
 
         manager = ModelManager()
         model_path, config_path, model_item = manager.download_model(args.model_name)
-        if model_item.get("default_vocoder") and not vocoder_path:
-            vocoder_path, vocoder_config_path, _ = manager.download_model(model_item["default_vocoder"])
+        vocoder_name = vocoder_name or model_item.get("default_vocoder")
+    if vocoder_name and not vocoder_path:
+        from tpu_tts.zoo.manage import ModelManager
+
+        vocoder_path, vocoder_config_path, _ = ModelManager().download_model(vocoder_name)
 
     synthesizer = Synthesizer(
         tts_checkpoint=model_path or "",
         tts_config_path=config_path or "",
+        tts_speakers_file=getattr(args, "speakers_file_path", None) or "",
         vocoder_checkpoint=vocoder_path or "",
         vocoder_config=vocoder_config_path or "",
     )
@@ -166,10 +171,20 @@ def main(argv=None):
     parser.add_argument("--config_path", type=str, default=None)
     parser.add_argument("--vocoder_path", type=str, default=None)
     parser.add_argument("--vocoder_config_path", type=str, default=None)
+    parser.add_argument("--vocoder_name", type=str, default=None, help="Released vocoder model name.")
+    parser.add_argument("--speakers_file_path", type=str, default=None, help="JSON file for multi-speaker model.")
+    parser.add_argument("--list_models", action="store_true", help="List released models and exit.")
     parser.add_argument("--host", type=str, default="localhost")
     parser.add_argument("--port", type=int, default=5002)
     parser.add_argument("--use_cuda", type=bool, default=False)
+    parser.add_argument("--debug", type=bool, default=False, help="Accepted for reference-CLI compat.")
+    parser.add_argument("--show_details", type=bool, default=False, help="Serve config details at /details.")
     args = parser.parse_args(argv)
+    if args.list_models:
+        from tpu_tts.zoo.manage import ModelManager
+
+        ModelManager().list_models()
+        return
     server = create_server(args)
     print(f" > Serving on http://{args.host}:{args.port}", flush=True)
     server.serve_forever()
