@@ -196,12 +196,16 @@ class AlignTTS(BaseTTSModel):
     def init_params(self, rng):
         a = self.args
         B, T_en, T_de = 2, 8, 16
+        speaker_ids = None
+        if a.use_speaker_embedding and a.num_speakers > 1:
+            speaker_ids = jnp.zeros((B,), dtype=jnp.int32)
         variables = self.net.init(
             {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
             jnp.zeros((B, T_en), dtype=jnp.int32),
             jnp.full((B,), T_en, dtype=jnp.int32),
             jnp.zeros((B, T_de, a.out_channels)),
             jnp.full((B,), T_de, dtype=jnp.int32),
+            speaker_ids=speaker_ids,
         )
         self.params = variables["params"]
         return self.params
