@@ -1,0 +1,113 @@
+"""Smoke tests for the auxiliary CLI tools in tpu_tts/bin (mirror of the
+reference's aux tests: tests/aux_tests/test_find_unique_phonemes.py,
+tests/bash_tests/test_compute_statistics.sh, bin/resample.py,
+bin/remove_silence_using_vad.py, bin/collect_env_info.py)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import get_tests_data_path
+from tests.fixtures import ensure_ljspeech_fixture
+
+
+@pytest.fixture(scope="module")
+def fixture_cfg_path(tmp_path_factory):
+    from tpu_tts.config.shared_configs import BaseDatasetConfig
+    from tpu_tts.configs.glow_tts_config import GlowTTSConfig
+
+    fixture = ensure_ljspeech_fixture(get_tests_data_path())
+    cfg = GlowTTSConfig(
+        text_cleaner="english_cleaners",
+        use_phonemes=False,
+        phoneme_language="en-us",
+        eval_split_size=0.25,
+        datasets=[
+            BaseDatasetConfig(
+                formatter="ljspeech", meta_file_train="metadata.csv", path=fixture, dataset_name="fix"
+            )
+        ],
+    )
+    cfg.audio.mel_fmax = 8000.0
+    path = str(tmp_path_factory.mktemp("cfg") / "config.json")
+    cfg.save_json(path)
+    return path
+
+
+def test_compute_statistics(fixture_cfg_path, tmp_path):
+    from tpu_tts.bin.compute_statistics import main
+
+    out = str(tmp_path / "scale_stats.npy")
+    main(["--config_path", fixture_cfg_path, "--out_path", out])
+    stats = np.load(out, allow_pickle=True).item()
+    for key in ("mel_mean", "mel_std", "linear_mean", "linear_std"):
+        assert key in stats
+        assert np.isfinite(stats[key]).all()
+
+
+def test_find_unique_chars(fixture_cfg_path, capsys):
+    from tpu_tts.bin.find_unique_chars import main
+
+    main(["--config_path", fixture_cfg_path])
+    out = capsys.readouterr().out
+    assert "unique characters" in out.lower()
+
+
+def test_find_unique_phonemes(fixture_cfg_path, capsys):
+    from tpu_tts.bin.find_unique_phonemes import main
+
+    main(["--config_path", fixture_cfg_path])
+    out = capsys.readouterr().out
+    assert "phoneme" in out.lower()
+
+
+def test_resample(tmp_path):
+    from tpu_tts.audio.numpy_transforms import save_wav
+    from tpu_tts.bin.resample import main
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    sr = 22050
+    t = np.linspace(0, 0.25, int(sr * 0.25), endpoint=False)
+    save_wav(wav=(0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), path=str(in_dir / "a.wav"), sample_rate=sr)
+    out_dir = str(tmp_path / "out")
+    main(["--input_dir", str(in_dir), "--output_dir", out_dir, "--output_sr", "16000", "--n_jobs", "1"])
+    files = glob.glob(os.path.join(out_dir, "*.wav"))
+    assert len(files) == 1
+    import wave
+
+    with wave.open(files[0]) as w:
+        assert w.getframerate() == 16000
+        assert abs(w.getnframes() - 4000) <= 2
+
+
+def test_remove_silence_using_vad(tmp_path):
+    from tpu_tts.audio.numpy_transforms import save_wav
+    from tpu_tts.bin.remove_silence_using_vad import main
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    sr = 16000
+    tone = 0.4 * np.sin(2 * np.pi * 440 * np.linspace(0, 0.5, sr // 2, endpoint=False))
+    wav = np.concatenate([np.zeros(sr // 2), tone, np.zeros(sr // 2)]).astype(np.float32)
+    save_wav(wav=wav, path=str(in_dir / "a.wav"), sample_rate=sr)
+    out_dir = str(tmp_path / "out")
+    main(["-i", str(in_dir), "-o", out_dir, "--num_processes", "1"])
+    files = glob.glob(os.path.join(out_dir, "**/*.wav"), recursive=True)
+    assert len(files) == 1
+    import wave
+
+    with wave.open(files[0]) as w:
+        # leading/trailing silence trimmed: strictly shorter than the input
+        assert w.getnframes() < len(wav)
+        assert w.getnframes() >= len(tone) // 2
+
+
+def test_collect_env_info(capsys):
+    from tpu_tts.bin.collect_env_info import main
+
+    main([])
+    out = capsys.readouterr().out
+    assert "jax" in out.lower()
