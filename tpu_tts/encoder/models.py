@@ -25,8 +25,9 @@ class LSTMSpeakerEncoder(nn.Module):
     num_lstm_layers: int = 3
 
     @nn.compact
-    def __call__(self, x, l2_norm: bool = True):
-        """x: `[B, T, C_mel]` → `[B, proj_dim]`."""
+    def __call__(self, x, l2_norm: bool = True, train: bool = False):
+        """x: `[B, T, C_mel]` → `[B, proj_dim]` (`train` accepted for a
+        uniform encoder interface; the LSTM encoder has no train-time state)."""
         # instance norm over time per mel channel (ref lstm.py:93)
         x = (x - jnp.mean(x, axis=1, keepdims=True)) * jax.lax.rsqrt(
             jnp.var(x, axis=1, keepdims=True) + 1e-5
