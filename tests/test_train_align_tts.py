@@ -80,3 +80,27 @@ def test_align_tts_train_continue_infer(tmp_path):
     out = model.inference(np.asarray(ids, dtype=np.int32))
     mel = np.asarray(out["model_outputs"])
     assert np.isfinite(mel).all()
+
+    # teacher-forced spectrogram dump for vocoder fine-tuning
+    # (ref bin/extract_tts_spectrograms.py)
+    from tpu_tts.bin.extract_tts_spectrograms import main as extract_main
+
+    spec_dir = str(tmp_path / "specs")
+    extract_main(["--config_path", os.path.join(out_dir, "config.json"),
+                  "--checkpoint_path", last, "--output_path", spec_dir, "--debug"])
+    meta = open(os.path.join(spec_dir, "metadata.txt")).read().strip().splitlines()
+    assert meta, "no spectrograms dumped"
+    wav_path, npy_path = meta[0].split("|")
+    feats = np.load(npy_path)
+    assert feats.shape[0] == 80 and np.isfinite(feats).all()
+
+    # attention-mask dump (teacher durations, ref bin/compute_attention_masks.py)
+    from tpu_tts.bin.compute_attention_masks import main as attn_main
+
+    attn_dir = str(tmp_path / "attn")
+    attn_main(["--model_path", last, "--config_path", os.path.join(out_dir, "config.json"),
+               "--output_path", attn_dir])
+    attn_meta = open(os.path.join(attn_dir, "metadata_attn_mask.txt")).read().strip().splitlines()
+    assert attn_meta, "no attention masks dumped"
+    align = np.load(attn_meta[0].split("|")[1])
+    assert align.ndim == 2 and np.isfinite(align).all()

@@ -33,7 +33,12 @@ def main(argv=None):
 
     config = load_config(args.config_path)
     config.audio.do_trim_silence = False
-    train_samples, eval_samples = load_tts_samples(config.datasets, eval_split=True)
+    train_samples, eval_samples = load_tts_samples(
+        config.datasets,
+        eval_split=True,
+        eval_split_max_size=getattr(config, "eval_split_max_size", None),
+        eval_split_size=getattr(config, "eval_split_size", 0.01),
+    )
     samples = train_samples + (eval_samples or [])
 
     model = setup_model(config)
