@@ -34,13 +34,40 @@ def _batch(B=2, T_en=9, T_de=24, step=0):
 
 
 def test_align_tts_loss_all_phases():
+    """Phase index counts boundaries strictly below the step (ref
+    align_tts.py:417 `i < global_step`) and gates loss terms exactly as
+    AlignTTSLoss.forward (losses.py:591-618): 0=mdn, 1=spec+ssim,
+    2=mdn+spec+ssim, 3=dur only, >=4 all."""
     model = AlignTTS(_small_cfg())
     model.phase_start_steps = [0, 10, 20, 30, 40]
     params = model.init_params(jax.random.PRNGKey(0))
-    for step, expected_phase in [(0, 0), (10, 1), (25, 2), (35, 3), (50, 4)]:
+    active = {
+        0: ("mdn",),
+        1: ("spec", "ssim"),
+        2: ("mdn", "spec", "ssim"),
+        3: ("dur",),
+        4: ("mdn", "spec", "ssim", "dur"),
+        5: ("mdn", "spec", "ssim", "dur"),
+    }
+    for step, expected_phase in [(0, 0), (5, 1), (15, 2), (25, 3), (35, 4), (50, 5)]:
         loss, logs = model.loss_fn(params, _batch(step=step), jax.random.PRNGKey(1))
-        assert int(logs["phase"]) == expected_phase
+        assert int(logs["phase"]) == expected_phase, step
         assert np.isfinite(float(loss))
+        terms = {"mdn": logs["loss_mdn"], "spec": logs["loss_spec"],
+                 "ssim": logs["loss_ssim"], "dur": logs["loss_dur"]}
+        expected = sum(float(terms[t]) for t in active[expected_phase])
+        assert abs(float(loss) - expected) < 1e-5, (step, expected_phase)
+
+
+def test_align_tts_no_phase_schedule():
+    """phase_start_steps=None trains without phases — every loss active
+    (ref align_tts.py:427 phase=None → AlignTTSLoss else-branch)."""
+    model = AlignTTS(_small_cfg())
+    assert model.phase_start_steps is None
+    params = model.init_params(jax.random.PRNGKey(0))
+    loss, logs = model.loss_fn(params, _batch(step=0), jax.random.PRNGKey(1))
+    expected = sum(float(logs[k]) for k in ("loss_mdn", "loss_spec", "loss_ssim", "loss_dur"))
+    assert abs(float(loss) - expected) < 1e-5
 
 
 def test_align_tts_grads_and_param_update():
@@ -90,6 +117,29 @@ def test_mdn_forward_loss_monotonic_lattice():
     l_good = float(mdn_forward_loss(jnp.asarray(good), tl, ml))
     l_bad = float(mdn_forward_loss(jnp.asarray(bad), tl, ml))
     assert l_good < l_bad
+
+
+def test_mdn_forward_loss_padding_invariant():
+    """The lattice terminal must be read at (text_lens-1, mel_lens-1); padded
+    mel columns (masked to -1e4 as in AlignTTSNet.__call__) must not change the
+    NLL (ref MDNLoss gathers log_alpha[b, text_len-1, mel_len-1])."""
+    rng = np.random.default_rng(0)
+    B, T_en, T_de = 2, 5, 12
+    logp = rng.standard_normal((B, T_en, T_de)).astype(np.float32)
+    tl = jnp.array([T_en, T_en - 2], dtype=jnp.int32)
+    ml = jnp.array([T_de, T_de - 4], dtype=jnp.int32)
+    # mask padded (text, mel) cells exactly as the model does
+    tmask = (np.arange(T_en)[None, :, None] < np.asarray(tl)[:, None, None])
+    mmask = (np.arange(T_de)[None, None, :] < np.asarray(ml)[:, None, None])
+    mask = (tmask & mmask).astype(np.float32)
+    logp_masked = logp * mask + (1 - mask) * -1e4
+    base = float(mdn_forward_loss(jnp.asarray(logp_masked), tl, ml))
+    # grow the bucket: extra all-padding mel columns must be a no-op
+    pad = np.full((B, T_en, 7), -1e4, dtype=np.float32)
+    wider = np.concatenate([logp_masked, pad], axis=2)
+    padded = float(mdn_forward_loss(jnp.asarray(wider), tl, ml))
+    assert abs(base - padded) < 1e-3, (base, padded)
+    assert abs(base) < 1e3, "padded frames leaked ~1e4 terms into the NLL"
 
 
 def test_align_tts_setup_model_registry():

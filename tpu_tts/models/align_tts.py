@@ -48,22 +48,30 @@ class AlignTTSArgs(Coqpit):
 
 
 def mdn_forward_loss(logp: jnp.ndarray, text_lens: jnp.ndarray, mel_lens: jnp.ndarray) -> jnp.ndarray:
-    """Forward algorithm over the monotonic lattice (ref MDNLoss losses.py:541).
-    logp `[B, T_en, T_de]` → mean NLL."""
+    """Forward algorithm over the monotonic lattice (ref MDNLoss losses.py:541-562).
+    The lattice terminal is gathered per sample at (text_lens-1, mel_lens-1) —
+    exactly the reference's `log_alpha[arange(B), text_lens-1, mel_lens-1]` —
+    so bucket-padded mel columns (masked to -1e4 upstream) never leak into the
+    NLL. logp `[B, T_en, T_de]` → mean NLL, per-sample normalized by mel length."""
     B, T_en, T_de = logp.shape
     neg = -1e4
     alpha0 = jnp.full((B, T_en), neg)
     alpha0 = alpha0.at[:, 0].set(logp[:, 0, 0])
+    tgather = (text_lens - 1)[:, None]
+    term0 = jnp.where(mel_lens == 1, jnp.take_along_axis(alpha0, tgather, axis=1)[:, 0], neg)
 
-    def step(alpha, col):
+    def step(carry, inp):
+        alpha, term = carry
+        t, col = inp
         prev_shift = jnp.concatenate([jnp.full((B, 1), neg), alpha[:, :-1]], axis=1)
-        alpha_new = jnp.logaddexp(alpha, prev_shift) + col
-        return alpha_new, None
+        alpha = jnp.logaddexp(alpha, prev_shift) + col
+        last = jnp.take_along_axis(alpha, tgather, axis=1)[:, 0]
+        term = jnp.where(mel_lens == t + 1, last, term)
+        return (alpha, term), None
 
     cols = jnp.moveaxis(logp, 2, 0)[1:]  # [T_de-1, B, T_en]
-    alpha, _ = jax.lax.scan(step, alpha0, cols)
-    last = jnp.take_along_axis(alpha, (text_lens - 1)[:, None], axis=1)[:, 0]
-    return -jnp.mean(last / mel_lens.astype(jnp.float32)) / T_en
+    (_, term), _ = jax.lax.scan(step, (alpha0, term0), (jnp.arange(1, T_de), cols))
+    return -jnp.mean(term / mel_lens.astype(jnp.float32)) / T_en
 
 
 class AlignTTSNet(nn.Module):
@@ -189,7 +197,10 @@ class AlignTTS(BaseTTSModel):
         if args.num_chars is None:
             args.num_chars = 130
         self.args = args
-        self.phase_start_steps = getattr(config, "phase_start_steps", None) or [0, 40000, 80000, 160000, 170000]
+        # `None` disables the phase schedule — all losses active every step,
+        # training "without phases as in the original paper"
+        # (ref align_tts.py:414-428 `_set_phase`)
+        self.phase_start_steps = getattr(config, "phase_start_steps", None)
         self.net = AlignTTSNet(args=tuple(sorted(args.to_dict().items())))
         self._infer_cache = {}
 
@@ -222,8 +233,15 @@ class AlignTTS(BaseTTSModel):
             rngs={"dropout": rng},
         )
         step = batch.get("global_step", jnp.asarray(10**9))
-        bounds = jnp.asarray(self.phase_start_steps[1:] + [2**31 - 1])
-        phase = jnp.sum(step >= bounds)  # 0..4
+        if self.phase_start_steps is None:
+            # no phase schedule: all losses, like the reference's phase=None path
+            phase = jnp.asarray(4, dtype=jnp.int32)
+        else:
+            # ref align_tts.py:417 counts `i < global_step` over the FULL
+            # phase_start_steps list (strict: the switch fires one step AFTER
+            # the boundary), giving phase indices 0..len(list)
+            bounds = jnp.asarray(self.phase_start_steps)
+            phase = jnp.sum(bounds < step)
 
         l_mdn = mdn_forward_loss(outputs["logp"], batch["text_lengths"], batch["mel_lengths"])
         l_spec = masked_mse_loss(outputs["model_outputs"], batch["mel_input"], batch["mel_lengths"])
@@ -232,14 +250,20 @@ class AlignTTS(BaseTTSModel):
         l_dur = masked_mse_loss(
             outputs["durations_log"][:, :, None], dur_target[:, :, None], batch["text_lengths"]
         )
-        # phase gating (ref AlignTTSLoss.set_alphas)
-        use_mdn = (phase == 0) | (phase == 1) | (phase >= 3)
-        use_spec = (phase >= 1)
-        use_dur = (phase >= 2)
+        # phase gating exactly as ref AlignTTSLoss.forward (losses.py:591-618):
+        # 0: mdn · 1: spec+ssim · 2: mdn+spec+ssim · 3: dur · ≥4: all
+        use_mdn = (phase == 0) | (phase == 2) | (phase >= 4)
+        use_spec = (phase == 1) | (phase == 2) | (phase >= 4)
+        use_dur = (phase >= 3)
+        c = self.config
         loss = (
-            jnp.where(use_mdn, l_mdn, 0.0)
-            + jnp.where(use_spec, l_spec + l_ssim, 0.0)
-            + jnp.where(use_dur, l_dur, 0.0)
+            jnp.where(use_mdn, getattr(c, "mdn_alpha", 1.0) * l_mdn, 0.0)
+            + jnp.where(
+                use_spec,
+                getattr(c, "spec_loss_alpha", 1.0) * l_spec + getattr(c, "ssim_alpha", 1.0) * l_ssim,
+                0.0,
+            )
+            + jnp.where(use_dur, getattr(c, "dur_loss_alpha", 1.0) * l_dur, 0.0)
         )
         return loss, {
             "loss": loss,
