@@ -1,16 +1,20 @@
-"""Benchmark: VITS end-to-end inference RTF on the current accelerator.
+"""Benchmarks on the current accelerator — multi-metric (VERDICT r1 #5).
 
-Default dtype is bf16 (native MXU serving dtype); set BENCH_DTYPE=f32 to
-measure full precision.
+Emits ONE JSON line per metric:
+  {"metric", "value", "unit", "vs_baseline"}
+- vits_gan_train_steps_per_s_bf16 / _f32 — full-size VITS GAN train step
+  (D+G optimizers), mixed-precision vs fp32 (no reference number → the
+  vs_baseline field is the bf16/f32 speedup for the bf16 row, null for f32).
+- xtts_first_chunk_latency_ms — full-size XTTS streaming first chunk
+  (reference target < 200 ms, /root/reference/README.md:5). vs_baseline is
+  target/actual (>1 = faster than target).
+- vits_e2e_inference_rtf — PRINTED LAST (the driver's `parsed` field takes
+  the last JSON line; this is the headline vs the reference's ×67.12,
+  /root/reference/docs/source/models/vits.md:7).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference's published VITS inference RTF of ×67.12 realtime on
-"a GPU" (/root/reference/docs/source/models/vits.md:7; BASELINE.md).
-
-Measures the full-size VITS graph (hidden 192, HiFi-GAN v1 decoder, hop 256 @
-22.05 kHz) generating bucketed fixed-shape audio: tokens → durations → flow
-reverse → waveform. Audio seconds are counted from the decoded frames actually
-produced (y_max bucket), since the padded decode does the full compute.
+Stage selection: BENCH_STAGES=train,xtts,rtf (default all). Each stage is
+fail-safe: an exception prints to stderr and the remaining stages still run.
+Default dtype for inference is bf16 (BENCH_DTYPE=f32 to override).
 """
 
 import json
@@ -21,14 +25,110 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": value,
+        "unit": unit,
+        "vs_baseline": vs_baseline,
+    }), flush=True)
 
-    # persistent compilation cache: driver re-runs skip the multi-minute
-    # remote compile of the full VITS graph
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# --------------------------------------------------------------------- train
+def bench_train_steps():
+    """Full-size VITS GAN train step (both optimizers) — steps/s, bf16 vs f32."""
+    import jax
+    import optax
+
+    from tpu_tts.configs.vits_config import VitsConfig
+    from tpu_tts.models.vits import Vits
+
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    T_en, T_spec = 128, 256
+    hop = 256
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "text_input": np.asarray(rng.integers(1, 160, (B, T_en)), dtype=np.int32),
+        "text_lengths": np.full((B,), T_en, dtype=np.int32),
+        "mel_lengths": np.full((B,), T_spec, dtype=np.int32),
+        "waveform": np.asarray(rng.standard_normal((B, T_spec * hop, 1)) * 0.1, dtype=np.float32),
+    }
+
+    results = {}
+    for tag, mp in (("bf16", True), ("f32", False)):
+        cfg = VitsConfig()
+        cfg.model_args.num_chars = 165
+        cfg.mixed_precision = mp
+        model = Vits(cfg)
+        t0 = time.perf_counter()
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = model.init_params(jax.random.PRNGKey(0))
+        params = jax.device_put(params, jax.devices()[0])
+        opts = model.get_optimizer()
+        opt_states = [
+            jax.device_put(opts[i].init(jax.tree_util.tree_map(np.asarray, model.param_partition(params, i))),
+                           jax.devices()[0])
+            for i in range(2)
+        ]
+        print(f"[bench:train:{tag}] init {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+        def make_step(idx):
+            def step(p, s, batch, key):
+                sub = model.param_partition(p, idx)
+
+                def loss_sub(x):
+                    merged = model.param_merge(p, x, idx)
+                    return model.loss_fn(merged, batch, key, optimizer_idx=idx)
+
+                (loss, _), grads = jax.value_and_grad(loss_sub, has_aux=True)(sub)
+                updates, s = opts[idx].update(grads, s, sub)
+                sub = optax.apply_updates(sub, updates)
+                return model.param_merge(p, sub, idx), s, loss
+
+            return jax.jit(step, donate_argnums=(0, 1))
+
+        steps = [make_step(0), make_step(1)]
+        batch = {k: jax.device_put(v, jax.devices()[0]) for k, v in batch_np.items()}
+        t_c = time.perf_counter()
+        for idx in (0, 1):
+            params, opt_states[idx], loss = steps[idx](params, opt_states[idx], batch, jax.random.PRNGKey(idx))
+        assert np.isfinite(float(loss)), "train loss not finite"
+        print(f"[bench:train:{tag}] compile+warmup {time.perf_counter()-t_c:.1f}s (B={B})",
+              file=sys.stderr, flush=True)
+
+        n_iters = int(os.environ.get("BENCH_TRAIN_ITERS", "6"))
+        times = []
+        for i in range(n_iters):
+            t0 = time.perf_counter()
+            for idx in (0, 1):
+                params, opt_states[idx], loss = steps[idx](
+                    params, opt_states[idx], batch, jax.random.PRNGKey(10 + i)
+                )
+            _ = float(loss)  # D2H sync
+            times.append(time.perf_counter() - t0)
+        results[tag] = 1.0 / float(np.median(times))
+        del params, opt_states, steps, batch  # free HBM before next stage
+
+    speedup = results["bf16"] / results["f32"] if results.get("f32") else None
+    _emit("vits_gan_train_steps_per_s_f32", round(results["f32"], 3), "steps/s", None)
+    _emit("vits_gan_train_steps_per_s_bf16", round(results["bf16"], 3), "steps/s",
+          round(speedup, 3) if speedup else None)
+
+
+# ---------------------------------------------------------------------- xtts
+def bench_xtts_first_chunk():
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from xtts_stream_latency import measure
+
+    m = measure(iters=int(os.environ.get("LAT_ITERS", "5")))
+    val = m["first_chunk_ms"]
+    _emit("xtts_first_chunk_latency_ms", val, "ms", round(200.0 / val, 3))
+
+
+# ----------------------------------------------------------------------- rtf
+def bench_inference_rtf():
+    import jax
     import jax.numpy as jnp
 
     from tpu_tts.configs.vits_config import VitsConfig
@@ -37,8 +137,7 @@ def main():
     cfg = VitsConfig()
     cfg.model_args.num_chars = 165
     model = Vits(cfg)
-    # init on CPU (fast local compile), then ship params to the accelerator —
-    # avoids spending accelerator remote-compile time on the init graph
+    # init on CPU (fast local compile), then ship params to the accelerator
     t0 = time.perf_counter()
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -50,7 +149,7 @@ def main():
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
         )
     model.params = params
-    print(f"[bench] init {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    print(f"[bench:rtf] init {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     sr = cfg.audio.sample_rate
     hop = cfg.audio.hop_length
@@ -88,9 +187,7 @@ def main():
 
         fn = jax.jit(_infer)
     elif use_pallas:
-        # fused Pallas MRF decoder (tpu_tts/ops/hifigan_pallas.py): the
-        # waveform decoder is ~100% of inference time and bandwidth-bound in
-        # the XLA path; the fused kernel keeps each stage VMEM-resident
+        # fused Pallas MRF decoder (tpu_tts/ops/hifigan_pallas.py)
         from tpu_tts.ops.hifigan_pallas import hifigan_apply_pallas
 
         a = cfg.model_args
@@ -119,14 +216,12 @@ def main():
         )
 
     g = params["generator"]
-    # warmup / compile; force a real device->host sync via data fetch
-    # (block_until_ready alone can be unreliable on experimental backends)
-    print(f"[bench] compiling... (B={B}, T_en={T_en}, Y={Y_MAX})", file=sys.stderr, flush=True)
+    print(f"[bench:rtf] compiling... (B={B}, T_en={T_en}, Y={Y_MAX})", file=sys.stderr, flush=True)
     t_c = time.perf_counter()
     out = fn(g, x, xl, jax.random.PRNGKey(0))
     chk = np.asarray(out[:, :8, 0])
     assert np.isfinite(chk).all()
-    print(f"[bench] compile+warmup {time.perf_counter()-t_c:.1f}s", file=sys.stderr, flush=True)
+    print(f"[bench:rtf] compile+warmup {time.perf_counter()-t_c:.1f}s", file=sys.stderr, flush=True)
 
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
     times = []
@@ -139,17 +234,31 @@ def main():
 
     audio_seconds = n_iters * B * (Y_MAX * hop / sr)
     rtf = audio_seconds / dt
-    baseline = 67.12
-    print(
-        json.dumps(
-            {
-                "metric": "vits_e2e_inference_rtf",
-                "value": round(rtf, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(rtf / baseline, 3),
-            }
-        )
-    )
+    _emit("vits_e2e_inference_rtf", round(rtf, 2), "x_realtime", round(rtf / 67.12, 3))
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: driver re-runs skip the multi-minute
+    # remote compile of the full VITS/XTTS graphs
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    stages = os.environ.get("BENCH_STAGES", "train,xtts,rtf").split(",")
+    runners = {
+        "train": bench_train_steps,
+        "xtts": bench_xtts_first_chunk,
+        "rtf": bench_inference_rtf,  # keep LAST: driver parses the last line
+    }
+    for name in ("train", "xtts", "rtf"):
+        if name not in stages:
+            continue
+        try:
+            runners[name]()
+        except Exception as e:  # stage failures must not kill the headline metric
+            print(f"[bench:{name}] FAILED: {type(e).__name__}: {e}", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

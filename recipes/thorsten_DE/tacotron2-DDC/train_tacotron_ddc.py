@@ -1,0 +1,88 @@
+"""Thorsten-DE Tacotron2-DDC recipe (behavioral mirror of /root/reference/recipes/thorsten_DE/tacotron2-DDC/train_tacotron_ddc.py, on the
+tpu_tts trainer)."""
+
+import os
+
+from tpu_tts.parallel import maybe_force_platform
+
+maybe_force_platform()
+
+from tpu_tts.config.shared_configs import BaseAudioConfig, BaseDatasetConfig
+from tpu_tts.configs.tacotron2_config import Tacotron2Config
+from tpu_tts.data import load_tts_samples
+from tpu_tts.models.tacotron2 import Tacotron2
+from tpu_tts.train import Trainer, TrainerArgs
+
+output_path = os.path.dirname(os.path.abspath(__file__))
+
+dataset_config = BaseDatasetConfig(
+    formatter="thorsten", meta_file_train="metadata.csv", path=os.path.join(output_path, "../thorsten-de/")
+)
+
+
+def ensure_dataset():
+    """Download the dataset if not already present (ref recipe download gate)."""
+    if not os.path.exists(dataset_config.path):
+        from tpu_tts.utils.downloaders import download_thorsten_de
+
+        print("Downloading dataset")
+        download_thorsten_de(os.path.split(os.path.abspath(dataset_config.path))[0])
+
+audio_config = BaseAudioConfig(
+    sample_rate=22050,
+    do_trim_silence=True,
+    trim_db=60.0,
+    signal_norm=False,
+    mel_fmin=0.0,
+    mel_fmax=8000,
+    spec_gain=1.0,
+    log_func="np.log",
+    ref_level_db=20,
+    preemphasis=0.0,
+)
+
+config = Tacotron2Config(
+    audio=audio_config,
+    batch_size=40,
+    eval_batch_size=16,
+    num_loader_workers=4,
+    num_eval_loader_workers=4,
+    run_eval=True,
+    test_delay_epochs=-1,
+    r=6,
+    gradual_training=[[0, 6, 64], [10000, 4, 32], [50000, 3, 32], [100000, 2, 32]],
+    double_decoder_consistency=True,
+    epochs=1000,
+    text_cleaner="phoneme_cleaners",
+    use_phonemes=True,
+    phoneme_language="de",
+    phoneme_cache_path=os.path.join(output_path, "phoneme_cache"),
+    precompute_num_workers=8,
+    print_step=25,
+    print_eval=True,
+    mixed_precision=False,
+    test_sentences=[
+        "Es hat mich viel Zeit gekostet ein Stimme zu entwickeln, jetzt wo ich sie habe werde ich nicht mehr schweigen.",
+        "Sei eine Stimme, kein Echo.",
+        "Es tut mir Leid David. Das kann ich leider nicht machen.",
+        "Dieser Kuchen ist großartig. Er ist so lecker und feucht.",
+        "Vor dem 22. November 1963.",
+    ],
+    output_path=output_path,
+    datasets=[dataset_config],
+)
+
+if __name__ == "__main__":
+    ensure_dataset()
+    train_samples, eval_samples = load_tts_samples(
+        config.datasets,
+        eval_split=True,
+        eval_split_max_size=config.eval_split_max_size,
+        eval_split_size=config.eval_split_size,
+    )
+    model = Tacotron2.init_from_config(config, samples=train_samples + (eval_samples or []))
+    trainer = Trainer(
+        TrainerArgs(), model.config, output_path, model=model,
+        train_samples=train_samples, eval_samples=eval_samples,
+    )
+    trainer.fit()

@@ -1,0 +1,86 @@
+"""VCTK multi-speaker FastSpeech recipe (behavioral mirror of /root/reference/recipes/vctk/fast_speech/train_fast_speech.py, on the
+tpu_tts trainer)."""
+
+import os
+
+from tpu_tts.parallel import maybe_force_platform
+
+maybe_force_platform()
+
+from tpu_tts.config.shared_configs import BaseAudioConfig, BaseDatasetConfig
+from tpu_tts.configs.forward_tts_configs import FastSpeechConfig
+from tpu_tts.data import load_tts_samples
+from tpu_tts.models.forward_tts import ForwardTTS
+from tpu_tts.train import Trainer, TrainerArgs
+
+output_path = os.path.dirname(os.path.abspath(__file__))
+
+dataset_path = os.path.join(output_path, "../VCTK/")
+
+
+def ensure_dataset():
+    """Download VCTK if not already present (ref recipe download gate)."""
+    if not os.path.exists(dataset_path):
+        from tpu_tts.utils.downloaders import download_vctk
+
+        print("Downloading VCTK dataset")
+        download_vctk(dataset_path)
+
+
+dataset_config = BaseDatasetConfig(formatter="vctk", meta_file_train="", path=dataset_path)
+
+audio_config = BaseAudioConfig(
+    sample_rate=22050,
+    do_trim_silence=True,
+    trim_db=23.0,
+    signal_norm=False,
+    mel_fmin=0.0,
+    mel_fmax=8000,
+    spec_gain=1.0,
+    log_func="np.log",
+    ref_level_db=20,
+    preemphasis=0.0,
+)
+
+config = FastSpeechConfig(
+    run_name="fast_speech_vctk",
+    audio=audio_config,
+    batch_size=32,
+    eval_batch_size=16,
+    num_loader_workers=8,
+    num_eval_loader_workers=4,
+    compute_input_seq_cache=True,
+    precompute_num_workers=4,
+    run_eval=True,
+    test_delay_epochs=-1,
+    epochs=1000,
+    text_cleaner="english_cleaners",
+    use_phonemes=True,
+    phoneme_language="en-us",
+    phoneme_cache_path=os.path.join(output_path, "phoneme_cache"),
+    print_step=50,
+    print_eval=False,
+    mixed_precision=False,
+    min_text_len=0,
+    max_text_len=500,
+    min_audio_len=0,
+    max_audio_len=500000,
+    output_path=output_path,
+    datasets=[dataset_config],
+    use_speaker_embedding=True,
+)
+
+if __name__ == "__main__":
+    ensure_dataset()
+    train_samples, eval_samples = load_tts_samples(
+        config.datasets,
+        eval_split=True,
+        eval_split_max_size=config.eval_split_max_size,
+        eval_split_size=config.eval_split_size,
+    )
+    model = ForwardTTS.init_from_config(config, samples=train_samples + (eval_samples or []))
+    trainer = Trainer(
+        TrainerArgs(), model.config, output_path, model=model,
+        train_samples=train_samples, eval_samples=eval_samples,
+    )
+    trainer.fit()

@@ -21,7 +21,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main():
+def measure(iters: int = None) -> dict:
+    """Build the full-size XTTS streaming graph and measure first-chunk
+    latency + cadence; returns the metrics dict (also used by bench.py)."""
     from tpu_tts.parallel import maybe_force_platform
 
     maybe_force_platform()
@@ -75,7 +77,7 @@ def main():
     print(f"[lat] compile+warmup {time.perf_counter()-t_c:.1f}s", file=sys.stderr, flush=True)
 
     firsts, cadences, steady_audio = [], [], []
-    for _ in range(int(os.environ.get("LAT_ITERS", "5"))):
+    for _ in range(iters or int(os.environ.get("LAT_ITERS", "5"))):
         marks = run()
         firsts.append(marks[0][0])
         cadences += [marks[i][0] - marks[i - 1][0] for i in range(1, len(marks))]
@@ -83,14 +85,18 @@ def main():
     sr = a.output_sample_rate
     first_audio_ms = marks[0][1] / sr * 1e3
     steady_audio_s = float(np.median(steady_audio)) / sr if steady_audio else None
-    print(json.dumps({
+    return {
         "first_chunk_ms": round(float(np.median(firsts)) * 1e3, 1),
         "first_chunk_audio_ms": round(first_audio_ms, 1),
         "per_chunk_ms": round(float(np.median(cadences)) * 1e3, 1) if cadences else None,
         "chunk_audio_ms": round(steady_audio_s * 1e3, 1) if steady_audio_s else None,
         "rtf_steady": round(steady_audio_s / float(np.median(cadences)), 2) if cadences else None,
         "reference_target_ms": 200,
-    }))
+    }
+
+
+def main():
+    print(json.dumps(measure()))
 
 
 if __name__ == "__main__":

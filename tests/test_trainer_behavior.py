@@ -1,0 +1,96 @@
+"""Trainer behavior tests (VERDICT r1 weak #1-3):
+- eval loss fns are jitted ONCE per optimizer and cached — an eval epoch must
+  not retrace per batch (same-shape batches trace exactly once);
+- `grad_accum_steps` actually accumulates (params step only every k batches);
+- the `_device_batch` replication fallback warns (once per key).
+"""
+
+import io
+import contextlib
+
+import jax
+import numpy as np
+import pytest
+
+from tests.test_glow_tts import _batch, _small_config
+from tpu_tts.models.glow_tts import GlowTTS
+from tpu_tts.train import Trainer, TrainerArgs
+
+
+def _np_batch(**kw):
+    return {k: np.asarray(v) for k, v in _batch(**kw).items()}
+
+
+def _make_trainer(tmp_path, model, **args_kw):
+    cfg = model.config
+    cfg.output_path = str(tmp_path)
+    return Trainer(TrainerArgs(**args_kw), cfg, str(tmp_path), model=model)
+
+
+def test_eval_epoch_traces_once(tmp_path):
+    model = GlowTTS(_small_config())
+    model.init_params(jax.random.PRNGKey(0))
+    trainer = _make_trainer(tmp_path, model)
+
+    calls = {"n": 0}
+    orig_loss_fn = model.loss_fn
+
+    def counting_loss_fn(*a, **kw):
+        calls["n"] += 1  # only invoked when jit TRACES (not on cached executions)
+        return orig_loss_fn(*a, **kw)
+
+    model.loss_fn = counting_loss_fn
+    loader = [_np_batch() for _ in range(4)]  # identical shapes
+    trainer.eval_epoch(loader)
+    assert calls["n"] == trainer.num_optimizers, (
+        f"eval retraced {calls['n']} times for {trainer.num_optimizers} optimizer(s) "
+        f"over 4 same-shape batches — the jitted eval fn is not being cached"
+    )
+    # second epoch: zero new traces
+    calls["n"] = 0
+    trainer.eval_epoch(loader)
+    assert calls["n"] == 0
+
+
+def test_grad_accum_steps(tmp_path):
+    model = GlowTTS(_small_config())
+    # host snapshot: trainer's device_put can alias (and later donate) the
+    # very arrays init_params returned
+    params0 = jax.device_get(model.init_params(jax.random.PRNGKey(0)))
+    trainer = _make_trainer(tmp_path, model, grad_accum_steps=2)
+    batch = _np_batch()
+
+    def max_delta():
+        return max(
+            float(np.max(np.abs(np.asarray(a, dtype=np.float32) - np.asarray(b, dtype=np.float32))))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(jax.device_get(trainer.params)),
+                jax.tree_util.tree_leaves(params0),
+            )
+        )
+
+    trainer.train_step(dict(batch))
+    assert max_delta() == 0.0, "params moved on the first micro-batch despite grad_accum_steps=2"
+    trainer.total_steps_done += 1
+    trainer.train_step(dict(batch))
+    assert max_delta() > 0.0, "params never moved after grad_accum_steps micro-batches"
+
+
+def test_grad_accum_rejects_invalid(tmp_path):
+    model = GlowTTS(_small_config())
+    model.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        _make_trainer(tmp_path, model, grad_accum_steps=0)
+
+
+def test_device_batch_replication_warns_once(tmp_path, capsys):
+    model = GlowTTS(_small_config())
+    model.init_params(jax.random.PRNGKey(0))
+    trainer = _make_trainer(tmp_path, model)
+    if trainer.local_device_count < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    bad = {"x": np.zeros((3, 4), dtype=np.float32)}  # 3 % 8 != 0
+    trainer._device_batch(dict(bad))
+    trainer._device_batch(dict(bad))
+    out = capsys.readouterr().out
+    assert out.count("loses data parallelism") == 1

@@ -9,9 +9,10 @@ import os
 import sys
 from dataclasses import dataclass, field
 
-from tpu_tts.parallel import maybe_force_platform
+from tpu_tts.parallel import maybe_force_platform, maybe_init_distributed
 
 maybe_force_platform()
+maybe_init_distributed()
 
 from tpu_tts.config import load_config, register_config
 from tpu_tts.config.base import Coqpit

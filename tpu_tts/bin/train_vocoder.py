@@ -4,9 +4,10 @@ import os
 import sys
 from dataclasses import dataclass
 
-from tpu_tts.parallel import maybe_force_platform
+from tpu_tts.parallel import maybe_force_platform, maybe_init_distributed
 
 maybe_force_platform()
+maybe_init_distributed()
 
 from tpu_tts.config import load_config
 from tpu_tts.train import Trainer, TrainerArgs

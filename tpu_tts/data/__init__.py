@@ -123,3 +123,16 @@ def load_attention_mask_meta_data(metafile_path: str) -> List:
 
 def _get_formatter_by_name(name: str) -> Callable:
     return getattr(_formatters, name.lower())
+
+
+def shard_batch_indices(chunk, num_shards: int, shard_id: int):
+    """Contiguous per-process slice of one global batch's indices (the JAX
+    counterpart of the reference's DistributedSampler rank slicing,
+    base_tts.py:274-276). Returns None when the batch is too small to split
+    (callers skip it identically on every process)."""
+    if num_shards <= 1:
+        return chunk
+    per = len(chunk) // num_shards
+    if per == 0:
+        return None
+    return chunk[shard_id * per : (shard_id + 1) * per]

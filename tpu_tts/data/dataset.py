@@ -207,21 +207,56 @@ class TTSDataset:
         if self.verbose:
             print(f" | > Preprocessed {len(self.samples)} samples.")
 
+    # --------------------------------------------------- multi-process hints
+    def mel_frames_upper_bound(self, idx: int) -> int:
+        """Upper bound on mel frames for sample `idx` from the wav header
+        alone (no decode): used to agree on bucket shapes across processes.
+        Trimming only shortens audio, so header length is a safe bound."""
+        import scipy.io.wavfile
+
+        item = self.samples[idx]
+        try:
+            sr, data = scipy.io.wavfile.read(item["audio_file"], mmap=True)
+        except (OSError, ValueError):
+            return self.mel_bucket
+        n = data.shape[0]
+        if sr != self.ap.sample_rate:
+            n = int(np.ceil(n * self.ap.sample_rate / sr))
+        return n // self.ap.hop_length + 2
+
+    def shard_pad_hint(self, global_batch_idx: List[int]) -> tuple:
+        """(min T_text, min T_mel) every process must pad its shard of this
+        global batch to — a deterministic function of global metadata, so all
+        shards produce identical bucketed shapes for
+        `jax.make_array_from_process_local_data`."""
+        t_text = max(
+            len(self.get_token_ids(i, self.samples[i]["text"])) for i in global_batch_idx
+        )
+        t_mel = max(self.mel_frames_upper_bound(i) for i in global_batch_idx)
+        return t_text, t_mel
+
     # ---------------------------------------------------------------- collate
-    def collate_fn(self, batch: List[Dict]) -> Dict:
+    def collate_fn(self, batch: List[Dict], pad_to: Optional[tuple] = None) -> Dict:
         """Pad to bucketed shapes and build the training batch dict.
 
         Output key naming follows the reference trainer contract
         (base_tts.py:163 `format_batch`): text_input, text_lengths, mel_input,
         mel_lengths, stop_targets, speaker_ids/d_vectors, ...
+
+        `pad_to=(t_text, t_mel)` forces minimum pre-bucket pad lengths — used
+        by sharded loaders so every process's shard lands in the same bucket.
         """
         B = len(batch)
         token_lens = np.array([len(d["token_ids"]) for d in batch], dtype=np.int32)
         mels = [self.ap.melspectrogram(d["wav"]).astype(np.float32).T for d in batch]  # [T, C]
         mel_lens = np.array([m.shape[0] for m in mels], dtype=np.int32)
 
-        T_text = _bucket(int(token_lens.max()), self.text_bucket)
-        T_mel = _bucket(int(mel_lens.max()), self.mel_bucket)
+        t_text_raw, t_mel_raw = int(token_lens.max()), int(mel_lens.max())
+        if pad_to is not None:
+            t_text_raw = max(t_text_raw, pad_to[0])
+            t_mel_raw = max(t_mel_raw, pad_to[1])
+        T_text = _bucket(t_text_raw, self.text_bucket)
+        T_mel = _bucket(t_mel_raw, self.mel_bucket)
         r = self.outputs_per_step
         if T_mel % r != 0:
             T_mel += r - T_mel % r
@@ -304,7 +339,14 @@ class TTSDataLoader:
     """Batched iterator over a TTSDataset: length-sorted batches, shuffled
     batch order, bucketed collate (replaces torch DataLoader + samplers for
     the single-host path). With `weights`, samples items by importance
-    (speaker/language/length balancing — ref WeightedRandomSampler use)."""
+    (speaker/language/length balancing — ref WeightedRandomSampler use).
+
+    Multi-process: with `num_shards > 1` every process computes the SAME
+    global batch schedule (same seed) and materializes only its contiguous
+    `batch_size // num_shards` slice of each batch — the JAX counterpart of
+    the reference's `DistributedSampler` (ref base_tts.py:274-276); the
+    trainer reassembles the global batch with
+    `jax.make_array_from_process_local_data`."""
 
     def __init__(
         self,
@@ -314,6 +356,8 @@ class TTSDataLoader:
         drop_last: bool = True,
         seed: int = 0,
         weights: Optional[np.ndarray] = None,
+        num_shards: int = 1,
+        shard_id: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -324,6 +368,13 @@ class TTSDataLoader:
         if weights is not None:
             w = np.asarray(weights, dtype=np.float64)
             self.weights = w / w.sum()
+        self.num_shards = max(int(num_shards), 1)
+        self.shard_id = int(shard_id)
+        if self.num_shards > 1 and batch_size % self.num_shards != 0:
+            print(
+                f" [!] batch_size {batch_size} not divisible by {self.num_shards} processes — "
+                f"each global batch is trimmed to {batch_size // self.num_shards * self.num_shards}"
+            )
         self.epoch = 0
 
     def __len__(self):
@@ -356,5 +407,15 @@ class TTSDataLoader:
     def __iter__(self):
         self.epoch += 1
         for batch_idx in self._batch_indices():
-            items = [self.dataset[i] for i in batch_idx]
-            yield self.dataset.collate_fn(items)
+            if self.num_shards > 1:
+                per = len(batch_idx) // self.num_shards
+                if per == 0:
+                    continue  # identical skip on every process
+                full = batch_idx[: per * self.num_shards]
+                pad_to = self.dataset.shard_pad_hint(full)
+                shard = full[self.shard_id * per : (self.shard_id + 1) * per]
+                items = [self.dataset[i] for i in shard]
+                yield self.dataset.collate_fn(items, pad_to=pad_to)
+            else:
+                items = [self.dataset[i] for i in batch_idx]
+                yield self.dataset.collate_fn(items)

@@ -9,7 +9,7 @@ Covers the roles of /root/reference/TTS/tts/layers/generic/{normalization.py,
 wavenet.py} and glow_tts/glow.py:11 (ResidualConv1dLayerNormBlock).
 """
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -56,6 +56,10 @@ class WNConv1d(nn.Module):
     use_bias: bool = True
     zero_init: bool = False
     pad_mode: str = "zeros"  # "zeros" | "reflect" (MelGAN uses ReflectionPad1d)
+    # compute dtype (mixed precision): params stay fp32 masters, the weight-
+    # norm division runs fp32, then kernel+input are cast — the JAX analogue
+    # of the reference's torch autocast regions (ref vits.py:1273)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -71,6 +75,8 @@ class WNConv1d(nn.Module):
         )
         norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True) + 1e-12)
         kernel = v / norm * g[None, None, :]
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
         pad = (self.kernel_size // 2) * self.dilation
         x = x.astype(kernel.dtype)
         if self.pad_mode == "reflect" and pad:
@@ -86,7 +92,7 @@ class WNConv1d(nn.Module):
         )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + b
+            y = y + b.astype(y.dtype)
         return y
 
 

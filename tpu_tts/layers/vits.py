@@ -11,7 +11,7 @@ searchsorted — everything static-shape and jit/grad-safe in both directions.
 """
 
 import math
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -496,17 +496,22 @@ class VitsDiscriminator(nn.Module):
 
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     use_spectral_norm: bool = False
+    dtype: Any = None  # compute dtype (bfloat16 mixed precision)
 
     @nn.compact
     def __call__(self, x):
         from tpu_tts.vocoder.models.hifigan_discriminator import DiscriminatorP, DiscriminatorS
 
         scores, feats = [], []
-        score, feat = DiscriminatorS(use_spectral_norm=self.use_spectral_norm, slim=True, name="disc_s")(x)
+        score, feat = DiscriminatorS(
+            use_spectral_norm=self.use_spectral_norm, slim=True, dtype=self.dtype, name="disc_s"
+        )(x)
         scores.append(score)
         feats.append(feat)
         for p in self.periods:
-            score, feat = DiscriminatorP(p, use_spectral_norm=self.use_spectral_norm, name=f"disc_p{p}")(x)
+            score, feat = DiscriminatorP(
+                p, use_spectral_norm=self.use_spectral_norm, dtype=self.dtype, name=f"disc_p{p}"
+            )(x)
             scores.append(score)
             feats.append(feat)
         return scores, feats

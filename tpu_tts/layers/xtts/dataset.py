@@ -109,12 +109,14 @@ class XttsDataLoader:
     """Shuffled fixed-shape batches over an XttsDataset."""
 
     def __init__(self, dataset: XttsDataset, batch_size: int, shuffle: bool = True,
-                 drop_last: bool = True, seed: int = 0):
+                 drop_last: bool = True, seed: int = 0, num_shards: int = 1, shard_id: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
+        self.num_shards = max(int(num_shards), 1)
+        self.shard_id = int(shard_id)
 
     def __len__(self):
         n = len(self.dataset)
@@ -126,5 +128,10 @@ class XttsDataLoader:
             self.rng.shuffle(order)
         for b in range(len(self)):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            from tpu_tts.data import shard_batch_indices
+
+            idxs = shard_batch_indices(idxs, self.num_shards, self.shard_id)
+            if idxs is None:
+                continue
             items = [self.dataset[int(i)] for i in idxs]
             yield self.dataset.collate([it for it in items if it is not None])

@@ -145,7 +145,9 @@ class BaseTTSModel:
             outputs_per_step=getattr(config, "r", 1),
             compute_linear_spec=getattr(config, "compute_linear_spec", False),
             compute_f0=getattr(config, "compute_f0", False),
+            f0_cache_path=getattr(config, "f0_cache_path", None),
             compute_energy=getattr(config, "compute_energy", False),
+            energy_cache_path=getattr(config, "energy_cache_path", None),
             samples=samples,
             ap=self.ap,
             return_wav=getattr(config, "return_wav", False),
@@ -178,6 +180,8 @@ class BaseTTSModel:
             drop_last=not is_eval,
             seed=getattr(config, "training_seed", 0),
             weights=weights,
+            num_shards=num_gpus,  # per-PROCESS batch slicing (ref DistributedSampler)
+            shard_id=rank,
         )
 
     @staticmethod

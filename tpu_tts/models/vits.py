@@ -143,6 +143,10 @@ class VitsNet(nn.Module):
             upsample_initial_channel=a["upsample_initial_channel_decoder"],
             upsample_factors=tuple(a["upsample_rates_decoder"]),
             cond_channels=embedded_speaker_dim,
+            # mixed precision: the decoder is the FLOPs giant of the train
+            # step — bf16 compute with fp32 master params (the JAX analogue of
+            # the reference's autocast, ref vits.py:1273)
+            dtype=jnp.bfloat16 if a.get("_mixed_precision") else None,
         )
 
     # -------------------------------------------------------------- helpers
@@ -373,6 +377,7 @@ class Vits(BaseTTSModel):
         self.disc = VitsDiscriminator(
             periods=tuple(args.periods_multi_period_discriminator),
             use_spectral_norm=args.use_spectral_norm_disriminator,
+            dtype=jnp.bfloat16 if getattr(config, "mixed_precision", False) else None,
         )
         self._infer_cache = {}
 
@@ -381,6 +386,7 @@ class Vits(BaseTTSModel):
         # encoder_sample_rate variant (ref vits.py:809): posterior/flow run at
         # the lower rate; z is interpolated ×factor before the decoder
         net_args["_output_sample_rate"] = self.config.audio.sample_rate
+        net_args["_mixed_precision"] = bool(getattr(self.config, "mixed_precision", False))
         self.net = VitsNet(args=tuple(sorted(net_args.items(), key=lambda kv: kv[0])))
 
     def num_optimizers(self) -> int:

@@ -622,6 +622,8 @@ class Xtts(BaseTTSModel):
             shuffle=not is_eval,
             drop_last=not is_eval,
             seed=getattr(config, "training_seed", 0),
+            num_shards=num_gpus,
+            shard_id=rank,
         )
 
     def get_optimizer(self):

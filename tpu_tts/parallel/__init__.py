@@ -7,7 +7,7 @@ TTS/utils/distribute.py (NCCL DDP init :13, `reduce_tensor` allreduce-mean
 shardings); `reduce_mean` is for explicit `shard_map` code paths.
 """
 
-from tpu_tts.parallel.platform import init_distributed, maybe_force_platform
+from tpu_tts.parallel.platform import init_distributed, maybe_force_platform, maybe_init_distributed
 
 
 def make_mesh(axes=("data",), devices=None):

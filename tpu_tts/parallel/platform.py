@@ -18,6 +18,14 @@ def maybe_force_platform() -> None:
         jax.config.update("jax_platforms", plat)
 
 
+def maybe_init_distributed() -> None:
+    """Initialize jax.distributed iff launched by `tpu_tts.bin.distribute`
+    (the `TPU_TTS_COORDINATOR` env triple) — no-op for plain single-process
+    runs, so CLI entry points can call this unconditionally."""
+    if os.environ.get("TPU_TTS_COORDINATOR"):
+        init_distributed()
+
+
 def init_distributed(coordinator_address=None, num_processes=None, process_id=None) -> None:
     """Multi-host init (the moral replacement for the reference's
     `trainer.distribute` + TTS/utils/distribute.py:13 NCCL setup).

@@ -32,13 +32,30 @@ def save_checkpoint(
     prefix: str = "checkpoint",
     keep_n: Optional[int] = None,
 ) -> str:
-    """Save a train-state pytree as `<output_dir>/<prefix>_<step>/`."""
+    """Save a train-state pytree as `<output_dir>/<prefix>_<step>/`.
+
+    Multi-process: orbax saves are COLLECTIVE — every process must call this
+    (rank-0-only calls deadlock on orbax's internal barrier). Filesystem
+    maintenance (stale-dir removal, config.json, keep_n pruning) runs on the
+    primary process only."""
+    import jax
+
+    is_main = jax.process_index() == 0
+    multi = jax.process_count() > 1
     path = os.path.abspath(os.path.join(output_dir, f"{prefix}_{step}"))
-    if os.path.exists(path):
+    if is_main and os.path.exists(path):
         shutil.rmtree(path)
+    if multi:
+        from jax.experimental import multihost_utils
+
+        # barrier so no process enters the orbax save while the primary is
+        # still clearing a stale dir of the same name
+        multihost_utils.sync_global_devices(f"tpu_tts:pre_save:{prefix}_{step}")
     _checkpointer().save(path, state)
-    if config is not None:
+    if config is not None and is_main:
         config.save_json(os.path.join(output_dir, "config.json"))
+    if not is_main:
+        return path
     if keep_n:
         ckpts = sorted(
             glob.glob(os.path.join(output_dir, f"{prefix}_*")),
@@ -89,10 +106,15 @@ def save_best_model(
     config=None,
     keep_all_best: bool = False,
 ) -> float:
-    """Track-and-save best model by eval loss (reference trainer.io surface)."""
+    """Track-and-save best model by eval loss (reference trainer.io surface).
+    Collective like `save_checkpoint` — the loss is a global (identical)
+    value, so every process takes the same branch."""
     if current_loss < best_loss:
         save_checkpoint(state, output_dir, step, config=config, prefix="best_model", keep_n=None if keep_all_best else 1)
-        print(f" > BEST MODEL : loss {current_loss:.5f} @ step {step}")
+        import jax
+
+        if jax.process_index() == 0:
+            print(f" > BEST MODEL : loss {current_loss:.5f} @ step {step}")
         return current_loss
     return best_loss
 

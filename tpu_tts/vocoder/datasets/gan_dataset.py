@@ -92,12 +92,15 @@ class GANDataset:
 
 
 class GANDataLoader:
-    def __init__(self, dataset: GANDataset, batch_size: int, shuffle=True, drop_last=True, seed=0):
+    def __init__(self, dataset: GANDataset, batch_size: int, shuffle=True, drop_last=True, seed=0,
+                 num_shards=1, shard_id=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
+        self.num_shards = max(int(num_shards), 1)
+        self.shard_id = int(shard_id)
 
     def __len__(self):
         n = len(self.dataset)
@@ -111,4 +114,9 @@ class GANDataLoader:
             chunk = idxs[s : s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
+            from tpu_tts.data import shard_batch_indices
+
+            chunk = shard_batch_indices(chunk, self.num_shards, self.shard_id)
+            if chunk is None:
+                continue
             yield self.dataset.collate([self.dataset[int(i)] for i in chunk])

@@ -33,9 +33,12 @@ def setup_generator(c):
     if base in ("hifigan",):
         from tpu_tts.vocoder.models.hifigan_generator import HifiganGenerator
 
+        import jax.numpy as jnp
+
         return HifiganGenerator(
             in_channels=c.audio.num_mels,
             out_channels=1,
+            dtype=jnp.bfloat16 if getattr(c, "mixed_precision", False) else None,
             **{k: v for k, v in (c.generator_model_params or {}).items()},
         )
     if base in ("melgan", "fullband_melgan"):
@@ -97,7 +100,11 @@ def setup_discriminator(c):
     if base == "hifigan":
         from tpu_tts.vocoder.models.hifigan_discriminator import HifiganDiscriminator
 
-        return HifiganDiscriminator()
+        import jax.numpy as jnp
+
+        return HifiganDiscriminator(
+            dtype=jnp.bfloat16 if getattr(c, "mixed_precision", False) else None
+        )
     if base == "melgan_multiscale":
         from tpu_tts.vocoder.models.melgan_discriminator import MelganMultiscaleDiscriminator
 

@@ -7,7 +7,7 @@ implemented as stateless on-the-fly power iteration so the train step stays a
 pure function.
 """
 
-from typing import List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -39,6 +39,7 @@ class NormConv(nn.Module):
     groups: int = 1
     use_spectral_norm: bool = False
     padding: Tuple[Tuple[int, int], ...] = None
+    dtype: Optional[Any] = None  # compute dtype (norms run fp32 on fp32 params)
 
     @nn.compact
     def __call__(self, x):
@@ -56,6 +57,8 @@ class NormConv(nn.Module):
             )
             norm = jnp.sqrt(jnp.sum(v**2, axis=tuple(range(len(kshape) - 1)), keepdims=True) + 1e-12)
             kernel = v / norm * g
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
         nd = len(self.kernel_size)
         pad = self.padding
         if pad is None:
@@ -63,11 +66,11 @@ class NormConv(nn.Module):
         dn = ("NHC", "HIO", "NHC") if nd == 1 else ("NHWC", "HWIO", "NHWC")
         strides = self.strides if len(self.strides) == nd else self.strides * nd
         y = jax.lax.conv_general_dilated(
-            x, kernel, window_strides=strides, padding=list(pad), dimension_numbers=dn,
-            feature_group_count=self.groups,
+            x.astype(kernel.dtype), kernel, window_strides=strides, padding=list(pad),
+            dimension_numbers=dn, feature_group_count=self.groups,
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return y + b
+        return y + b.astype(y.dtype)
 
 
 class DiscriminatorP(nn.Module):
@@ -77,6 +80,7 @@ class DiscriminatorP(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     use_spectral_norm: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -93,16 +97,16 @@ class DiscriminatorP(nn.Module):
         for i, ch in enumerate(chans):
             x = NormConv(
                 ch, (k, 1), strides=(self.stride, 1), use_spectral_norm=self.use_spectral_norm,
-                padding=((k // 2, k // 2), (0, 0)), name=f"convs_{i}",
+                padding=((k // 2, k // 2), (0, 0)), dtype=self.dtype, name=f"convs_{i}",
             )(x)
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             feat.append(x)
         x = NormConv(1024, (k, 1), strides=(1, 1), use_spectral_norm=self.use_spectral_norm,
-                     padding=((2, 2), (0, 0)), name="convs_4")(x)
+                     padding=((2, 2), (0, 0)), dtype=self.dtype, name="convs_4")(x)
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
         feat.append(x)
         x = NormConv(1, (3, 1), strides=(1, 1), use_spectral_norm=self.use_spectral_norm,
-                     padding=((1, 1), (0, 0)), name="conv_post")(x)
+                     padding=((1, 1), (0, 0)), dtype=self.dtype, name="conv_post")(x)
         feat.append(x)
         return x.reshape(b, -1), feat
 
@@ -115,6 +119,7 @@ class DiscriminatorS(nn.Module):
 
     use_spectral_norm: bool = False
     slim: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -141,11 +146,11 @@ class DiscriminatorS(nn.Module):
             ]
         for i, (ch, k, s, g, p) in enumerate(specs):
             x = NormConv(ch, (k,), strides=(s,), groups=g, use_spectral_norm=self.use_spectral_norm,
-                         padding=((p, p),), name=f"convs_{i}")(x)
+                         padding=((p, p),), dtype=self.dtype, name=f"convs_{i}")(x)
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             feat.append(x)
         x = NormConv(1, (3,), strides=(1,), padding=((1, 1),), use_spectral_norm=self.use_spectral_norm,
-                     name="conv_post")(x)
+                     dtype=self.dtype, name="conv_post")(x)
         feat.append(x)
         return x.reshape(x.shape[0], -1), feat
 
@@ -155,12 +160,13 @@ class MultiPeriodDiscriminator(nn.Module):
 
     use_spectral_norm: bool = False
     periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         scores, feats = [], []
         for p in self.periods:
-            score, feat = DiscriminatorP(p, use_spectral_norm=self.use_spectral_norm, name=f"disc_p{p}")(x)
+            score, feat = DiscriminatorP(p, use_spectral_norm=self.use_spectral_norm, dtype=self.dtype, name=f"disc_p{p}")(x)
             scores.append(score)
             feats.append(feat)
         return scores, feats
@@ -176,11 +182,13 @@ class MultiScaleDiscriminator(nn.Module):
     """MSD: 3 scales with avg-pool downsampling; first scale spectral-normed
     (ref :162)."""
 
+    dtype: Optional[Any] = None
+
     @nn.compact
     def __call__(self, x):
         scores, feats = [], []
         for i in range(3):
-            score, feat = DiscriminatorS(use_spectral_norm=(i == 0), name=f"disc_s{i}")(x)
+            score, feat = DiscriminatorS(use_spectral_norm=(i == 0), dtype=self.dtype, name=f"disc_s{i}")(x)
             scores.append(score)
             feats.append(feat)
             if i < 2:
@@ -191,9 +199,11 @@ class MultiScaleDiscriminator(nn.Module):
 class HifiganDiscriminator(nn.Module):
     """MPD + MSD combined (ref :202)."""
 
+    dtype: Optional[Any] = None
+
     @nn.compact
     def __call__(self, x):
         """x: `[B, T, 1]` → (list of scores, list of per-layer features)."""
-        p_scores, p_feats = MultiPeriodDiscriminator(name="mpd")(x)
-        s_scores, s_feats = MultiScaleDiscriminator(name="msd")(x)
+        p_scores, p_feats = MultiPeriodDiscriminator(dtype=self.dtype, name="mpd")(x)
+        s_scores, s_feats = MultiScaleDiscriminator(dtype=self.dtype, name="msd")(x)
         return p_scores + s_scores, p_feats + s_feats

@@ -8,7 +8,7 @@ leaky-relu/add chains into the convs. This is the per-chip throughput
 north-star model (BASELINE.md).
 """
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -30,6 +30,7 @@ class WNConvTranspose1d(nn.Module):
     features: int
     kernel_size: int
     stride: int
+    dtype: Optional[Any] = None  # compute dtype (fp32 master params)
 
     @nn.compact
     def __call__(self, x):
@@ -41,6 +42,8 @@ class WNConvTranspose1d(nn.Module):
         )
         norm = jnp.sqrt(jnp.sum(v**2, axis=(0, 1), keepdims=True) + 1e-12)
         kernel = v / norm * g[None, None, :]
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
         crop = (k - s) // 2
         pad = k - 1 - crop
         x = x.astype(kernel.dtype)
@@ -48,7 +51,7 @@ class WNConvTranspose1d(nn.Module):
             x, kernel, strides=(s,), padding=[(pad, pad)], dimension_numbers=("NHC", "HIO", "NHC")
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return y + b
+        return y + b.astype(y.dtype)
 
 
 class ResBlock1(nn.Module):
@@ -57,14 +60,15 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilation):
             xt = lrelu(x)
-            xt = WNConv1d(self.channels, self.kernel_size, dilation=d, name=f"convs1_{i}")(xt)
+            xt = WNConv1d(self.channels, self.kernel_size, dilation=d, dtype=self.dtype, name=f"convs1_{i}")(xt)
             xt = lrelu(xt)
-            xt = WNConv1d(self.channels, self.kernel_size, dilation=1, name=f"convs2_{i}")(xt)
+            xt = WNConv1d(self.channels, self.kernel_size, dilation=1, dtype=self.dtype, name=f"convs2_{i}")(xt)
             x = xt + x
         return x
 
@@ -75,12 +79,13 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3)
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dilation):
             xt = lrelu(x)
-            xt = WNConv1d(self.channels, self.kernel_size, dilation=d, name=f"convs_{i}")(xt)
+            xt = WNConv1d(self.channels, self.kernel_size, dilation=d, dtype=self.dtype, name=f"convs_{i}")(xt)
             x = xt + x
         return x
 
@@ -104,29 +109,32 @@ class HifiganGenerator(nn.Module):
     # XTTS HifiDecoder variant: re-inject speaker conditioning after every
     # upsample stage (ref tts/layers/xtts/hifigan_decoder.py `conds`)
     cond_in_each_up_layer: bool = False
+    # compute dtype for the whole stack (bfloat16 mixed precision); the final
+    # conv_post + tanh run fp32 for a clean waveform
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, g=None):
         """x: `[B, T, C_mel]`; g: `[B, 1, C_g]` speaker conditioning."""
         num_kernels = len(self.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if str(self.resblock_type) == "1" else ResBlock2
-        o = WNConv1d(self.upsample_initial_channel, 7, name="conv_pre")(x)
+        o = WNConv1d(self.upsample_initial_channel, 7, dtype=self.dtype, name="conv_pre")(x)
         if self.cond_channels > 0 and g is not None:
-            o = o + nn.Dense(self.upsample_initial_channel, name="cond_layer")(g)
+            o = o + nn.Dense(self.upsample_initial_channel, dtype=self.dtype, name="cond_layer")(g)
         for i, (u, k) in enumerate(zip(self.upsample_factors, self.upsample_kernel_sizes)):
             o = lrelu(o)
             ch = self.upsample_initial_channel // (2 ** (i + 1))
-            o = WNConvTranspose1d(ch, k, u, name=f"ups_{i}")(o)
+            o = WNConvTranspose1d(ch, k, u, dtype=self.dtype, name=f"ups_{i}")(o)
             if self.cond_in_each_up_layer and g is not None:
-                o = o + nn.Dense(ch, name=f"conds_{i}")(g)
+                o = o + nn.Dense(ch, dtype=self.dtype, name=f"conds_{i}")(g)
             z_sum = None
             for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes, self.resblock_dilation_sizes)):
-                rb = resblock_cls(ch, rk, tuple(rd), name=f"resblocks_{i*num_kernels + j}")(o)
+                rb = resblock_cls(ch, rk, tuple(rd), dtype=self.dtype, name=f"resblocks_{i*num_kernels + j}")(o)
                 z_sum = rb if z_sum is None else z_sum + rb
             o = z_sum / num_kernels
         # ref hifigan_generator.py:262 uses torch's default slope (0.01) here,
         # unlike the 0.1 used everywhere else — kept for checkpoint parity
-        o = jax.nn.leaky_relu(o, 0.01)
+        o = jax.nn.leaky_relu(o.astype(jnp.float32), 0.01)
         o = WNConv1d(self.out_channels, 7, use_bias=self.conv_post_bias, name="conv_post")(o)
         return jnp.tanh(o)
 

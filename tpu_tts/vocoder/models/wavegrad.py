@@ -252,6 +252,8 @@ class Wavegrad:
             shuffle=not is_eval,
             drop_last=not is_eval,
             seed=getattr(config, "training_seed", 0),
+            num_shards=num_gpus,
+            shard_id=rank,
         )
 
     # ------------------------------------------------------- torch ingest

@@ -403,6 +403,8 @@ class Wavernn:
             shuffle=not is_eval,
             drop_last=not is_eval,
             seed=getattr(config, "training_seed", 0),
+            num_shards=num_gpus,
+            shard_id=rank,
         )
 
     def convert_torch_state_dict(self, state_dict):
