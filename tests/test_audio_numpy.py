@@ -112,6 +112,42 @@ def test_compute_f0_sine():
     assert abs(np.median(voiced) - 220.0) < 5.0
 
 
+def test_pyin_voicing_decision():
+    """pyin's Viterbi voicing must zero unvoiced (noise/silence) frames and
+    track voiced ones — the reference's `f0[~voiced_mask] = 0` semantics
+    (ref numpy_transforms.py:298), which plain YIN thresholding lacks."""
+    sr = 22050
+    rng = np.random.default_rng(0)
+    tone = _sine(sr=sr, dur=1.0, f=196.0)
+    noise = 0.002 * rng.standard_normal(sr // 2)
+    y = np.concatenate([noise, tone, noise])
+    f0 = nt.compute_f0(
+        x=y, pitch_fmin=1, pitch_fmax=640, hop_length=256, win_length=1024, sample_rate=sr
+    )
+    n_edge = len(noise) // 256
+    head, mid, tail = f0[: n_edge - 4], f0[n_edge + 8 : -n_edge - 8], f0[-(n_edge - 4):]
+    assert (head > 0).mean() < 0.3, "leading noise mostly voiced"
+    assert (tail > 0).mean() < 0.3, "trailing noise mostly voiced"
+    assert (mid > 0).mean() > 0.9, "tone frames not voiced"
+    assert abs(np.median(mid[mid > 0]) - 196.0) < 4.0
+
+
+def test_pyin_octave_continuity():
+    """The pitch-transition prior must prevent frame-to-frame octave jumps on
+    a steady harmonic tone (the failure mode of per-frame YIN)."""
+    sr = 22050
+    t = np.arange(int(sr * 1.2)) / sr
+    y = sum((0.5 / h) * np.sin(2 * np.pi * 150.0 * h * t) for h in range(1, 6))
+    f0, flag, _ = nt.pyin(
+        y, fmin=50, fmax=600, sr=sr, frame_length=1024, hop_length=256
+    )
+    v = f0[8:-8][flag[8:-8]]
+    assert len(v) > 50
+    jumps = np.abs(np.diff(np.log2(v)))
+    assert np.max(jumps) < 0.5, "octave jump within a steady tone"
+    assert abs(np.median(v) - 150.0) < 3.0
+
+
 def test_load_save_wav(tmp_path):
     y = _sine()
     p = str(tmp_path / "x.wav")
