@@ -55,16 +55,18 @@ def bench_train_steps():
     }
 
     results = {}
+    host_params = None  # params are identical across compute dtypes — init once
     for tag, mp in (("bf16", True), ("f32", False)):
         cfg = VitsConfig()
         cfg.model_args.num_chars = 165
         cfg.mixed_precision = mp
         model = Vits(cfg)
         t0 = time.perf_counter()
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            params = model.init_params(jax.random.PRNGKey(0))
-        params = jax.device_put(params, jax.devices()[0])
+        if host_params is None:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                host_params = jax.device_get(model.init_params(jax.random.PRNGKey(0)))
+        params = jax.device_put(host_params, jax.devices()[0])
         opts = model.get_optimizer()
         opt_states = [
             jax.device_put(opts[i].init(jax.tree_util.tree_map(np.asarray, model.param_partition(params, i))),

@@ -111,3 +111,26 @@ def test_collect_env_info(capsys):
     main([])
     out = capsys.readouterr().out
     assert "jax" in out.lower()
+
+
+def test_vad_adaptive_noise_floor():
+    """The VAD must find speech embedded in stationary noise (the case the
+    old peak-relative energy gate failed; ref Silero handles it natively)."""
+    import numpy as np
+
+    from tpu_tts.utils.vad import get_speech_timestamps
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr) / sr
+    speech = sum(
+        (0.4 / h) * np.sin(2 * np.pi * 180 * h * t + rng.uniform(0, 6)) for h in range(1, 6)
+    ) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+    noise = 0.02 * rng.standard_normal(2 * sr)
+    noisy = noise.copy()
+    noisy[sr // 2 : sr // 2 + sr] += speech
+    segs = get_speech_timestamps(noisy, sample_rate=sr)
+    assert segs, "no speech found in noise"
+    assert abs(segs[0]["start"] - sr // 2) < sr // 6
+    assert abs(segs[-1]["end"] - (sr // 2 + sr)) < sr // 6
+    assert not get_speech_timestamps(noise, sample_rate=sr), "pure noise flagged as speech"
