@@ -273,6 +273,7 @@ class WN(nn.Module):
     num_layers: int
     c_in_channels: int = 0
     dropout_p: float = 0.0
+    dtype: Optional[Any] = None  # compute dtype (bf16 mixed precision)
 
     @nn.compact
     def __call__(self, x, x_mask=None, g=None, train: bool = False):
@@ -280,11 +281,16 @@ class WN(nn.Module):
             x_mask = 1.0
         output = jnp.zeros_like(x)
         if g is not None:
-            g_all = WNConv1d(2 * self.hidden_channels * self.num_layers, 1, name="cond_layer")(g)
+            g_all = WNConv1d(
+                2 * self.hidden_channels * self.num_layers, 1, dtype=self.dtype, name="cond_layer"
+            )(g)
         drop = nn.Dropout(self.dropout_p, deterministic=not train)
         for i in range(self.num_layers):
             dilation = self.dilation_rate**i
-            x_in = WNConv1d(2 * self.hidden_channels, self.kernel_size, dilation=dilation, name=f"in_{i}")(x)
+            x_in = WNConv1d(
+                2 * self.hidden_channels, self.kernel_size, dilation=dilation, dtype=self.dtype,
+                name=f"in_{i}",
+            )(x)
             x_in = drop(x_in)
             if g is not None:
                 off = i * 2 * self.hidden_channels
@@ -294,7 +300,7 @@ class WN(nn.Module):
             z = x_in + g_l
             acts = jnp.tanh(z[..., : self.hidden_channels]) * jax.nn.sigmoid(z[..., self.hidden_channels :])
             res_skip_ch = 2 * self.hidden_channels if i < self.num_layers - 1 else self.hidden_channels
-            res_skip = WNConv1d(res_skip_ch, 1, name=f"res_skip_{i}")(acts)
+            res_skip = WNConv1d(res_skip_ch, 1, dtype=self.dtype, name=f"res_skip_{i}")(acts)
             if i < self.num_layers - 1:
                 x = (x + res_skip[..., : self.hidden_channels]) * x_mask
                 output = output + res_skip[..., self.hidden_channels :]

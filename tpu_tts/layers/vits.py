@@ -391,20 +391,24 @@ class VitsPosteriorEncoder(nn.Module):
     dilation_rate: int
     num_layers: int
     cond_channels: int = 0
+    dtype: Any = None  # compute dtype for the WN core; stats exit in fp32
 
     @nn.compact
     def __call__(self, x, x_lengths, g=None, rng=None, train: bool = False):
         x_mask = sequence_mask(x_lengths, x.shape[1]).astype(x.dtype)[:, :, None]
-        x = nn.Dense(self.hidden_channels, name="pre")(x) * x_mask
+        x = nn.Dense(self.hidden_channels, dtype=self.dtype, name="pre")(x) * x_mask
         x = WN(
             hidden_channels=self.hidden_channels,
             kernel_size=self.kernel_size,
             dilation_rate=self.dilation_rate,
             num_layers=self.num_layers,
             c_in_channels=self.cond_channels,
+            dtype=self.dtype,
             name="enc",
         )(x, x_mask, g=g, train=train)
-        stats = nn.Dense(self.out_channels * 2, name="proj")(x) * x_mask
+        # posterior stats (and the sampled z) leave in fp32: the KL and flow
+        # logdets are fp32 loss math (ref autocast exits, CLAUDE.md invariant)
+        stats = nn.Dense(self.out_channels * 2, name="proj")(x).astype(jnp.float32) * x_mask
         m, logs = jnp.split(stats, 2, axis=-1)
         noise = jax.random.normal(rng if rng is not None else self.make_rng("posterior"), m.shape)
         z = (m + noise * jnp.exp(logs)) * x_mask
@@ -421,18 +425,20 @@ class ResidualCouplingLayer(nn.Module):
     num_layers: int
     cond_channels: int = 0
     mean_only: bool = True
+    dtype: Any = None  # compute dtype for the WN core; stats exit in fp32
 
     @nn.compact
     def __call__(self, x, x_mask, g=None, reverse=False, train: bool = False):
         half = self.channels // 2
         x0, x1 = x[..., :half], x[..., half:]
-        h = nn.Dense(self.hidden_channels, name="pre")(x0) * x_mask
+        h = nn.Dense(self.hidden_channels, dtype=self.dtype, name="pre")(x0) * x_mask
         h = WN(
             hidden_channels=self.hidden_channels,
             kernel_size=self.kernel_size,
             dilation_rate=self.dilation_rate,
             num_layers=self.num_layers,
             c_in_channels=self.cond_channels,
+            dtype=self.dtype,
             name="enc",
         )(h, x_mask, g=g, train=train)
         stats = nn.Dense(
@@ -440,7 +446,7 @@ class ResidualCouplingLayer(nn.Module):
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
             name="post",
-        )(h) * x_mask
+        )(h).astype(jnp.float32) * x_mask
         if not self.mean_only:
             m, logs = jnp.split(stats, 2, axis=-1)
         else:
@@ -463,6 +469,7 @@ class ResidualCouplingBlocks(nn.Module):
     num_layers: int
     num_flows: int = 4
     cond_channels: int = 0
+    dtype: Any = None  # compute dtype for the WN cores
 
     def setup(self):
         self.coupling_layers = [
@@ -474,6 +481,7 @@ class ResidualCouplingBlocks(nn.Module):
                 num_layers=self.num_layers,
                 cond_channels=self.cond_channels,
                 mean_only=True,
+                dtype=self.dtype,
                 name=f"coupling_{i}",
             )
             for i in range(self.num_flows)

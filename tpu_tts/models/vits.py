@@ -97,6 +97,7 @@ class VitsNet(nn.Module):
             dropout_p=a["dropout_p_text_encoder"],
             language_emb_dim=lang_dim,
         )
+        mp_dtype = jnp.bfloat16 if a.get("_mixed_precision") else None
         self.posterior_encoder = VitsPosteriorEncoder(
             in_channels=a["out_channels"],
             out_channels=a["hidden_channels"],
@@ -105,6 +106,7 @@ class VitsNet(nn.Module):
             dilation_rate=a["dilation_rate_posterior_encoder"],
             num_layers=a["num_layers_posterior_encoder"],
             cond_channels=embedded_speaker_dim,
+            dtype=mp_dtype,
         )
         self.flow = ResidualCouplingBlocks(
             channels=a["hidden_channels"],
@@ -113,6 +115,7 @@ class VitsNet(nn.Module):
             dilation_rate=a["dilation_rate_flow"],
             num_layers=a["num_layers_flow"],
             cond_channels=embedded_speaker_dim,
+            dtype=mp_dtype,
         )
         dp_cond = embedded_speaker_dim if a["condition_dp_on_speaker"] else 0
         if self.use_sdp:

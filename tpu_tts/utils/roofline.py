@@ -55,7 +55,11 @@ def parse_xplane(path: str, device_substr: str = "TPU") -> Dict[str, float]:
         if device_substr not in plane.name:
             continue
         names = {m.id: m.name for m in plane.event_metadata.values()}
-        for line in plane.lines:
+        # only the synchronous per-op line: 'Steps'/'XLA Modules' duplicate
+        # the same time at coarser granularity and 'Async XLA Ops' counts
+        # overlapped DMA wall-time — summing those triple-counts the window
+        lines = [l for l in plane.lines if l.name == "XLA Ops"] or list(plane.lines)
+        for line in lines:
             for ev in line.events:
                 name = names.get(ev.metadata_id, str(ev.metadata_id))
                 totals[name] += ev.duration_ps * 1e-12
