@@ -56,7 +56,10 @@ def bench_train_steps():
 
     results = {}
     host_params = None  # params are identical across compute dtypes — init once
+    dtypes = os.environ.get("BENCH_TRAIN_DTYPES", "bf16,f32").split(",")
     for tag, mp in (("bf16", True), ("f32", False)):
+        if tag not in dtypes:
+            continue
         cfg = VitsConfig()
         cfg.model_args.num_chars = 165
         cfg.mixed_precision = mp
@@ -112,10 +115,14 @@ def bench_train_steps():
         results[tag] = 1.0 / float(np.median(times))
         del params, opt_states, steps, batch  # free HBM before next stage
 
-    speedup = results["bf16"] / results["f32"] if results.get("f32") else None
-    _emit("vits_gan_train_steps_per_s_f32", round(results["f32"], 3), "steps/s", None)
-    _emit("vits_gan_train_steps_per_s_bf16", round(results["bf16"], 3), "steps/s",
-          round(speedup, 3) if speedup else None)
+    speedup = (
+        results["bf16"] / results["f32"] if results.get("f32") and results.get("bf16") else None
+    )
+    if "f32" in results:
+        _emit("vits_gan_train_steps_per_s_f32", round(results["f32"], 3), "steps/s", None)
+    if "bf16" in results:
+        _emit("vits_gan_train_steps_per_s_bf16", round(results["bf16"], 3), "steps/s",
+              round(speedup, 3) if speedup else None)
 
 
 # ---------------------------------------------------------------------- xtts

@@ -145,3 +145,57 @@ def test_vits_d_vector_train(tmp_path):
     cfg.d_vector_dim = 16
     last = _train_and_check(tmp_path, cfg, out_dir)
     assert last
+
+
+@pytest.mark.slow
+def test_vits_multilingual_d_vector_train(tmp_path):
+    """Multilingual + d-vector VITS through the CLI train stack (mirror of
+    ref tests/tts_tests/test_vits_multilingual_train-d_vectors.py): two
+    dataset configs with different languages over the fixture, language
+    embeddings on, d-vector conditioning on."""
+    from tpu_tts.config.shared_configs import BaseDatasetConfig
+
+    fixture = ensure_ljspeech_fixture(get_tests_data_path())
+    dvec_path = str(tmp_path / "speakers.json")
+    rng = np.random.default_rng(0)
+    embs = {
+        f"clip_{i}": {"name": "ljspeech", "embedding": rng.standard_normal(16).tolist()}
+        for i in range(4)
+    }
+    with open(dvec_path, "w", encoding="utf-8") as f:
+        json.dump(embs, f)
+
+    out_dir = str(tmp_path / "train_out")
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = _make_config(
+        fixture, out_dir,
+        use_d_vector_file=True,
+        d_vector_file=[dvec_path],
+        d_vector_dim=16,
+        num_speakers=1,
+        use_language_embedding=True,
+        embedded_language_dim=4,
+        num_languages=2,
+    )
+    cfg.use_d_vector_file = True
+    cfg.d_vector_file = [dvec_path]
+    cfg.d_vector_dim = 16
+    cfg.datasets = [
+        BaseDatasetConfig(
+            formatter="ljspeech", meta_file_train="metadata.csv", path=fixture,
+            dataset_name="fix_en", language="en",
+        ),
+        BaseDatasetConfig(
+            formatter="ljspeech", meta_file_train="metadata.csv", path=fixture,
+            dataset_name="fix_de", language="de",
+        ),
+    ]
+    cfg_path = str(tmp_path / "config.json")
+    cfg.save_json(cfg_path)
+
+    from tpu_tts.bin.train_tts import main as train_main
+
+    train_main(["--config_path", cfg_path])
+    assert glob.glob(os.path.join(out_dir, "checkpoint_*")), "no checkpoint written"
+    # language_ids.json persisted next to the run config (ref on_init_start)
+    assert os.path.exists(os.path.join(out_dir, "language_ids.json"))
