@@ -16,5 +16,5 @@ test_fast:  ## run the fast tests only
 test_train:  ## run the end-to-end train smoke tests
 	python -m pytest tests/ -q -m "slow"
 
-bench:  ## run the TPU benchmark (prints one JSON line)
+bench:  ## run the TPU benchmark (one JSON line per metric; RTF last)
 	python bench.py

@@ -135,6 +135,26 @@ def bench_xtts_first_chunk():
     _emit("xtts_first_chunk_latency_ms", val, "ms", round(200.0 / val, 3))
 
 
+def _hifigan_flops(a, B: int, T_in: int) -> float:
+    """Analytic MAC·2 count of the HiFi-GAN generator at `[B, T_in, C]` input
+    (conv_pre + transposed upsamples + MRF stacks + conv_post) — the FLOPs
+    dominator of VITS inference, used for the bench MFU metric."""
+    ch0 = a.upsample_initial_channel_decoder
+    flops = T_in * a.hidden_channels * ch0 * 7 * 2  # conv_pre
+    T = T_in
+    ch_prev = ch0
+    n_res_convs_per_k = {"1": 6, "2": 2}[str(a.resblock_type_decoder)]
+    for i, (u, k) in enumerate(zip(a.upsample_rates_decoder, a.upsample_kernel_sizes_decoder)):
+        ch = ch0 // (2 ** (i + 1))
+        flops += T * ch_prev * ch * k * 2  # transposed conv (per input position)
+        T *= u
+        for rk in a.resblock_kernel_sizes_decoder:
+            flops += n_res_convs_per_k * T * ch * ch * rk * 2
+        ch_prev = ch
+    flops += T * ch_prev * 1 * 7 * 2  # conv_post
+    return float(flops) * B
+
+
 # ----------------------------------------------------------------------- rtf
 def bench_inference_rtf():
     import jax
@@ -243,6 +263,12 @@ def bench_inference_rtf():
 
     audio_seconds = n_iters * B * (Y_MAX * hop / sr)
     rtf = audio_seconds / dt
+
+    # decoder-FLOPs MFU over the whole e2e iteration (a lower bound on the
+    # decoder's own utilization; v5e bf16 peak 197 TFLOP/s)
+    flops = _hifigan_flops(cfg.model_args, B, Y_MAX)
+    mfu = flops / float(np.median(times)) / 197e12 * 100.0
+    _emit("vits_infer_decoder_mfu_pct", round(mfu, 1), "percent", None)
     _emit("vits_e2e_inference_rtf", round(rtf, 2), "x_realtime", round(rtf / 67.12, 3))
 
 

@@ -278,10 +278,12 @@ def test_classifier_parity():
     np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=3e-5)
 
 
-def test_dpm_pp_2m_sampler_parity():
-    """Our dpm++2m vs the reference dpm_solver.py classes wired exactly as
-    diffusion.py:451 k_diffusion_sample_loop does (continuous linear VP
-    schedule, classifier-free un-ramped guidance, multistep order 2)."""
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_dpm_pp_multistep_sampler_parity(order):
+    """Our dpm++{1,2,3}m vs the reference dpm_solver.py classes wired exactly
+    as diffusion.py:451 k_diffusion_sample_loop does (continuous linear VP
+    schedule, classifier-free un-ramped guidance, multistep; orders 1/3 use
+    the same generic library the reference vendors)."""
     dpm = ref_import("TTS.tts.layers.tortoise.dpm_solver")
     if dpm is None:
         pytest.skip("reference dpm_solver not importable")
@@ -314,13 +316,13 @@ def test_dpm_pp_2m_sampler_parity():
     )
     solver = dpm.DPM_Solver(wrapped, ns, algorithm_type="dpmsolver++")
     noise = torch.from_numpy(np.random.RandomState(11).randn(1, C, 10).astype(np.float32))
-    ref_out = solver.sample(noise.clone(), steps=steps, order=2,
+    ref_out = solver.sample(noise.clone(), steps=steps, order=order,
                             skip_type="time_uniform", method="multistep").numpy()
 
     from tpu_tts.layers.tortoise_diffusion import SpacedDiffusion
 
     mine = SpacedDiffusion(trained_steps=4000, desired_steps=steps, cond_free=True,
-                           cond_free_k=gscale, sampler="dpm++2m")
+                           cond_free_k=gscale, sampler=f"dpm++{order}m")
 
     def jax_model(x, ts, conditioning_free):
         t = ts.astype(jnp.float32)[:, None, None] / 1000.0

@@ -254,13 +254,15 @@ class SpacedDiffusion:
         mean = self.posterior_mean_coef1[t] * pred_xstart + self.posterior_mean_coef2[t] * x
         return mean, model_log_variance, pred_xstart
 
-    # ------------------------------------------------------------- dpm++2m
-    def _dpm_pp_2m(self, model_fn, noise):
-        """DPM-Solver++(2M) over the continuous linear VP schedule, exactly
-        as the reference wires it (diffusion.py:451 `k_diffusion_sample_loop`:
+    # ------------------------------------------------------------- dpm++Nm
+    def _dpm_pp_multistep(self, model_fn, noise, order: int):
+        """DPM-Solver++(order M) over the continuous linear VP schedule, as
+        the reference wires order 2 (diffusion.py:451 `k_diffusion_sample_loop`:
         NoiseScheduleVP('linear', 0.025, 5.0), classifier-free guidance with
         UN-ramped k, model timesteps = t*1000, time-uniform from 1.0 → 1e-3,
-        multistep order 2 with lower-order final when steps < 10)."""
+        multistep with lower-order warmup + lower-order final when steps < 10).
+        Orders 1/3 follow the generic library the reference vendors but never
+        calls with those orders (dpm_solver.py:874 first, :956 third)."""
         beta0, beta1 = 0.1 / 4, 20.0 / 4
         steps = self.num_timesteps
         s = self.cond_free_k
@@ -308,28 +310,56 @@ class SpacedDiffusion:
             phi = math.expm1(-h)
             return sigma(t) / sigma(t0) * x - alpha(t) * phi * m0 - 0.5 * alpha(t) * phi * d1
 
-        # init step (order 1)
-        x = first_update(x, timesteps[0], timesteps[1], m_prev[-1])
-        t_prev.append(timesteps[1])
-        m_prev.append(data_pred(x, timesteps[1]))
-        for step in range(2, steps + 1):
-            t = timesteps[step]
-            step_order = min(2, steps + 1 - step) if steps < 10 else 2
+        def third_update(x, m_prev, t_prev, t):
+            # dpm_solver.py:983-1000 (dpmsolver++ branch)
+            m2, m1, m0 = m_prev[-3], m_prev[-2], m_prev[-1]
+            t2, t1, t0 = t_prev[-3], t_prev[-2], t_prev[-1]
+            h1 = lam(t1) - lam(t2)
+            h0 = lam(t0) - lam(t1)
+            h = lam(t) - lam(t0)
+            r0, r1 = h0 / h, h1 / h
+            d1_0 = (1.0 / r0) * (m0 - m1)
+            d1_1 = (1.0 / r1) * (m1 - m2)
+            d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+            d2 = (1.0 / (r0 + r1)) * (d1_0 - d1_1)
+            phi1 = math.expm1(-h)
+            phi2 = phi1 / h + 1.0
+            phi3 = phi2 / h - 0.5
+            return (
+                sigma(t) / sigma(t0) * x
+                - alpha(t) * phi1 * m0
+                + alpha(t) * phi2 * d1
+                - alpha(t) * phi3 * d2
+            )
+
+        def update(x, m_prev, t_prev, t, step_order):
             if step_order == 1:
-                x = first_update(x, t_prev[-1], t, m_prev[-1])
-            else:
-                x = second_update(x, m_prev, t_prev, t)
-            t_prev = [t_prev[-1], t]
+                return first_update(x, t_prev[-1], t, m_prev[-1])
+            if step_order == 2:
+                return second_update(x, m_prev, t_prev, t)
+            return third_update(x, m_prev, t_prev, t)
+
+        # warmup: orders 1..order-1 (dpm_solver.py sample() init loop)
+        for init_order in range(1, order):
+            t = timesteps[init_order]
+            x = update(x, m_prev, t_prev, t, init_order)
+            t_prev.append(t)
+            m_prev.append(data_pred(x, t))
+        for step in range(order, steps + 1):
+            t = timesteps[step]
+            step_order = min(order, steps + 1 - step) if steps < 10 else order
+            x = update(x, m_prev, t_prev, t, step_order)
+            t_prev = (t_prev + [t])[-order:]
             if step < steps:
-                m_prev = [m_prev[-1], data_pred(x, t)]
+                m_prev = (m_prev + [data_pred(x, t)])[-order:]
         return x
 
     def sample_loop(self, model_fn, noise, rng):
         """noise `[B, T, C]` → sample, scanning t = T-1 … 0."""
-        if self.sampler == "dpm++2m":
+        if self.sampler in ("dpm++1m", "dpm++2m", "dpm++3m"):
             if not self.conditioning_free:
                 raise RuntimeError("cond_free must be true")  # ref :537
-            return self._dpm_pp_2m(model_fn, noise)
+            return self._dpm_pp_multistep(model_fn, noise, int(self.sampler[5]))
         x = noise
         for t in range(self.num_timesteps - 1, -1, -1):
             rng, sub = jax.random.split(rng)
