@@ -78,42 +78,51 @@ def bench_train_steps():
         ]
         print(f"[bench:train:{tag}] init {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
-        def make_step(idx):
-            def step(p, s, batch, key):
-                sub = model.param_partition(p, idx)
+        def sub_step(idx, p, s, batch, key):
+            sub = model.param_partition(p, idx)
 
-                def loss_sub(x):
-                    merged = model.param_merge(p, x, idx)
-                    return model.loss_fn(merged, batch, key, optimizer_idx=idx)
+            def loss_sub(x):
+                merged = model.param_merge(p, x, idx)
+                return model.loss_fn(merged, batch, key, optimizer_idx=idx)
 
-                (loss, _), grads = jax.value_and_grad(loss_sub, has_aux=True)(sub)
-                updates, s = opts[idx].update(grads, s, sub)
-                sub = optax.apply_updates(sub, updates)
-                return model.param_merge(p, sub, idx), s, loss
+            (loss, _), grads = jax.value_and_grad(loss_sub, has_aux=True)(sub)
+            updates, s = opts[idx].update(grads, s, sub)
+            sub = optax.apply_updates(sub, updates)
+            return model.param_merge(p, sub, idx), s, loss
 
-            return jax.jit(step, donate_argnums=(0, 1))
+        # D+G fused in one jit (the trainer's fuse_optimizer_steps default):
+        # XLA CSEs the generator forward shared by both sub-steps
+        def fused(p, ss, batch, key):
+            losses = []
+            for idx in (0, 1):
+                p, s, loss = sub_step(idx, p, ss[idx], batch, jax.random.fold_in(key, idx))
+                ss = (s, ss[1]) if idx == 0 else (ss[0], s)
+                losses.append(loss)
+            return p, ss, losses
 
-        steps = [make_step(0), make_step(1)]
+        step = jax.jit(fused, donate_argnums=(0, 1))
+        opt_states = tuple(opt_states)
         batch = {k: jax.device_put(v, jax.devices()[0]) for k, v in batch_np.items()}
         t_c = time.perf_counter()
-        for idx in (0, 1):
-            params, opt_states[idx], loss = steps[idx](params, opt_states[idx], batch, jax.random.PRNGKey(idx))
-        assert np.isfinite(float(loss)), "train loss not finite"
+        params, opt_states, losses = step(params, opt_states, batch, jax.random.PRNGKey(0))
+        assert all(np.isfinite(float(l)) for l in losses), "train loss not finite"
         print(f"[bench:train:{tag}] compile+warmup {time.perf_counter()-t_c:.1f}s (B={B})",
               file=sys.stderr, flush=True)
 
+        # one sync per WINDOW, not per step — the trainer's deferred-logging
+        # loop dispatches ahead the same way, so this is the steps/s a real
+        # training run sees (per-step sync would bill the tunnel RTT per step)
         n_iters = int(os.environ.get("BENCH_TRAIN_ITERS", "6"))
         times = []
-        for i in range(n_iters):
+        for w in range(3):
             t0 = time.perf_counter()
-            for idx in (0, 1):
-                params, opt_states[idx], loss = steps[idx](
-                    params, opt_states[idx], batch, jax.random.PRNGKey(10 + i)
-                )
-            _ = float(loss)  # D2H sync
-            times.append(time.perf_counter() - t0)
+            for i in range(n_iters):
+                params, opt_states, losses = step(params, opt_states, batch,
+                                                  jax.random.PRNGKey(100 * w + i))
+            _ = float(losses[-1])  # window sync
+            times.append((time.perf_counter() - t0) / n_iters)
         results[tag] = 1.0 / float(np.median(times))
-        del params, opt_states, steps, batch  # free HBM before next stage
+        del params, opt_states, step, batch  # free HBM before next stage
 
     speedup = (
         results["bf16"] / results["f32"] if results.get("f32") and results.get("bf16") else None

@@ -83,6 +83,39 @@ def test_grad_accum_rejects_invalid(tmp_path):
         _make_trainer(tmp_path, model, grad_accum_steps=0)
 
 
+def test_fused_gan_step_matches_sequential(tmp_path):
+    """`fuse_optimizer_steps` runs both GAN sub-steps in one jitted program;
+    it must produce the same params/logs as the sequential per-optimizer path
+    (identical rng streams; XLA CSE must not change the math beyond float
+    reassociation noise)."""
+    from tests.test_vits import _batch as _vits_batch, _tiny_config
+    from tpu_tts.models.vits import Vits
+
+    batch = {k: np.asarray(v) for k, v in _vits_batch().items()}
+    results = {}
+    for fused in (False, True):
+        model = Vits(_tiny_config())
+        model.init_params(jax.random.PRNGKey(0))
+        trainer = _make_trainer(tmp_path / f"fused_{fused}", model, fuse_optimizer_steps=fused)
+        assert trainer.num_optimizers == 2
+        logs = {}
+        for _ in range(3):
+            logs = trainer.train_step(dict(batch))
+            trainer.total_steps_done += 1
+        results[fused] = (jax.device_get(trainer.params), logs)
+
+    (p_seq, l_seq), (p_fused, l_fused) = results[False], results[True]
+    assert set(l_seq) == set(l_fused)
+    assert np.isfinite(l_fused["opt0_loss"]) and np.isfinite(l_fused["opt1_loss"])
+    flat_seq = jax.tree_util.tree_leaves_with_path(p_seq)
+    flat_fused = jax.tree_util.tree_leaves(p_fused)
+    for (path, a), b in zip(flat_seq, flat_fused):
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float32), np.asarray(b, dtype=np.float32),
+            rtol=2e-4, atol=2e-5, err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_device_batch_replication_warns_once(tmp_path, capsys):
     model = GlowTTS(_small_config())
     model.init_params(jax.random.PRNGKey(0))

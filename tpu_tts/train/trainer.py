@@ -41,6 +41,13 @@ class TrainerArgs(Coqpit):
     best_path: str = ""
     use_ddp: bool = False  # accepted for compat; parallelism is mesh-based
     grad_accum_steps: int = 1
+    # multi-optimizer (GAN) models: run all optimizer sub-steps inside ONE
+    # jitted program instead of one jit per optimizer. Identical numerics and
+    # rng streams, but XLA CSEs work shared between the sub-steps — the
+    # generator forward feeds both the D and G losses, so it runs once per
+    # step pair (the effect the reference gets by caching
+    # `model_outputs_cache` across train_step calls, vits.py:1254,1287).
+    fuse_optimizer_steps: bool = True
     rank: int = 0
     group_id: str = ""
     skip_train_epoch: bool = False
@@ -212,13 +219,17 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------ steps
-    def _make_step_fn(self, optimizer_idx: int):
+    def _sub_step(self):
+        """The pure per-optimizer update body, shared by the sequential
+        (`_make_step_fn`) and fused (`_make_fused_step_fn`) jit builders."""
+        import optax
+
         model = self.model
-        opt = self.optimizers[optimizer_idx]
+        opts = self.optimizers
         num_opts = self.num_optimizers
         state_aware = self._state_aware
 
-        def step_fn(params, model_state, opt_state, batch, rng, step):
+        def sub_step(optimizer_idx, params, model_state, opt_state, batch, rng):
             def loss_of(p):
                 if state_aware:
                     loss, (logs, new_state) = model.loss_fn(
@@ -228,11 +239,10 @@ class Trainer:
                 loss, logs = model.loss_fn(p, batch, rng, optimizer_idx=optimizer_idx)
                 return loss, (logs, model_state)
 
+            opt = opts[optimizer_idx]
             if num_opts == 1:
                 (loss, (logs, new_state)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
                 updates, opt_state = opt.update(grads, opt_state, params)
-                import optax
-
                 params = optax.apply_updates(params, updates)
             else:
                 # partition: grads only for this optimizer's subtree
@@ -244,11 +254,40 @@ class Trainer:
 
                 (loss, (logs, new_state)), grads = jax.value_and_grad(loss_sub, has_aux=True)(subtree)
                 updates, opt_state = opt.update(grads, opt_state, subtree)
-                import optax
-
                 subtree = optax.apply_updates(subtree, updates)
                 params = model.param_merge(params, subtree, optimizer_idx)
             return params, new_state, opt_state, loss, logs
+
+        return sub_step
+
+    def _make_step_fn(self, optimizer_idx: int):
+        sub_step = self._sub_step()
+
+        def step_fn(params, model_state, opt_state, batch, rng, step):
+            return sub_step(optimizer_idx, params, model_state, opt_state, batch, rng)
+
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+
+    def _make_fused_step_fn(self):
+        """All optimizer sub-steps chained (index order) in ONE jitted
+        program — identical numerics and rng streams to the sequential path,
+        but XLA CSEs work shared between sub-steps: for GAN models the
+        generator forward feeds both the D loss (through stop-grad segments)
+        and the G loss, so it is computed once per step pair instead of
+        twice, and the host pays one dispatch instead of N."""
+        sub_step = self._sub_step()
+        num_opts = self.num_optimizers
+
+        def step_fn(params, model_state, opt_states, batch, rngs, step):
+            losses, logs_list = [], []
+            for idx in range(num_opts):
+                params, model_state, new_os, loss, logs = sub_step(
+                    idx, params, model_state, opt_states[idx], batch, rngs[idx]
+                )
+                opt_states = opt_states[:idx] + (new_os,) + opt_states[idx + 1 :]
+                losses.append(loss)
+                logs_list.append(logs)
+            return params, model_state, opt_states, losses, logs_list
 
         return jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
@@ -287,21 +326,40 @@ class Trainer:
         # phase-switched models (AlignTTS, binary-align warmups) read the
         # step; a host scalar is identical on every process → jit replicates
         batch["global_step"] = np.asarray(self.total_steps_done, dtype=np.int32)
+        # same split sequence as the sequential path → identical rng streams
+        step_rngs = []
+        for _ in range(self.num_optimizers):
+            self.rng, r = jax.random.split(self.rng)
+            step_rngs.append(r)
         logs_all = {}
-        for idx in range(self.num_optimizers):
-            self.rng, step_rng = jax.random.split(self.rng)
-            if idx not in self._jit_steps:
-                self._jit_steps[idx] = self._make_step_fn(idx)
-            self.params, self.model_state, self.opt_states[idx], loss, logs = self._jit_steps[idx](
-                self.params, self.model_state, self.opt_states[idx], batch, step_rng, self.total_steps_done
+        if self.num_optimizers > 1 and getattr(self.args, "fuse_optimizer_steps", True):
+            if "fused" not in self._jit_steps:
+                self._jit_steps["fused"] = self._make_fused_step_fn()
+            self.params, self.model_state, opt_states, losses, logs_list = self._jit_steps["fused"](
+                self.params, self.model_state, tuple(self.opt_states), batch, step_rngs,
+                self.total_steps_done,
             )
+            self.opt_states = list(opt_states)
+            pairs = [(idx, losses[idx], logs_list[idx]) for idx in range(self.num_optimizers)]
+        else:
+            pairs = []
+            for idx in range(self.num_optimizers):
+                if idx not in self._jit_steps:
+                    self._jit_steps[idx] = self._make_step_fn(idx)
+                self.params, self.model_state, self.opt_states[idx], loss, logs = self._jit_steps[idx](
+                    self.params, self.model_state, self.opt_states[idx], batch, step_rngs[idx],
+                    self.total_steps_done,
+                )
+                pairs.append((idx, loss, logs))
+        # values stay DEVICE scalars — no host sync here. The fit loop (or any
+        # caller that wants floats) converts when it actually logs, so step
+        # dispatch runs ahead of the device instead of blocking on every loss
+        # readback (one tunnel/PCIe RTT per step otherwise).
+        for idx, loss, logs in pairs:
             prefix = "" if self.num_optimizers == 1 else f"opt{idx}_"
-            logs_all[f"{prefix}loss"] = float(loss)
+            logs_all[f"{prefix}loss"] = loss
             for k, v in logs.items():
-                try:
-                    logs_all[prefix + k] = float(v)
-                except (TypeError, ValueError):
-                    pass
+                logs_all[prefix + k] = v
         return logs_all
 
     # ------------------------------------------------------------------ loops
@@ -351,26 +409,57 @@ class Trainer:
                         self.config, self.assets, is_eval=False, samples=self.train_samples,
                         verbose=False, num_gpus=self.process_count, rank=self.process_index,
                     )
+            # deferred logging: per-step logs are buffered as device scalars
+            # and converted in batches, so steps pipeline (the host dispatches
+            # step N+1 while the device runs step N) instead of paying one
+            # blocking loss-readback RTT per step
+            pending: List = []
+            window_start = time.time()
+
+            def flush_pending():
+                last = None
+                for step_no, dev_logs in pending:
+                    flogs = {}
+                    for k, v in dev_logs.items():
+                        try:
+                            flogs[k] = float(v)
+                        except (TypeError, ValueError):
+                            pass
+                    self.keep_avg_train.update_values({f"avg_{k}": v for k, v in flogs.items()})
+                    if self.dashboard_logger:
+                        for k, v in flogs.items():
+                            self.dashboard_logger.add_scalar(f"train/{k}", v, step_no)
+                    last = (step_no, flogs)
+                pending.clear()
+                return last
+
             for batch in train_loader:
                 step_start = time.time()
                 profiler.maybe_start(self.total_steps_done)
                 batch = self.model.format_batch(batch) if hasattr(self.model, "format_batch") else batch
                 logs = self.train_step(batch)
+                if profiler.logdir:
+                    # keep the trace window aligned to real step boundaries
+                    jax.block_until_ready(logs)
                 self.total_steps_done += 1
                 profiler.maybe_stop(self.total_steps_done)
-                self.keep_avg_train.update_values({f"avg_{k}": v for k, v in logs.items()})
+                pending.append((self.total_steps_done, logs))
                 if self.total_steps_done % self.config.print_step == 0:
-                    logs["step_time"] = round(time.time() - step_start, 4)
-                    self.c_logger.train_step_stats(self.total_steps_done, logs)
-                if self.dashboard_logger:
-                    for k, v in logs.items():
-                        self.dashboard_logger.add_scalar(f"train/{k}", v, self.total_steps_done)
+                    n_window = len(pending)
+                    last = flush_pending()  # blocks → true window wall time
+                    if last is not None:
+                        step_no, flogs = last
+                        flogs["step_time"] = round((time.time() - window_start) / n_window, 4)
+                        self.c_logger.train_step_stats(step_no, flogs)
+                    window_start = time.time()
                 if (
                     self.config.save_step > 0
                     and self.total_steps_done % self.config.save_step == 0
                     and getattr(self.config, "save_checkpoints", True)
                 ):
+                    flush_pending()
                     self.save_checkpoint()
+            flush_pending()
             self.epochs_done = epoch + 1
             print(f" > Epoch time: {time.time() - epoch_start:.2f} s")
 
@@ -430,19 +519,18 @@ class Trainer:
         return jax.jit(eval_fn)
 
     def eval_epoch(self, eval_loader) -> float:
+        # device scalars accumulate unconverted; one host sync at the end of
+        # the epoch (same pipelining rationale as the train loop)
         losses = []
         for batch in eval_loader:
             batch = self.model.format_batch(batch) if hasattr(self.model, "format_batch") else batch
             dbatch = self._device_batch(batch)
             self.rng, rng = jax.random.split(self.rng)
-            total = 0.0
             for idx in range(self.num_optimizers):
                 if idx not in self._jit_eval_steps:
                     self._jit_eval_steps[idx] = self._make_eval_fn(idx)
-                loss = self._jit_eval_steps[idx](self.params, self.model_state, dbatch, rng)
-                total += float(loss)
-            losses.append(total)
-        avg = float(np.mean(losses)) if losses else float("nan")
+                losses.append(self._jit_eval_steps[idx](self.params, self.model_state, dbatch, rng))
+        avg = float(np.mean([float(x) for x in losses]) * self.num_optimizers) if losses else float("nan")
         print(f" | > EVAL loss: {avg:.5f}")
         if self.dashboard_logger:
             self.dashboard_logger.add_scalar("eval/loss", avg, self.total_steps_done)
