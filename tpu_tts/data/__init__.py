@@ -136,3 +136,44 @@ def shard_batch_indices(chunk, num_shards: int, shard_id: int):
     if per == 0:
         return None
     return chunk[shard_id * per : (shard_id + 1) * per]
+
+
+def prefetch_batches(make_batch, schedule, num_workers: int):
+    """Yield `make_batch(item)` for each schedule entry, optionally built
+    ahead by a thread pool — the TPU-host counterpart of the reference's
+    `DataLoader(num_workers=...)` (ref base_tts.py:358): host-side batch
+    construction (audio decode + feature compute + collate) overlaps device
+    step execution instead of serializing with it.
+
+    Threads (not processes) suffice here because the hot host work — wav
+    decode, numpy mel/F0, padding — runs in C with the GIL released.
+    Ordering is deterministic: batches are yielded in schedule order
+    regardless of completion order. `make_batch` may return None to skip an
+    entry (e.g. a batch too small to shard across processes).
+    """
+    if num_workers <= 0:
+        for entry in schedule:
+            batch = make_batch(entry)
+            if batch is not None:
+                yield batch
+        return
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending = collections.deque()
+        it = iter(schedule)
+        depth = num_workers + 2  # bounded queue: keeps host memory flat
+        try:
+            for _ in range(depth):
+                pending.append(pool.submit(make_batch, next(it)))
+        except StopIteration:
+            pass
+        while pending:
+            batch = pending.popleft().result()
+            try:
+                pending.append(pool.submit(make_batch, next(it)))
+            except StopIteration:
+                pass
+            if batch is not None:
+                yield batch

@@ -9,6 +9,7 @@ cross into jax at the jit boundary.
 """
 
 import os
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -50,7 +51,12 @@ class FeatureCache:
             except (OSError, ValueError):
                 pass
         value = compute_fn()
-        np.save(path, value, allow_pickle=False)
+        # atomic publish: loader workers / training processes may share the
+        # cache dir, and a reader must never see a half-written .npy
+        tmp = path + f".tmp{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "wb") as f:
+            np.save(f, value, allow_pickle=False)
+        os.replace(tmp, path)
         return value
 
 
@@ -358,11 +364,13 @@ class TTSDataLoader:
         weights: Optional[np.ndarray] = None,
         num_shards: int = 1,
         shard_id: int = 0,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.num_workers = int(num_workers or 0)
         self.rng = np.random.default_rng(seed)
         self.weights = None
         if weights is not None:
@@ -404,18 +412,21 @@ class TTSDataLoader:
             self.rng.shuffle(batches)
         return batches
 
+    def _make_batch(self, batch_idx):
+        if self.num_shards > 1:
+            per = len(batch_idx) // self.num_shards
+            if per == 0:
+                return None  # identical skip on every process
+            full = batch_idx[: per * self.num_shards]
+            pad_to = self.dataset.shard_pad_hint(full)
+            shard = full[self.shard_id * per : (self.shard_id + 1) * per]
+            items = [self.dataset[i] for i in shard]
+            return self.dataset.collate_fn(items, pad_to=pad_to)
+        items = [self.dataset[i] for i in batch_idx]
+        return self.dataset.collate_fn(items)
+
     def __iter__(self):
+        from tpu_tts.data import prefetch_batches
+
         self.epoch += 1
-        for batch_idx in self._batch_indices():
-            if self.num_shards > 1:
-                per = len(batch_idx) // self.num_shards
-                if per == 0:
-                    continue  # identical skip on every process
-                full = batch_idx[: per * self.num_shards]
-                pad_to = self.dataset.shard_pad_hint(full)
-                shard = full[self.shard_id * per : (self.shard_id + 1) * per]
-                items = [self.dataset[i] for i in shard]
-                yield self.dataset.collate_fn(items, pad_to=pad_to)
-            else:
-                items = [self.dataset[i] for i in batch_idx]
-                yield self.dataset.collate_fn(items)
+        yield from prefetch_batches(self._make_batch, self._batch_indices(), self.num_workers)

@@ -109,7 +109,8 @@ class XttsDataLoader:
     """Shuffled fixed-shape batches over an XttsDataset."""
 
     def __init__(self, dataset: XttsDataset, batch_size: int, shuffle: bool = True,
-                 drop_last: bool = True, seed: int = 0, num_shards: int = 1, shard_id: int = 0):
+                 drop_last: bool = True, seed: int = 0, num_shards: int = 1, shard_id: int = 0,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -117,21 +118,26 @@ class XttsDataLoader:
         self.rng = np.random.default_rng(seed)
         self.num_shards = max(int(num_shards), 1)
         self.shard_id = int(shard_id)
+        self.num_workers = int(num_workers or 0)
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else int(np.ceil(n / self.batch_size))
 
+    def _make_batch(self, idxs):
+        from tpu_tts.data import shard_batch_indices
+
+        idxs = shard_batch_indices(idxs, self.num_shards, self.shard_id)
+        if idxs is None:
+            return None
+        items = [self.dataset[int(i)] for i in idxs]
+        return self.dataset.collate([it for it in items if it is not None])
+
     def __iter__(self):
+        from tpu_tts.data import prefetch_batches
+
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
-        for b in range(len(self)):
-            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            from tpu_tts.data import shard_batch_indices
-
-            idxs = shard_batch_indices(idxs, self.num_shards, self.shard_id)
-            if idxs is None:
-                continue
-            items = [self.dataset[int(i)] for i in idxs]
-            yield self.dataset.collate([it for it in items if it is not None])
+        chunks = [order[b * self.batch_size : (b + 1) * self.batch_size] for b in range(len(self))]
+        yield from prefetch_batches(self._make_batch, chunks, self.num_workers)

@@ -182,6 +182,7 @@ class BaseTTSModel:
             weights=weights,
             num_shards=num_gpus,  # per-PROCESS batch slicing (ref DistributedSampler)
             shard_id=rank,
+            num_workers=getattr(config, "num_eval_loader_workers" if is_eval else "num_loader_workers", 0),
         )
 
     @staticmethod

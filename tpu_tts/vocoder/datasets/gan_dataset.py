@@ -9,6 +9,8 @@ train step compiles exactly once.
 import os
 from typing import Dict, List
 
+import threading
+
 import numpy as np
 
 
@@ -39,6 +41,9 @@ class GANDataset:
         self.use_cache = use_cache
         self.feat_frame_len = seq_len // hop_len + (2 * conv_pad)
         self.rng = np.random.default_rng(seed)
+        # loader worker threads share this generator; numpy Generators are
+        # not thread-safe, so draws are serialized (they are tiny vs IO/DSP)
+        self._rng_lock = threading.Lock()
         self._cache: Dict[int, np.ndarray] = {}
         assert seq_len % hop_len == 0, " [!] seq_len must be a multiple of hop_len."
 
@@ -59,14 +64,17 @@ class GANDataset:
     def _sample_segment(self, wav: np.ndarray):
         if self.is_training:
             max_start = len(wav) - self.seq_len - 1
-            start = int(self.rng.integers(0, max(max_start, 1)))
+            with self._rng_lock:
+                start = int(self.rng.integers(0, max(max_start, 1)))
         else:
             start = 0
         seg = wav[start : start + self.seq_len]
         mel = self.ap.melspectrogram(seg).astype(np.float32).T  # [T, C]
         mel = mel[: self.seq_len // self.hop_len]
         if self.use_noise_augment:
-            seg = seg + (1.0 / 32768.0) * self.rng.standard_normal(len(seg)).astype(np.float32)
+            with self._rng_lock:
+                noise = self.rng.standard_normal(len(seg)).astype(np.float32)
+            seg = seg + (1.0 / 32768.0) * noise
         return mel, seg.astype(np.float32)
 
     def __getitem__(self, idx: int) -> Dict:
@@ -93,7 +101,7 @@ class GANDataset:
 
 class GANDataLoader:
     def __init__(self, dataset: GANDataset, batch_size: int, shuffle=True, drop_last=True, seed=0,
-                 num_shards=1, shard_id=0):
+                 num_shards=1, shard_id=0, num_workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -101,22 +109,27 @@ class GANDataLoader:
         self.rng = np.random.default_rng(seed)
         self.num_shards = max(int(num_shards), 1)
         self.shard_id = int(shard_id)
+        self.num_workers = int(num_workers or 0)
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else int(np.ceil(n / self.batch_size))
 
+    def _make_batch(self, chunk):
+        from tpu_tts.data import shard_batch_indices
+
+        chunk = shard_batch_indices(chunk, self.num_shards, self.shard_id)
+        if chunk is None:
+            return None
+        return self.dataset.collate([self.dataset[int(i)] for i in chunk])
+
     def __iter__(self):
+        from tpu_tts.data import prefetch_batches
+
         idxs = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idxs)
-        for s in range(0, len(idxs), self.batch_size):
-            chunk = idxs[s : s + self.batch_size]
-            if self.drop_last and len(chunk) < self.batch_size:
-                break
-            from tpu_tts.data import shard_batch_indices
-
-            chunk = shard_batch_indices(chunk, self.num_shards, self.shard_id)
-            if chunk is None:
-                continue
-            yield self.dataset.collate([self.dataset[int(i)] for i in chunk])
+        chunks = [idxs[s : s + self.batch_size] for s in range(0, len(idxs), self.batch_size)]
+        if self.drop_last and chunks and len(chunks[-1]) < self.batch_size:
+            chunks = chunks[:-1]
+        yield from prefetch_batches(self._make_batch, chunks, self.num_workers)

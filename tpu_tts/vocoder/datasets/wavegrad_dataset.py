@@ -8,6 +8,8 @@ batch max only for the host-side schedule search in `tune_wavegrad`.
 
 from typing import List, Tuple
 
+import threading
+
 import numpy as np
 
 
@@ -37,6 +39,9 @@ class WaveGradDataset:
         self.use_noise_augment = use_noise_augment
         self.use_cache = use_cache
         self.rng = np.random.default_rng(seed)
+        # loader worker threads share this generator; numpy Generators are
+        # not thread-safe, so draws are serialized (they are tiny vs IO/DSP)
+        self._rng_lock = threading.Lock()
         self._cache = {}
         if return_segments:
             assert seq_len % hop_len == 0, " [!] seq_len has to be a multiple of hop_len."
@@ -62,10 +67,16 @@ class WaveGradDataset:
         audio = self._load_audio(idx)
         if self.return_segments:
             max_start = len(audio) - self.seq_len
-            start = int(self.rng.integers(0, max(max_start, 1))) if self.is_training else 0
+            if self.is_training:
+                with self._rng_lock:
+                    start = int(self.rng.integers(0, max(max_start, 1)))
+            else:
+                start = 0
             audio = audio[start : start + self.seq_len]
         if self.use_noise_augment and self.is_training and self.return_segments:
-            audio = audio + (1.0 / 32768.0) * self.rng.standard_normal(len(audio)).astype(np.float32)
+            with self._rng_lock:
+                noise = self.rng.standard_normal(len(audio)).astype(np.float32)
+            audio = audio + (1.0 / 32768.0) * noise
         mel = self.ap.melspectrogram(audio).astype(np.float32).T  # [T, C]
         mel = mel[: len(audio) // self.hop_len]  # drop the stft padding frame (ref :132)
         return mel, audio.astype(np.float32)
@@ -102,7 +113,7 @@ class WaveGradDataset:
 
 class WaveGradDataLoader:
     def __init__(self, dataset: WaveGradDataset, batch_size: int, shuffle=True, drop_last=True, seed=0,
-                 num_shards=1, shard_id=0):
+                 num_shards=1, shard_id=0, num_workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -110,22 +121,27 @@ class WaveGradDataLoader:
         self.rng = np.random.default_rng(seed)
         self.num_shards = max(int(num_shards), 1)
         self.shard_id = int(shard_id)
+        self.num_workers = int(num_workers or 0)
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else int(np.ceil(n / self.batch_size))
 
+    def _make_batch(self, chunk):
+        from tpu_tts.data import shard_batch_indices
+
+        chunk = shard_batch_indices(chunk, self.num_shards, self.shard_id)
+        if chunk is None:
+            return None
+        return self.dataset.collate([self.dataset[int(i)] for i in chunk])
+
     def __iter__(self):
+        from tpu_tts.data import prefetch_batches
+
         idxs = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idxs)
-        for s in range(0, len(idxs), self.batch_size):
-            chunk = idxs[s : s + self.batch_size]
-            if self.drop_last and len(chunk) < self.batch_size:
-                break
-            from tpu_tts.data import shard_batch_indices
-
-            chunk = shard_batch_indices(chunk, self.num_shards, self.shard_id)
-            if chunk is None:
-                continue
-            yield self.dataset.collate([self.dataset[int(i)] for i in chunk])
+        chunks = [idxs[s : s + self.batch_size] for s in range(0, len(idxs), self.batch_size)]
+        if self.drop_last and chunks and len(chunks[-1]) < self.batch_size:
+            chunks = chunks[:-1]
+        yield from prefetch_batches(self._make_batch, chunks, self.num_workers)

@@ -12,6 +12,8 @@ exactly from that scaling, matching the reference's `x_input` normalization
 (ref :113-115).
 """
 
+import threading
+
 import numpy as np
 
 from tpu_tts.audio.numpy_transforms import mulaw_encode, quantize
@@ -43,6 +45,9 @@ class WaveRNNDataset:
         self.is_training = is_training
         self.return_segments = return_segments
         self.rng = np.random.default_rng(seed)
+        # loader worker threads share this generator; numpy Generators are
+        # not thread-safe, so draws are serialized (they are tiny vs IO/DSP)
+        self._rng_lock = threading.Lock()
         assert self.seq_len % self.hop_len == 0
 
     def __len__(self):
@@ -101,7 +106,11 @@ class WaveRNNDataset:
         mels, xs, ys = [], [], []
         for mel, sig, _ in batch:
             max_offset = mel.shape[0] - (mel_win + 2 * self.pad)
-            mel_offset = int(self.rng.integers(0, max(max_offset, 1))) if self.is_training else 0
+            if self.is_training:
+                with self._rng_lock:
+                    mel_offset = int(self.rng.integers(0, max(max_offset, 1)))
+            else:
+                mel_offset = 0
             sig_offset = (mel_offset + self.pad) * self.hop_len
             mels.append(mel[mel_offset : mel_offset + mel_win])
             window = sig[sig_offset : sig_offset + self.seq_len + 1]
@@ -118,7 +127,7 @@ class WaveRNNDataset:
 
 class WaveRNNDataLoader:
     def __init__(self, dataset: WaveRNNDataset, batch_size: int, shuffle=True, drop_last=True, seed=0,
-                 num_shards=1, shard_id=0):
+                 num_shards=1, shard_id=0, num_workers=0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -126,22 +135,27 @@ class WaveRNNDataLoader:
         self.rng = np.random.default_rng(seed)
         self.num_shards = max(int(num_shards), 1)
         self.shard_id = int(shard_id)
+        self.num_workers = int(num_workers or 0)
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else int(np.ceil(n / self.batch_size))
 
+    def _make_batch(self, chunk):
+        from tpu_tts.data import shard_batch_indices
+
+        chunk = shard_batch_indices(chunk, self.num_shards, self.shard_id)
+        if chunk is None:
+            return None
+        return self.dataset.collate([self.dataset[int(i)] for i in chunk])
+
     def __iter__(self):
+        from tpu_tts.data import prefetch_batches
+
         idxs = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idxs)
-        for s in range(0, len(idxs), self.batch_size):
-            chunk = idxs[s : s + self.batch_size]
-            if self.drop_last and len(chunk) < self.batch_size:
-                break
-            from tpu_tts.data import shard_batch_indices
-
-            chunk = shard_batch_indices(chunk, self.num_shards, self.shard_id)
-            if chunk is None:
-                continue
-            yield self.dataset.collate([self.dataset[int(i)] for i in chunk])
+        chunks = [idxs[s : s + self.batch_size] for s in range(0, len(idxs), self.batch_size)]
+        if self.drop_last and chunks and len(chunks[-1]) < self.batch_size:
+            chunks = chunks[:-1]
+        yield from prefetch_batches(self._make_batch, chunks, self.num_workers)

@@ -254,6 +254,7 @@ class Wavegrad:
             seed=getattr(config, "training_seed", 0),
             num_shards=num_gpus,
             shard_id=rank,
+            num_workers=getattr(config, "num_eval_loader_workers" if is_eval else "num_loader_workers", 0),
         )
 
     # ------------------------------------------------------- torch ingest

@@ -405,6 +405,7 @@ class Wavernn:
             seed=getattr(config, "training_seed", 0),
             num_shards=num_gpus,
             shard_id=rank,
+            num_workers=getattr(config, "num_eval_loader_workers" if is_eval else "num_loader_workers", 0),
         )
 
     def convert_torch_state_dict(self, state_dict):
