@@ -8,13 +8,13 @@ deps:  ## install the package editable
 	pip install -e . --no-build-isolation --no-deps
 
 test:  ## run the full test suite (CPU, 8 virtual devices)
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -rs
 
 test_fast:  ## run the fast tests only
-	python -m pytest tests/ -q -m "not slow"
+	python -m pytest tests/ -q -rs -m "not slow"
 
 test_train:  ## run the end-to-end train smoke tests
-	python -m pytest tests/ -q -m "slow"
+	python -m pytest tests/ -q -rs -m "slow"
 
 bench:  ## run the TPU benchmark (one JSON line per metric; RTF last)
 	python bench.py

@@ -127,3 +127,75 @@ def test_device_batch_replication_warns_once(tmp_path, capsys):
     trainer._device_batch(dict(bad))
     out = capsys.readouterr().out
     assert out.count("loses data parallelism") == 1
+
+
+def test_per_optimizer_grad_clip():
+    """`grad_clip: List` must clip per optimizer index, not by max()
+    (ref vits_config.py:115 — [D_clip, G_clip])."""
+    import optax
+
+    from tpu_tts.train.optimizers import get_optimizer
+
+    class _Cfg:
+        grad_clip = [0.5, 1000.0]
+
+    grads = {"w": np.full((4,), 10.0, dtype=np.float32)}  # global norm 20
+    params = {"w": np.zeros((4,), dtype=np.float32)}
+    norms = []
+    for idx in (0, 1):
+        tx = get_optimizer("sgd", {"momentum": 0.0}, 1.0, _Cfg(), optimizer_idx=idx)
+        state = tx.init(params)
+        updates, _ = tx.update(jax.tree_util.tree_map(jax.numpy.asarray, grads), state, params)
+        norms.append(float(optax.global_norm(updates)))
+    # sgd(lr=1) update = -clipped grad: D clipped to 0.5, G unclipped (20)
+    np.testing.assert_allclose(norms[0], 0.5, rtol=1e-5)
+    np.testing.assert_allclose(norms[1], 20.0, rtol=1e-5)
+
+
+def test_eval_epoch_per_optimizer_aggregation(tmp_path):
+    """Eval loss is the sum over optimizers of the per-optimizer batch mean
+    (the reference keep_avg of per-step D+G loss), hand-checked."""
+    import optax
+
+    class _DummyCfg:
+        run_eval = True
+        epochs = 0
+        print_step = 1
+        save_step = 0
+        training_seed = 1
+        dashboard_logger = None
+
+        def has(self, k):
+            return False
+
+    class _DummyModel:
+        config = _DummyCfg()
+        params = {"w": np.zeros((2,), dtype=np.float32)}
+        model_state = {}
+
+        def num_optimizers(self):
+            return 2
+
+        def init_params(self, rng):
+            return self.params
+
+        def param_partition(self, params, idx):
+            return params
+
+        def param_merge(self, params, sub, idx):
+            return sub
+
+        def get_optimizer(self):
+            return [optax.sgd(0.0), optax.sgd(0.0)]
+
+        def loss_fn(self, params, batch, rng, optimizer_idx=0):
+            # loss depends on the batch content and the optimizer index
+            return jax.numpy.mean(batch["x"]) + 10.0 * optimizer_idx, {}
+
+    model = _DummyModel()
+    trainer = _make_trainer(tmp_path, model)
+    loader = [{"x": np.full((8, 2), 1.0, dtype=np.float32)},
+              {"x": np.full((8, 2), 3.0, dtype=np.float32)}]
+    got = trainer.eval_epoch(loader)
+    # opt0 mean over batches = (1+3)/2 = 2; opt1 = (11+13)/2 = 12; sum = 14
+    np.testing.assert_allclose(got, 14.0, rtol=1e-6)

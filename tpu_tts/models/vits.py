@@ -577,8 +577,8 @@ class Vits(BaseTTSModel):
         sched_g = get_scheduler(
             self.config.lr_scheduler_gen, self.config.lr_scheduler_gen_params, self.config.lr_gen
         )
-        opt_d = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_d)
-        opt_g = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_g)
+        opt_d = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_d, optimizer_idx=0)
+        opt_g = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_g, optimizer_idx=1)
         return [opt_d, opt_g]
 
     # ------------------------------------------------------------- inference

@@ -63,8 +63,13 @@ def get_optimizer(
     lr: Union[float, Callable],
     config=None,
     schedule: Optional[Union[float, Callable]] = None,
+    optimizer_idx: Optional[int] = None,
 ) -> optax.GradientTransformation:
-    """Build an optax optimizer by (reference) name with clip + NaN guard."""
+    """Build an optax optimizer by (reference) name with clip + NaN guard.
+
+    `optimizer_idx` selects the per-optimizer entry when `config.grad_clip`
+    is a list (ref vits_config.py:115 `grad_clip: List = [1000, 1000]` —
+    index 0 clips D, index 1 clips G)."""
     name = (name or "adam").lower()
     params = dict(params or {})
     betas = params.pop("betas", (0.9, 0.999))
@@ -88,7 +93,10 @@ def get_optimizer(
 
     grad_clip = getattr(config, "grad_clip", 0.0) if config is not None else 0.0
     if isinstance(grad_clip, (list, tuple)):
-        grad_clip = max(grad_clip)
+        if optimizer_idx is not None and optimizer_idx < len(grad_clip):
+            grad_clip = grad_clip[optimizer_idx]
+        else:
+            grad_clip = max(grad_clip) if grad_clip else 0.0
     chain = []
     if grad_clip and grad_clip > 0:
         chain.append(optax.clip_by_global_norm(float(grad_clip)))

@@ -521,7 +521,7 @@ class Trainer:
     def eval_epoch(self, eval_loader) -> float:
         # device scalars accumulate unconverted; one host sync at the end of
         # the epoch (same pipelining rationale as the train loop)
-        losses = []
+        losses_by_opt: List[List] = [[] for _ in range(self.num_optimizers)]
         for batch in eval_loader:
             batch = self.model.format_batch(batch) if hasattr(self.model, "format_batch") else batch
             dbatch = self._device_batch(batch)
@@ -529,8 +529,15 @@ class Trainer:
             for idx in range(self.num_optimizers):
                 if idx not in self._jit_eval_steps:
                     self._jit_eval_steps[idx] = self._make_eval_fn(idx)
-                losses.append(self._jit_eval_steps[idx](self.params, self.model_state, dbatch, rng))
-        avg = float(np.mean([float(x) for x in losses]) * self.num_optimizers) if losses else float("nan")
+                losses_by_opt[idx].append(self._jit_eval_steps[idx](self.params, self.model_state, dbatch, rng))
+        # faithful reduction: per-optimizer mean over its batches, summed over
+        # optimizers (the reference's keep_avg of per-step `loss`, which for
+        # GAN models is the D+G sum) — NOT a flat mean × num_optimizers, which
+        # would mis-weight optimizers with unequal batch counts
+        if any(losses_by_opt):
+            avg = float(sum(np.mean([float(x) for x in per_opt]) for per_opt in losses_by_opt if per_opt))
+        else:
+            avg = float("nan")
         print(f" | > EVAL loss: {avg:.5f}")
         if self.dashboard_logger:
             self.dashboard_logger.add_scalar("eval/loss", avg, self.total_steps_done)

@@ -163,8 +163,8 @@ class GAN(BaseTTSModel):
             getattr(self.config, "lr_scheduler_gen_params", {}) or {},
             getattr(self.config, "lr_gen", self.config.lr),
         )
-        opt_d = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_d)
-        opt_g = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_g)
+        opt_d = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_d, optimizer_idx=0)
+        opt_g = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_g, optimizer_idx=1)
         return [opt_d, opt_g]
 
     # -------------------------------------------------------------- inference
