@@ -12,9 +12,12 @@ Emits ONE JSON line per metric:
   the last JSON line; this is the headline vs the reference's ×67.12,
   /root/reference/docs/source/models/vits.md:7).
 
-Stage selection: BENCH_STAGES=train,xtts,rtf (default all). Each stage is
-fail-safe: an exception prints to stderr and the remaining stages still run.
-Default dtype for inference is bf16 (BENCH_DTYPE=f32 to override).
+Stage selection: BENCH_STAGES=train,xtts,serve,rtf (default all). Each stage
+is fail-safe: an exception prints to stderr and the remaining stages still
+run. Default dtype for inference is bf16 (BENCH_DTYPE=f32 to override).
+Extra metrics: vits_train_mfu_pct (XLA-counted FLOPs of the fused GAN step),
+xtts_concurrent_streams_under_200ms + aggregate audio-s/s (serve stage),
+vits_aggregate_rtf_v5e16_extrapolated (vs the ≥5000x BASELINE target).
 """
 
 import json
@@ -55,6 +58,7 @@ def bench_train_steps():
     }
 
     results = {}
+    flops_per_step = {}
     host_params = None  # params are identical across compute dtypes — init once
     dtypes = os.environ.get("BENCH_TRAIN_DTYPES", "bf16,f32").split(",")
     for tag, mp in (("bf16", True), ("f32", False)):
@@ -122,6 +126,15 @@ def bench_train_steps():
             _ = float(losses[-1])  # window sync
             times.append((time.perf_counter() - t0) / n_iters)
         results[tag] = 1.0 / float(np.median(times))
+        # train-step MFU from XLA's own static FLOP count of the compiled
+        # fused D+G step (VERDICT r2 next-round #1) vs the v5e bf16 peak
+        try:
+            ca = step.lower(params, opt_states, batch, jax.random.PRNGKey(0)).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            flops_per_step[tag] = float(ca.get("flops", 0.0))
+        except Exception as e:
+            print(f"[bench:train:{tag}] cost_analysis unavailable: {e}", file=sys.stderr, flush=True)
         del params, opt_states, step, batch  # free HBM before next stage
 
     speedup = (
@@ -132,6 +145,13 @@ def bench_train_steps():
     if "bf16" in results:
         _emit("vits_gan_train_steps_per_s_bf16", round(results["bf16"], 3), "steps/s",
               round(speedup, 3) if speedup else None)
+    # train MFU (bf16 step preferred): XLA-counted FLOPs/step × steps/s vs
+    # the v5e bf16 peak — the honest fraction-of-speed-of-light for training
+    for tag in ("bf16", "f32"):
+        if results.get(tag) and flops_per_step.get(tag):
+            mfu = flops_per_step[tag] * results[tag] / 197e12 * 100.0
+            _emit("vits_train_mfu_pct", round(mfu, 1), "percent", None)
+            break
 
 
 # ---------------------------------------------------------------------- xtts
@@ -142,6 +162,21 @@ def bench_xtts_first_chunk():
     m = measure(iters=int(os.environ.get("LAT_ITERS", "5")))
     val = m["first_chunk_ms"]
     _emit("xtts_first_chunk_latency_ms", val, "ms", round(200.0 / val, 3))
+
+
+# --------------------------------------------------------------------- serve
+def bench_xtts_multistream():
+    """Concurrent XTTS streams per chip (VERDICT r2 next-round #5a): largest
+    lockstep batch whose first chunk lands < 200 ms + the aggregate
+    audio-seconds/s at that batch."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from xtts_stream_latency import measure_multistream
+
+    m = measure_multistream(iters=int(os.environ.get("LAT_ITERS", "3")))
+    _emit("xtts_concurrent_streams_under_200ms", m["max_streams_under_200ms"], "streams", None)
+    if m.get("aggregate_audio_s_per_s_at_max"):
+        _emit("xtts_aggregate_audio_s_per_s", m["aggregate_audio_s_per_s_at_max"],
+              "audio_s/s", None)
 
 
 def _hifigan_flops(a, B: int, T_in: int) -> float:
@@ -278,6 +313,14 @@ def bench_inference_rtf():
     flops = _hifigan_flops(cfg.model_args, B, Y_MAX)
     mfu = flops / float(np.median(times)) / 197e12 * 100.0
     _emit("vits_infer_decoder_mfu_pct", round(mfu, 1), "percent", None)
+    # v5e-16 aggregate extrapolation (BASELINE ≥5000× target): batch inference
+    # is pure data parallelism — zero cross-chip collectives — so per-chip ×16
+    # is the architecture number; the virtual-8-device sharded program is
+    # validated separately (scripts/scaling_bench.py --virtual 8, recorded in
+    # README). Real multi-chip ICI measurement needs hardware this sandbox
+    # doesn't have.
+    _emit("vits_aggregate_rtf_v5e16_extrapolated", round(rtf * 16, 0), "x_realtime",
+          round(rtf * 16 / 5000.0, 3))
     _emit("vits_e2e_inference_rtf", round(rtf, 2), "x_realtime", round(rtf / 67.12, 3))
 
 
@@ -290,13 +333,14 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    stages = os.environ.get("BENCH_STAGES", "train,xtts,rtf").split(",")
+    stages = os.environ.get("BENCH_STAGES", "train,xtts,serve,rtf").split(",")
     runners = {
         "train": bench_train_steps,
         "xtts": bench_xtts_first_chunk,
+        "serve": bench_xtts_multistream,
         "rtf": bench_inference_rtf,  # keep LAST: driver parses the last line
     }
-    for name in ("train", "xtts", "rtf"):
+    for name in ("train", "xtts", "serve", "rtf"):
         if name not in stages:
             continue
         try:

@@ -95,8 +95,126 @@ def measure(iters: int = None) -> dict:
     }
 
 
+def measure_multistream(batch_sizes=None, iters: int = None) -> dict:
+    """Concurrent XTTS streams per chip (VERDICT r2 next-round #5a): run B
+    streams in lockstep through the SAME prefill/chunk/decode programs the
+    single-stream path uses, batched on the leading axis — the shape a
+    batching serving frontend produces. Reports, per B: first-chunk latency
+    and steady-state aggregate audio-seconds/s; plus the largest B whose
+    first chunk still lands under the reference's 200 ms target."""
+    from tpu_tts.parallel import maybe_force_platform
+
+    maybe_force_platform()
+    import jax
+    import jax.numpy as jnp
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tpu_tts.configs.xtts_config import XttsConfig
+    from tpu_tts.models.xtts import Xtts, XttsNet
+
+    cfg = XttsConfig()
+    model = Xtts(cfg)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init_params(jax.random.PRNGKey(0))
+    params = jax.device_put(params, jax.devices()[0])
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+    if dtype == jnp.bfloat16:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+        )
+    model.params = params
+
+    a = model.args
+    n_text = int(os.environ.get("LAT_TEXT_TOKENS", "30"))
+    chunk = int(os.environ.get("LAT_CHUNK", "20"))
+    first_chunk = 8
+    temperature, top_k = 0.75, 50
+    iters = iters or int(os.environ.get("LAT_ITERS", "5"))
+    batch_sizes = batch_sizes or [
+        int(b) for b in os.environ.get("LAT_BATCHES", "1,2,4,8,16").split(",")
+    ]
+    sr = a.output_sample_rate
+
+    pf = jax.jit(lambda p, c, t: model.net.apply({"params": p}, c, t, method=XttsNet.stream_prefill))
+    dec = jax.jit(lambda p, l, s: model.net.apply({"params": p}, l, s, method=XttsNet.decode_latents))
+
+    def chunk_fn(n_steps):
+        return jax.jit(
+            lambda p, cache, pl, code, stop, r, i0: model.net.apply(
+                {"params": p}, cache, pl, code, stop, r, i0,
+                n_steps, temperature, top_k,
+                method=XttsNet.stream_chunk,
+            )
+        )
+
+    ck_first, ck_steady = chunk_fn(first_chunk), chunk_fn(chunk)
+    rows = []
+    rng0 = np.random.default_rng(0)
+    for B in batch_sizes:
+        text = jnp.asarray(rng0.integers(1, 200, (B, n_text)), dtype=jnp.int32)
+        cond = jnp.asarray(
+            rng0.standard_normal((B, a.num_cond_latents, a.gpt_n_model_channels)) * 0.02, dtype
+        )
+        spk = jnp.asarray(rng0.standard_normal((B, a.d_vector_dim)) * 0.1, dtype)
+
+        def one_stream_round(key):
+            t0 = time.perf_counter()
+            cache, pl, code = pf(model.params, cond, text)
+            stopped = jnp.zeros((B,), dtype=bool)
+            (cache, code, stopped, key), (codes, lats, valid) = ck_first(
+                model.params, cache, pl, code, stopped, key, jnp.int32(0)
+            )
+            wav = dec(model.params, lats, spk)
+            np.asarray(wav[:, :4, 0])  # host sync = audio delivered
+            t_first = time.perf_counter() - t0
+            # steady chunks
+            t1 = time.perf_counter()
+            n_steady = 3
+            for j in range(n_steady):
+                (cache, code, stopped, key), (codes, lats, valid) = ck_steady(
+                    model.params, cache, pl, code, stopped, key, jnp.int32(first_chunk + j * chunk)
+                )
+                wav = dec(model.params, lats, spk)
+            np.asarray(wav[:, :4, 0])
+            per_chunk = (time.perf_counter() - t1) / n_steady
+            return t_first, per_chunk
+
+        one_stream_round(jax.random.PRNGKey(0))  # compile
+        firsts, chunks_t = [], []
+        for i in range(iters):
+            f, c = one_stream_round(jax.random.PRNGKey(i + 1))
+            firsts.append(f)
+            chunks_t.append(c)
+        first_ms = float(np.median(firsts)) * 1e3
+        per_chunk_s = float(np.median(chunks_t))
+        chunk_audio_s = model._n_samples(chunk) / sr
+        rows.append({
+            "streams": B,
+            "first_chunk_ms": round(first_ms, 1),
+            "per_chunk_ms": round(per_chunk_s * 1e3, 1),
+            "rtf_per_stream": round(chunk_audio_s / per_chunk_s, 2),
+            "aggregate_audio_s_per_s": round(B * chunk_audio_s / per_chunk_s, 1),
+        })
+        print(f"[multi] {rows[-1]}", file=sys.stderr, flush=True)
+    ok = [r for r in rows if r["first_chunk_ms"] < 200.0]
+    best = max(ok, key=lambda r: r["streams"]) if ok else None
+    return {
+        "rows": rows,
+        "max_streams_under_200ms": best["streams"] if best else 0,
+        "aggregate_audio_s_per_s_at_max": best["aggregate_audio_s_per_s"] if best else None,
+        "first_chunk_ms_at_max": best["first_chunk_ms"] if best else None,
+    }
+
+
 def main():
-    print(json.dumps(measure()))
+    if os.environ.get("LAT_MULTI"):
+        print(json.dumps(measure_multistream()))
+    else:
+        print(json.dumps(measure()))
 
 
 if __name__ == "__main__":

@@ -366,6 +366,12 @@ class VitsNet(nn.Module):
 class Vits(BaseTTSModel):
     """Orchestrator: 2-optimizer GAN training (D=idx0, G=idx1)."""
 
+    # bf16 is threaded natively through the FLOPs-heavy submodules (decoder /
+    # posterior / flow / discriminator) via flax dtype; the text encoder and
+    # duration predictor stay fp32 by design — skip the trainer's generic
+    # autocast (train/precision.py)
+    handles_mixed_precision = True
+
     def __init__(self, config, ap=None, tokenizer=None, speaker_manager=None, language_manager=None):
         super().__init__(config, ap, tokenizer, speaker_manager, language_manager)
         args = config.model_args

@@ -224,20 +224,32 @@ class Trainer:
         (`_make_step_fn`) and fused (`_make_fused_step_fn`) jit builders."""
         import optax
 
+        from tpu_tts.train.precision import autocast_args, autocast_enabled
+
         model = self.model
         opts = self.optimizers
         num_opts = self.num_optimizers
         state_aware = self._state_aware
+        # model-agnostic bf16 autocast (fp32 master params; see precision.py).
+        # Models with native per-module dtype handling are left alone.
+        autocast = autocast_enabled(self.config, self.model)
+        keep_keys = tuple(getattr(self.model, "mp_keep_fp32_batch_keys", ()) or ())
 
         def sub_step(optimizer_idx, params, model_state, opt_state, batch, rng):
             def loss_of(p):
+                b = batch
+                if autocast:
+                    p, b = autocast_args(p, b, keep_keys)
                 if state_aware:
                     loss, (logs, new_state) = model.loss_fn(
-                        p, batch, rng, optimizer_idx=optimizer_idx, model_state=model_state
+                        p, b, rng, optimizer_idx=optimizer_idx, model_state=model_state
                     )
-                    return loss, (logs, new_state)
-                loss, logs = model.loss_fn(p, batch, rng, optimizer_idx=optimizer_idx)
-                return loss, (logs, model_state)
+                else:
+                    loss, logs = model.loss_fn(p, b, rng, optimizer_idx=optimizer_idx)
+                    new_state = model_state
+                if autocast:
+                    loss = loss.astype(jnp.float32)  # criteria are fp32; defensive
+                return loss, (logs, new_state)
 
             opt = opts[optimizer_idx]
             if num_opts == 1:
@@ -503,18 +515,23 @@ class Trainer:
         """One jitted eval-loss fn per optimizer, created once and cached —
         re-jitting per batch would retrace/recompile every eval step
         (VERDICT r1 weak #1). Bucketed batch shapes keep its trace cache small."""
-        model = self.model
-        if self._state_aware:
+        from tpu_tts.train.precision import autocast_args, autocast_enabled
 
-            def eval_fn(params, model_state, batch, rng):
-                return model.loss_fn(
+        model = self.model
+        autocast = autocast_enabled(self.config, self.model)
+        keep_keys = tuple(getattr(self.model, "mp_keep_fp32_batch_keys", ()) or ())
+        state_aware = self._state_aware
+
+        def eval_fn(params, model_state, batch, rng):
+            if autocast:
+                params, batch = autocast_args(params, batch, keep_keys)
+            if state_aware:
+                loss = model.loss_fn(
                     params, batch, rng, optimizer_idx=optimizer_idx, model_state=model_state
                 )[0]
-
-        else:
-
-            def eval_fn(params, model_state, batch, rng):
-                return model.loss_fn(params, batch, rng, optimizer_idx=optimizer_idx)[0]
+            else:
+                loss = model.loss_fn(params, batch, rng, optimizer_idx=optimizer_idx)[0]
+            return loss.astype(jnp.float32) if autocast else loss
 
         return jax.jit(eval_fn)
 

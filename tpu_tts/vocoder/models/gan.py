@@ -40,6 +40,14 @@ class GAN(BaseTTSModel):
     def num_optimizers(self) -> int:
         return 2
 
+    def handles_mixed_precision(self) -> bool:
+        """hifigan G/D consume flax `dtype` natively (setup_generator passes
+        bf16); every other generator/discriminator family relies on the
+        trainer's generic autocast (train/precision.py)."""
+        gen = str(getattr(self.config, "generator_model", "")).lower()
+        disc = str(getattr(self.config, "discriminator_model", "")).lower()
+        return "hifigan" in gen and ("hifigan" in disc or not disc)
+
     # ------------------------------------------------------- torch ingest
     def convert_torch_state_dict(self, state_dict):
         """Reference vocoder `GAN` torch weights → our flax tree
