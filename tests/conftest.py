@@ -21,6 +21,15 @@ import jax
 # backend and set jax_platforms="axon,cpu"; pin it back to CPU for tests.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite is dominated by XLA:CPU compile
+# time; re-runs (and reruns of single tests while debugging) skip it. Cold
+# first runs are unaffected. Override with TPU_TTS_TEST_CACHE=0.
+if os.environ.get("TPU_TTS_TEST_CACHE", "1") != "0":
+    _cache = os.environ.get("TPU_TTS_TEST_CACHE_DIR", "/tmp/jax_cache_tests")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np
 import pytest
 

@@ -28,6 +28,11 @@ def _tiny_config():
     cfg.vocoder.resblock_dilation_sizes_decoder = [[1, 3]]
     cfg.audio.num_mels = 20
     cfg.audio.do_trim_silence = False
+    # one small STFT scale instead of (1024, 2048, 512): the multi-scale loss
+    # bases dominated XLA:CPU compile time of every delightful train-path test
+    cfg.multi_scale_stft_loss_params = {
+        "n_ffts": [256], "hop_lengths": [64], "win_lengths": [256]
+    }
     return cfg
 
 

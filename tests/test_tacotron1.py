@@ -57,10 +57,15 @@ def test_tacotron1_capacitron():
     model = _model(use_capacitron_vae=True, capacitron_vae=CapacitronVAEConfig())
     params = model.init_params(jax.random.PRNGKey(0))
     assert "capacitron_vae_layer" in params
-    loss, logs = model.loss_fn(params, _batch(), jax.random.PRNGKey(1))
+    # ONE jitted value_and_grad compile (an eager loss_fn + a separate grad
+    # trace each paid the full AR-scan compile; this test dominated the suite)
+    (loss, logs), g = jax.jit(
+        jax.value_and_grad(
+            lambda p: model.loss_fn(p, _batch(), jax.random.PRNGKey(1)), has_aux=True
+        )
+    )(params)
     assert np.isfinite(float(loss))
     assert abs(float(logs["capacitron_beta"]) - 1.0) < 1e-4
-    g = jax.grad(lambda p: model.loss_fn(p, _batch(), jax.random.PRNGKey(1))[0])(params)
     assert float(np.abs(np.asarray(g["capacitron_vae_layer"]["beta"])).sum()) > 0
     opt = model.get_optimizer()
     state = opt.init(params)

@@ -199,3 +199,40 @@ def test_eval_epoch_per_optimizer_aggregation(tmp_path):
     got = trainer.eval_epoch(loader)
     # opt0 mean over batches = (1+3)/2 = 2; opt1 = (11+13)/2 = 12; sum = 14
     np.testing.assert_allclose(got, 14.0, rtol=1e-6)
+
+
+def test_apply_if_finite_select_semantics():
+    """Branchless NaN guard: finite grads step exactly like the inner
+    optimizer; a non-finite grad leaves params AND optimizer state untouched
+    (optax.apply_if_finite semantics without the lax.cond — the cond regions
+    were ~7% of the TPU GAN step, scripts/profile_vits_train.py)."""
+    import optax
+
+    from tpu_tts.train.optimizers import apply_if_finite_select
+
+    params = {"w": np.ones((3,), dtype=np.float32)}
+    inner = optax.adam(0.1)
+    guarded = apply_if_finite_select(inner)
+    gs = guarded.init(params)
+    is_ = inner.init(params)
+    good = {"w": np.full((3,), 0.5, dtype=np.float32)}
+    bad = {"w": np.array([0.5, np.nan, 0.5], dtype=np.float32)}
+
+    u_g, gs = guarded.update(jax.tree_util.tree_map(jax.numpy.asarray, good), gs, params)
+    u_i, is_ = inner.update(jax.tree_util.tree_map(jax.numpy.asarray, good), is_, params)
+    for a, b in zip(jax.tree_util.tree_leaves(u_g), jax.tree_util.tree_leaves(u_i)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    assert int(gs.notfinite_count) == 0
+
+    state_before = jax.device_get(gs.inner_state)
+    u_b, gs = guarded.update(jax.tree_util.tree_map(jax.numpy.asarray, bad), gs, params)
+    assert all(float(np.abs(np.asarray(x)).max()) == 0.0 for x in jax.tree_util.tree_leaves(u_b))
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(gs.inner_state)),
+                    jax.tree_util.tree_leaves(state_before)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(gs.notfinite_count) == 1
+
+    # recovers: next finite grad steps again and resets the counter
+    u_g2, gs = guarded.update(jax.tree_util.tree_map(jax.numpy.asarray, good), gs, params)
+    assert float(np.abs(np.asarray(u_g2["w"])).max()) > 0
+    assert int(gs.notfinite_count) == 0

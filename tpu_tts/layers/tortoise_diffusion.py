@@ -200,10 +200,16 @@ class SpacedDiffusion:
     the caller (a jitted DiffusionTts apply)."""
 
     def __init__(self, trained_steps: int = 4000, desired_steps: int = 200,
-                 cond_free: bool = True, cond_free_k: float = 1.0, sampler: str = "ddim"):
+                 cond_free: bool = True, cond_free_k: float = 1.0, sampler: str = "ddim",
+                 correcting_x0_fn: str = None):
         self.sampler = sampler
         self.conditioning_free = cond_free
         self.cond_free_k = cond_free_k
+        # x0-prediction corrector (dpm_solver.py:478 correcting_x0_fn
+        # "dynamic_thresholding", Imagen eq. across dpm_solver.py:508-517)
+        self.correcting_x0_fn = correcting_x0_fn
+        self.dynamic_thresholding_ratio = 0.995
+        self.thresholding_max_val = 1.0
         self.trained_steps = trained_steps
         base_betas = get_named_beta_schedule("linear", trained_steps)
         base_ac = np.cumprod(1.0 - base_betas)
@@ -289,7 +295,7 @@ class SpacedDiffusion:
                 eps = eps_u + s * (eps_c - eps_u)
             else:
                 eps = eps_c
-            return (x - sigma(t) * eps) / alpha(t)
+            return self._correct_x0((x - sigma(t) * eps) / alpha(t))
 
         timesteps = np.linspace(1.0, 1.0 / 1000.0, steps + 1)
         x = noise
@@ -354,12 +360,146 @@ class SpacedDiffusion:
                 m_prev = (m_prev + [data_pred(x, t)])[-order:]
         return x
 
+    def _correct_x0(self, x0):
+        """Dynamic thresholding on the data prediction (dpm_solver.py:508:
+        per-sample p-quantile of |x0|, floored at thresholding_max_val, then
+        clip + rescale)."""
+        if self.correcting_x0_fn != "dynamic_thresholding":
+            return x0
+        p = self.dynamic_thresholding_ratio
+        B = x0.shape[0]
+        s_q = jnp.quantile(jnp.abs(x0).reshape(B, -1), p, axis=1)
+        s_q = jnp.maximum(s_q, self.thresholding_max_val)[:, None, None]
+        return jnp.clip(x0, -s_q, s_q) / s_q
+
+    # ------------------------------------------------------------- dpm++Ns
+    def _dpm_pp_singlestep(self, model_fn, noise, order: int):
+        """Singlestep DPM-Solver++ (dpm_solver.py:657 second / :722 third,
+        solver_type "dpmsolver"; outer schedule from
+        get_orders_and_timesteps_for_singlestep_solver :806, time-uniform).
+        The reference vendors these but the zoo path only calls multistep
+        order 2 — kept for library parity."""
+        beta0, beta1 = 0.1 / 4, 20.0 / 4
+        steps = self.num_timesteps
+        s_k = self.cond_free_k
+
+        def log_alpha(t):
+            return -0.25 * t**2 * (beta1 - beta0) - 0.5 * t * beta0
+
+        def alpha(t):
+            return math.exp(log_alpha(t))
+
+        def sigma(t):
+            return math.sqrt(1.0 - math.exp(2.0 * log_alpha(t)))
+
+        def lam(t):
+            return log_alpha(t) - 0.5 * math.log(1.0 - math.exp(2.0 * log_alpha(t)))
+
+        def inv_lam(l):
+            # NoiseScheduleVP.inverse_lambda, 'linear' branch (dpm_solver.py:172)
+            tmp = 2.0 * (beta1 - beta0) * np.logaddexp(-2.0 * l, 0.0)
+            delta = beta0**2 + tmp
+            return float(tmp / (math.sqrt(delta) + beta0) / (beta1 - beta0))
+
+        C = noise.shape[-1]
+
+        def data_pred(x, t):
+            ts = jnp.full((x.shape[0],), t * 1000.0, dtype=jnp.float32)
+            eps_c = model_fn(x, ts, False)[..., :C]
+            if self.conditioning_free:
+                eps_u = model_fn(x, ts, True)[..., :C]
+                eps = eps_u + s_k * (eps_c - eps_u)
+            else:
+                eps = eps_c
+            return self._correct_x0((x - sigma(t) * eps) / alpha(t))
+
+        def second_update(x, s_t, t, r1):
+            h = lam(t) - lam(s_t)
+            s1 = inv_lam(lam(s_t) + r1 * h)
+            m_s = data_pred(x, s_t)
+            x_s1 = sigma(s1) / sigma(s_t) * x - alpha(s1) * math.expm1(-r1 * h) * m_s
+            m_s1 = data_pred(x_s1, s1)
+            phi1 = math.expm1(-h)
+            return (
+                sigma(t) / sigma(s_t) * x
+                - alpha(t) * phi1 * m_s
+                - (0.5 / r1) * alpha(t) * phi1 * (m_s1 - m_s)
+            )
+
+        def third_update(x, s_t, t, r1, r2):
+            h = lam(t) - lam(s_t)
+            s1 = inv_lam(lam(s_t) + r1 * h)
+            s2 = inv_lam(lam(s_t) + r2 * h)
+            m_s = data_pred(x, s_t)
+            x_s1 = sigma(s1) / sigma(s_t) * x - alpha(s1) * math.expm1(-r1 * h) * m_s
+            m_s1 = data_pred(x_s1, s1)
+            phi12 = math.expm1(-r2 * h)
+            phi22 = phi12 / (r2 * h) + 1.0
+            x_s2 = (
+                sigma(s2) / sigma(s_t) * x
+                - alpha(s2) * phi12 * m_s
+                + (r2 / r1) * alpha(s2) * phi22 * (m_s1 - m_s)
+            )
+            m_s2 = data_pred(x_s2, s2)
+            phi1 = math.expm1(-h)
+            phi2 = phi1 / h + 1.0
+            return (
+                sigma(t) / sigma(s_t) * x
+                - alpha(t) * phi1 * m_s
+                + (1.0 / r2) * alpha(t) * phi2 * (m_s2 - m_s)
+            )
+
+        def first_update(x, s_t, t):
+            h = lam(t) - lam(s_t)
+            return sigma(t) / sigma(s_t) * x - alpha(t) * math.expm1(-h) * data_pred(x, s_t)
+
+        # outer schedule: group `steps` model evals into singlestep solves —
+        # the outer times sit on the FINE time-uniform grid at the cumulative
+        # order positions (dpm_solver.py:806,1450-1480), and r1/r2 come from
+        # time-uniform inner points, not fixed fractions
+        if order == 3:
+            K = steps // 3 + 1
+            if steps % 3 == 0:
+                orders = [3] * (K - 2) + [2, 1]
+            elif steps % 3 == 1:
+                orders = [3] * (K - 1) + [1]
+            else:
+                orders = [3] * (K - 1) + [2]
+        elif order == 2:
+            K = steps // 2 if steps % 2 == 0 else steps // 2 + 1
+            orders = [2] * K if steps % 2 == 0 else [2] * (K - 1) + [1]
+        else:
+            K = steps
+            orders = [1] * steps
+        fine = np.linspace(1.0, 1.0 / 1000.0, steps + 1)
+        t_outer = fine[np.cumsum([0] + orders)]
+        x = noise
+        for i, o in enumerate(orders):
+            s_t, t = float(t_outer[i]), float(t_outer[i + 1])
+            inner = np.linspace(s_t, t, o + 1)
+            h = lam(t) - lam(s_t)
+            if o == 1:
+                x = first_update(x, s_t, t)
+            elif o == 2:
+                x = second_update(x, s_t, t, r1=(lam(inner[1]) - lam(s_t)) / h)
+            else:
+                x = third_update(
+                    x, s_t, t,
+                    r1=(lam(inner[1]) - lam(s_t)) / h,
+                    r2=(lam(inner[2]) - lam(s_t)) / h,
+                )
+        return x
+
     def sample_loop(self, model_fn, noise, rng):
         """noise `[B, T, C]` → sample, scanning t = T-1 … 0."""
         if self.sampler in ("dpm++1m", "dpm++2m", "dpm++3m"):
             if not self.conditioning_free:
                 raise RuntimeError("cond_free must be true")  # ref :537
             return self._dpm_pp_multistep(model_fn, noise, int(self.sampler[5]))
+        if self.sampler in ("dpm++1s", "dpm++2s", "dpm++3s"):
+            if not self.conditioning_free:
+                raise RuntimeError("cond_free must be true")  # ref :537
+            return self._dpm_pp_singlestep(model_fn, noise, int(self.sampler[5]))
         x = noise
         for t in range(self.num_timesteps - 1, -1, -1):
             rng, sub = jax.random.split(rng)

@@ -350,6 +350,7 @@ class Tortoise(BaseTTSModel):
         cond_free_k: float = 2.0,
         diffusion_temperature: float = 1.0,
         sampler: str = "ddim",
+        correcting_x0_fn: Optional[str] = None,
         seed: int = 0,
         text: Optional[str] = None,
         k: int = 1,
@@ -397,6 +398,7 @@ class Tortoise(BaseTTSModel):
         diffuser = SpacedDiffusion(
             trained_steps=4000, desired_steps=diffusion_iterations,
             cond_free=cond_free, cond_free_k=cond_free_k, sampler=sampler,
+            correcting_x0_fn=correcting_x0_fn,
         )
 
         wavs, mels = [], []

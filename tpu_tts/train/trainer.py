@@ -11,7 +11,8 @@ TPU-first design:
   Shape-bucketed batches (TTSDataset) keep the jit cache small.
 - Multi-optimizer (GAN) support: `model.num_optimizers()` steps run in
   sequence per batch, mirroring `train_step(optimizer_idx)` (ref gan.py:68).
-- NaN-guard via `optax.apply_if_finite` (reference `check_update` semantics).
+- NaN-guard via a branchless select-based apply_if_finite (reference
+  `check_update` semantics; train/optimizers.py:apply_if_finite_select).
 - Checkpoints: orbax pytrees + config.json; `--continue_path` restores
   params/opt-state/step; `--restore_path` loads weights only.
 """
