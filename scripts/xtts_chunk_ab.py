@@ -1,0 +1,86 @@
+"""A/B the REAL XttsNet.stream_chunk cost on TPU: full param tree vs only the
+GPT subtree as input (the microbench says the same math runs in 57 ms/chunk;
+the model path measures ~193 ms — find where the overhead lives).
+
+Usage: python scripts/xtts_chunk_ab.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tpu_tts.parallel import maybe_force_platform  # noqa: E402
+
+maybe_force_platform()
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from tpu_tts.configs.xtts_config import XttsConfig  # noqa: E402
+from tpu_tts.models.xtts import Xtts, XttsNet  # noqa: E402
+
+
+def main():
+    cfg = XttsConfig()
+    model = Xtts(cfg)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init_params(jax.random.PRNGKey(0))
+    params = jax.device_put(params, jax.devices()[0])
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+    a = model.args
+    B = int(os.environ.get("AB_B", "1"))
+    rng0 = np.random.default_rng(0)
+    text = jnp.asarray(rng0.integers(1, 200, (B, 30)), dtype=jnp.int32)
+    cond = jnp.asarray(rng0.standard_normal((B, a.num_cond_latents, a.gpt_n_model_channels)) * 0.02,
+                       jnp.bfloat16)
+    chunk = 20
+
+    pf = jax.jit(lambda p, c, t: model.net.apply({"params": p}, c, t, method=XttsNet.stream_prefill))
+
+    def run(tag, p_in):
+        ck = jax.jit(
+            lambda p, cache, pl, code, stop, r, i0: model.net.apply(
+                {"params": p}, cache, pl, code, stop, r, i0, chunk, 0.75, 50,
+                method=XttsNet.stream_chunk,
+            ),
+            donate_argnums=(1,),
+        )
+        cache, pl, code = pf(params, cond, text)
+        stopped = jnp.zeros((B,), dtype=bool)
+        rng = jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+        (cache, code, stopped, rng), outs = ck(p_in, cache, pl, code, stopped, rng, jnp.int32(0))
+        np.asarray(outs[0][:, :1])
+        compile_s = time.perf_counter() - t0
+        times = []
+        for i in range(4):
+            t0 = time.perf_counter()
+            (cache, code, stopped, rng), outs = ck(
+                p_in, cache, pl, code, stopped, rng, jnp.int32((i + 1) * chunk)
+            )
+            np.asarray(outs[0][:, :1])  # data sync
+            times.append(time.perf_counter() - t0)
+        ms = float(np.median(times)) * 1e3
+        print(f"{tag:12s} per-chunk {ms:8.1f} ms ({ms/chunk:6.2f} ms/step) compile {compile_s:.0f}s",
+              flush=True)
+
+    run("full-params", params)
+    gpt_only = {"gpt": params["gpt"]}
+    try:
+        run("gpt-only", gpt_only)
+    except Exception as e:
+        print(f"gpt-only failed: {type(e).__name__}: {str(e)[:200]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -143,12 +143,15 @@ def measure_multistream(batch_sizes=None, iters: int = None) -> dict:
     dec = jax.jit(lambda p, l, s: model.net.apply({"params": p}, l, s, method=XttsNet.decode_latents))
 
     def chunk_fn(n_steps):
+        # donated KV cache (models/xtts.py chunk_fn): without it each call
+        # copies 128 MB x B of cache
         return jax.jit(
             lambda p, cache, pl, code, stop, r, i0: model.net.apply(
                 {"params": p}, cache, pl, code, stop, r, i0,
                 n_steps, temperature, top_k,
                 method=XttsNet.stream_chunk,
-            )
+            ),
+            donate_argnums=(1,),
         )
 
     ck_first, ck_steady = chunk_fn(first_chunk), chunk_fn(chunk)

@@ -121,12 +121,15 @@ class XttsStreamPool:
     def _chunk_fn(self, n_steps: int):
         if n_steps not in self._chunk_fns:
             jax, XttsNet, model = self._jax, self._net_cls, self.model
+            # donated KV cache: avoids a 128 MB-per-stream copy every chunk
+            # (see models/xtts.py chunk_fn)
             self._chunk_fns[n_steps] = jax.jit(
                 lambda p, cache, pl, code, stop, r, i0: model.net.apply(
                     {"params": p}, cache, pl, code, stop, r, i0,
                     n_steps, self.temperature, self.top_k,
                     method=XttsNet.stream_chunk,
-                )
+                ),
+                donate_argnums=(1,),
             )
         return self._chunk_fns[n_steps]
 

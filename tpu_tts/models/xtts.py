@@ -736,12 +736,18 @@ class Xtts(BaseTTSModel):
         def chunk_fn(n_steps):
             key = ("stream_chunk", n_steps, temperature, top_k)
             if key not in self._jit:
+                # donate the KV cache: without it every chunk call COPIES the
+                # whole cache (30 layers x 2 x [B,1100,16,64] bf16 = 128 MB
+                # per stream) — measured ~156 ms/chunk at B=1, 5 s at B=32,
+                # dwarfing the 59 ms decode itself (scripts/
+                # xtts_decode_microbench.py)
                 self._jit[key] = jax.jit(
                     lambda p, cache, pl, code, stop, r, i0: self.net.apply(
                         {"params": p}, cache, pl, code, stop, r, i0,
                         n_steps, temperature, top_k,
                         method=XttsNet.stream_chunk,
-                    )
+                    ),
+                    donate_argnums=(1,),
                 )
             return self._jit[key]
         dec = self._jit.setdefault(
