@@ -164,17 +164,70 @@ def bench(name, layout="BTHD", topk=50, const=False, ln=False, use_posemb=False,
           flush=True)
 
 
+def bench_flax():
+    """Drive the REAL XttsGPT flax stack (30x1024) with the microbench's own
+    scan + argmax — isolates whether the slowdown lives in the flax layers /
+    decode_step, or in the surrounding stream_chunk scaffolding."""
+    from tpu_tts.layers.xtts.gpt import XttsGPT
+
+    gpt = XttsGPT(n_layer=L, n_head=H, n_embd=C, num_audio_tokens=V)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        cond = jnp.zeros((B, 32, C))
+        text = jnp.zeros((B, 30), jnp.int32)
+        codes0 = jnp.zeros((B, 4), jnp.int32)
+        params = gpt.init(jax.random.PRNGKey(0), cond, text, codes0)["params"]
+    params = jax.device_put(params, jax.devices()[0])
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+    cache = gpt.apply({"params": params}, B, TMAX,
+                      method=lambda m, b, t: m.init_cache(b, t))
+
+    def chunk(p, cache, code, i0):
+        def body(carry, i):
+            cache, code = carry
+            logits, latent, cache = gpt.apply(
+                {"params": p}, code, i, cache, 62 + i, method=XttsGPT.decode_step
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (cache, nxt), nxt
+
+        (cache, code), codes = jax.lax.scan(body, (cache, code), i0 + jnp.arange(CHUNK))
+        return cache, code, codes
+
+    fn = jax.jit(chunk, donate_argnums=(1,))
+    code = jnp.zeros((B,), jnp.int32)
+    t0 = time.perf_counter()
+    cache, code, codes = fn(params, cache, code, jnp.int32(0))
+    np.asarray(codes[:1])
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        cache, code, codes = fn(params, cache, code, jnp.int32((i + 1) * CHUNK))
+        np.asarray(codes[:1])
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times)) * 1e3
+    print(f"{'flax-gpt':12s} per-chunk {ms:8.1f} ms  ({ms/CHUNK:6.2f} ms/step)  compile {compile_s:.0f}s",
+          flush=True)
+
+
 if __name__ == "__main__":
     print(f"B={B} layers={L} width={C} kv={TMAX} chunk={CHUNK}", flush=True)
-    bench("base", layout="BTHD", topk=50)
-    bench("nosort", layout="BTHD", topk=0)
-    bench("cacheBHTD", layout="BHTD", topk=50)
-    bench("+ln", layout="BTHD", topk=50, ln=True)
-    bench("+posemb", layout="BTHD", topk=50, use_posemb=True)
-    bench("+latents", layout="BTHD", topk=50, emit_latents=True)
-    bench("full", layout="BTHD", topk=50, ln=True, use_posemb=True, emit_latents=True)
+    if not os.environ.get("MB_ONLY_FLAX"):
+        bench("base", layout="BTHD", topk=50)
+    if not os.environ.get("MB_ONLY_FLAX"):
+        bench("nosort", layout="BTHD", topk=0)
+        bench("cacheBHTD", layout="BHTD", topk=50)
+        bench("+ln", layout="BTHD", topk=50, ln=True)
+        bench("+posemb", layout="BTHD", topk=50, use_posemb=True)
+        bench("+latents", layout="BTHD", topk=50, emit_latents=True)
+        bench("full", layout="BTHD", topk=50, ln=True, use_posemb=True, emit_latents=True)
     # NOTE: const-weight variants bake ~800 MB of literals into the HLO and
     # crash the remote-compile tunnel — layout attribution is done with the
     # AOT-layout experiment in scripts instead
     if os.environ.get("MB_CONST"):
         bench("const", layout="BTHD", topk=50, const=True)
+    if os.environ.get("MB_FLAX"):
+        bench_flax()

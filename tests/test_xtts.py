@@ -112,3 +112,43 @@ def test_xtts_streaming_matches_full_scan(xtts_model):
     np.testing.assert_allclose(
         np.concatenate(lats_c, axis=1), np.asarray(lats_f), atol=1e-5
     )
+
+
+def test_xtts_decode_step_matches_teacher_forced(xtts_model):
+    """Incremental decode must reproduce the teacher-forced forward: logits
+    at decode step t (code_t fed at audio position t) == teacher-forced
+    mel_logits[:, t]. This is the invariant that pins the KV-cache/positional
+    plumbing — a scalar `pos_in_audio` once broadcast the hidden state to
+    [B, n_embd, n_embd] (a full phantom forward per step, wrong pos-emb, and
+    a clobbered cache) while the stream-vs-scan test compared two paths that
+    shared the bug."""
+    from tpu_tts.models.xtts import XttsNet
+
+    wav = np.random.default_rng(5).standard_normal(11025).astype(np.float32) * 0.3
+    cond, _ = xtts_model.get_conditioning_latents(wav)
+    text = jnp.asarray(np.arange(1, 7, dtype=np.int32))[None]
+    rng = np.random.default_rng(6)
+    codes = jnp.asarray(rng.integers(0, 32, (1, 6)), dtype=jnp.int32)
+    p, net = xtts_model.params, xtts_model.net
+
+    def teacher(m, cond, text, codes):
+        return m.gpt(cond, text, codes)
+
+    ref = net.apply({"params": p}, cond, text, codes, method=teacher)
+    ref_logits = np.asarray(ref["mel_logits"], dtype=np.float32)  # [1, 6, V]
+
+    cache, plen, _start = net.apply({"params": p}, cond, text, method=XttsNet.stream_prefill)
+
+    def step(m, code, i, cache, idx):
+        return m.gpt.decode_step(code, i, cache, idx)
+
+    for t in range(codes.shape[1]):
+        logits, latent, cache = net.apply(
+            {"params": p}, codes[:, t], jnp.int32(t), cache, plen + t, method=step
+        )
+        assert logits.shape == (1, net.a["gpt_num_audio_tokens"])
+        assert latent.shape == (1, net.a["gpt_n_model_channels"])
+        np.testing.assert_allclose(
+            np.asarray(logits, dtype=np.float32), ref_logits[:, t], atol=2e-2, rtol=1e-2,
+            err_msg=f"step {t}",
+        )

@@ -33,17 +33,25 @@ class CausalSelfAttention(nn.Module):
         v = v.reshape(B, T, H, D)
         if cache is not None:
             # works for both prefill (T=prompt_len at index 0) and
-            # single-step decode (T=1 at index `cache_index`)
+            # single-step decode (T=1 at index `cache_index`).
+            # The cache is TIME-MAJOR `[T_max, B, H, D]`: a decode step then
+            # writes ONE contiguous [1,B,H,D] block instead of a strided
+            # single-row update across the whole tiled buffer
+            # (scripts/profile_xtts_decode.py).
             k_cache, v_cache = cache
-            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, cache_index, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, cache_index, 0, 0))
-            T_k = k_cache.shape[1]
-            att = jnp.einsum("bthd,bshd->bhts", q, k_cache) / math.sqrt(D)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, jnp.swapaxes(k, 0, 1), (cache_index, 0, 0, 0)
+            )
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, jnp.swapaxes(v, 0, 1), (cache_index, 0, 0, 0)
+            )
+            T_k = k_cache.shape[0]
+            att = jnp.einsum("bthd,sbhd->bhts", q, k_cache) / math.sqrt(D)
             pos = jnp.arange(T_k)[None, None, None, :]
             limit = (cache_index + jnp.arange(T))[None, None, :, None]
             att = jnp.where(pos <= limit, att, -1e9)
             att = jax.nn.softmax(att, axis=-1)
-            y = jnp.einsum("bhts,bshd->bthd", att, v_cache)
+            y = jnp.einsum("bhts,sbhd->bthd", att, v_cache)
             new_cache = (k_cache, v_cache)
         else:
             att = jnp.einsum("bthd,bshd->bhts", q, k) / math.sqrt(D)
@@ -127,14 +135,16 @@ class XttsGPT(nn.Module):
 
     # ----------------------------------------------------------- incremental
     def init_cache(self, B: int, T_max: int, dtype=None):
-        """KV-cache pytree. `dtype` follows the parameter dtype by default so
-        bf16-cast weights keep the cache (the bandwidth-bound read in every
-        decode step) in bf16 too."""
+        """KV-cache pytree, TIME-MAJOR `[T_max, B, H, D]` (see
+        CausalSelfAttention: one decode step writes one contiguous block).
+        `dtype` follows the parameter dtype by default so bf16-cast weights
+        keep the cache (the bandwidth-bound read in every decode step) in
+        bf16 too."""
         if dtype is None:
             dtype = self.text_embedding.embedding.dtype
         H, D = self.n_head, self.n_embd // self.n_head
         return [
-            (jnp.zeros((B, T_max, H, D), dtype), jnp.zeros((B, T_max, H, D), dtype))
+            (jnp.zeros((T_max, B, H, D), dtype), jnp.zeros((T_max, B, H, D), dtype))
             for _ in range(self.n_layer)
         ]
 
@@ -159,8 +169,18 @@ class XttsGPT(nn.Module):
 
     def decode_step(self, audio_code, pos_in_audio, cache, cache_index):
         """One incremental step: embed previous code, attend over cache,
-        return (logits, latent, new_cache)."""
-        a = self.audio_embedding(audio_code[:, None]) + self.audio_pos_embedding(pos_in_audio)[:, None]
+        return (logits, latent, new_cache).
+
+        `pos_in_audio` may be a scalar (the scan loops pass the step index)
+        or a [B] vector; it is normalized to [B] BEFORE the embed. With a
+        scalar fed straight in, `Embed(scalar)[:, None]` is [n_embd, 1] and
+        broadcasting silently blew the hidden state up to [B, 1024, 1024] —
+        every decode step ran a full 1024-position forward (~1000x the FLOPs,
+        10.5 ms/step on v5e) AND took position 0's embedding for every step
+        while clobbering the KV cache with the phantom rows (caught by
+        tests/test_xtts.py::test_xtts_decode_step_matches_teacher_forced)."""
+        pos = jnp.broadcast_to(jnp.asarray(pos_in_audio), audio_code.shape[:1])
+        a = self.audio_embedding(audio_code[:, None]) + self.audio_pos_embedding(pos)[:, None]
         x = a
         new_cache = []
         for blk, c in zip(self.blocks, cache):
