@@ -135,9 +135,10 @@ def measure_multistream(batch_sizes=None, iters: int = None) -> dict:
     temperature, top_k = 0.75, 50
     iters = iters or int(os.environ.get("LAT_ITERS", "5"))
     # driver default kept small (each batch size compiles its own program set
-    # through the tunnel); sweep wider with LAT_BATCHES=1,2,4,8,16,32
+    # through the tunnel); 16 is the measured <200 ms concurrency knee.
+    # Sweep wider with LAT_BATCHES=1,4,8,16,32
     batch_sizes = batch_sizes or [
-        int(b) for b in os.environ.get("LAT_BATCHES", "1,8").split(",")
+        int(b) for b in os.environ.get("LAT_BATCHES", "1,16").split(",")
     ]
     sr = a.output_sample_rate
 

@@ -68,3 +68,66 @@ def test_gst_and_capacitron():
     assert abs(float(jax.nn.softplus(beta_raw)[0]) - 1.0) < 1e-5
     loss, kl = capacitron_kl_loss(mu, logvar, capacity=5.0, beta=jnp.asarray(1.0))
     assert np.isfinite(float(loss)) and np.isfinite(float(kl))
+
+
+def test_bark_gpt_decode_matches_teacher_forced():
+    """Incremental decode_step must reproduce the teacher-forced forward
+    per position — the invariant that catches the scalar-position
+    phantom-forward class of bug (see xtts gpt.py:decode_step)."""
+    import jax.numpy as jnp
+
+    from tpu_tts.layers.bark_gpt import BarkGPT
+
+    gpt = BarkGPT(input_vocab_size=50, output_vocab_size=50, n_layer=2, n_head=2,
+                  n_embd=32, block_size=64)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(1, 50, (2, 9)), dtype=jnp.int32)
+    params = gpt.init(jax.random.PRNGKey(0), idx)["params"]
+    full = np.asarray(gpt.apply({"params": params}, idx), dtype=np.float32)  # [B, 9, V]
+
+    T_pre, T_max = 5, 16
+    cache = gpt.init_cache(2, T_max)
+    cache, hidden = gpt.apply({"params": params}, idx[:, :T_pre], cache, method=BarkGPT.prefill)
+    logits_pre = gpt.apply({"params": params}, hidden[:, -1], method=BarkGPT.logits_at)
+    np.testing.assert_allclose(np.asarray(logits_pre), full[:, T_pre - 1], atol=2e-4)
+    for t in range(T_pre, idx.shape[1]):
+        logits, cache = gpt.apply(
+            {"params": params}, idx[:, t], jnp.full((2,), t), cache, t,
+            method=BarkGPT.decode_step,
+        )
+        np.testing.assert_allclose(np.asarray(logits), full[:, t], atol=2e-4,
+                                   err_msg=f"step {t}")
+
+
+def test_tortoise_ar_decode_matches_teacher_forced():
+    """UnifiedVoice incremental decode vs teacher-forced mel logits: prefill
+    logits == mel_logits[:, 0]; decode_step(code_i, pos=i+1) == mel_logits
+    [:, i+1] (same start/stop framing as ref inference_speech)."""
+    import jax.numpy as jnp
+
+    from tpu_tts.layers.tortoise_ar import UnifiedVoice
+
+    uv = UnifiedVoice(layers=2, model_dim=32, heads=2, max_text_tokens=40,
+                      max_mel_tokens=60, number_text_tokens=40,
+                      start_text_token=40, number_mel_codes=30,
+                      start_mel_token=28, stop_mel_token=29)
+    rng = np.random.default_rng(1)
+    B, T_t, M = 2, 6, 5
+    cond = jnp.asarray(rng.standard_normal((B, 32)) * 0.1, dtype=jnp.float32)
+    text = jnp.asarray(rng.integers(1, 40, (B, T_t)), dtype=jnp.int32)
+    mel = jnp.asarray(rng.integers(0, 28, (B, M)), dtype=jnp.int32)
+    params = uv.init(jax.random.PRNGKey(0), cond, text, mel)["params"]
+    _, mel_logits = uv.apply({"params": params}, cond, text, mel)
+    mel_logits = np.asarray(mel_logits, dtype=np.float32)  # [B, M+2, V]
+
+    cache = uv.init_cache(B, 40)
+    cache, P, logits0 = uv.apply({"params": params}, cond, text, cache,
+                                 method=UnifiedVoice.prefill)
+    np.testing.assert_allclose(np.asarray(logits0), mel_logits[:, 0], atol=2e-4)
+    for i in range(M):
+        logits, cache = uv.apply(
+            {"params": params}, mel[:, i], jnp.full((B,), i + 1), cache, P + i,
+            method=UnifiedVoice.decode_step,
+        )
+        np.testing.assert_allclose(np.asarray(logits), mel_logits[:, i + 1], atol=2e-4,
+                                   err_msg=f"step {i}")

@@ -182,7 +182,11 @@ class BarkGPT(nn.Module):
     def decode_step(self, token, position, cache: Cache, cache_index, key_valid=None):
         """One incremental token: embed at `position`, attend over the cache
         (masked by `key_valid`), write at `cache_index`. Returns
-        (logits `[B, V]`, cache)."""
+        (logits `[B, V]`, cache). `position` is normalized to [B] before the
+        embed — a scalar fed straight through `Embed()[:, None]` broadcasts
+        the hidden state to [B, n_embd, n_embd] (the XTTS phantom-forward
+        bug, tpu_tts/layers/xtts/gpt.py:decode_step)."""
+        position = jnp.broadcast_to(jnp.asarray(position).reshape(-1), token.shape[:1])
         x = self.wte(token[:, None]) + self.wpe(position)[:, None]
         new_cache = []
         for blk, c in zip(self.h, cache):

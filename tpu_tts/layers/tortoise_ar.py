@@ -122,12 +122,15 @@ class UnifiedVoice(nn.Module):
 
     # ----------------------------------------------------------- incremental
     def init_cache(self, B: int, T_max: int, dtype=jnp.float32) -> Cache:
-        """KV-cache pytree; pass the parameter dtype when serving bf16-cast
-        weights so the cache reads (bandwidth-bound) stay bf16. (Called on the
-        unbound module, so the dtype can't be inferred from params here.)"""
+        """KV-cache pytree, TIME-MAJOR `[T_max, B, H, D]` (shared GPTBlock /
+        CausalSelfAttention from tpu_tts.layers.xtts.gpt: a decode step
+        writes one contiguous block); pass the parameter dtype when serving
+        bf16-cast weights so the cache reads (bandwidth-bound) stay bf16.
+        (Called on the unbound module, so the dtype can't be inferred from
+        params here.)"""
         H, D = self.heads, self.model_dim // self.heads
         return [
-            (jnp.zeros((B, T_max, H, D), dtype), jnp.zeros((B, T_max, H, D), dtype))
+            (jnp.zeros((T_max, B, H, D), dtype), jnp.zeros((T_max, B, H, D), dtype))
             for _ in range(self.layers)
         ]
 
@@ -157,6 +160,7 @@ class UnifiedVoice(nn.Module):
         """One generated token: mel position restarts from the start token
         (GPT2InferenceModel.forward:117 get_fixed_embedding). Returns
         (logits `[B, number_mel_codes]`, cache)."""
+        pos_in_mel = jnp.broadcast_to(jnp.asarray(pos_in_mel).reshape(-1), mel_code.shape[:1])
         x = self.mel_embedding(mel_code[:, None]) + self.mel_pos_embedding(pos_in_mel)[:, None]
         new_cache = []
         for blk, c in zip(self.h, cache):

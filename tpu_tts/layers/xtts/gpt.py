@@ -179,7 +179,7 @@ class XttsGPT(nn.Module):
         10.5 ms/step on v5e) AND took position 0's embedding for every step
         while clobbering the KV cache with the phantom rows (caught by
         tests/test_xtts.py::test_xtts_decode_step_matches_teacher_forced)."""
-        pos = jnp.broadcast_to(jnp.asarray(pos_in_audio), audio_code.shape[:1])
+        pos = jnp.broadcast_to(jnp.asarray(pos_in_audio).reshape(-1), audio_code.shape[:1])
         a = self.audio_embedding(audio_code[:, None]) + self.audio_pos_embedding(pos)[:, None]
         x = a
         new_cache = []
