@@ -10,6 +10,13 @@ Variants (30-layer, 1024-wide GPT decode, 20-step chunk, B=1):
   const     — weights closed over as jit constants: isolates per-call
               arg->loop layout conversions
 
+Measured verdicts (v5e, full-size 30x1024, chunk 20): sort-based top-k is
+free; cache layout BTHD vs BHTD indistinguishable ONCE the model-level
+phantom-forward bug was fixed; `lax.scan(unroll=4)` buys only ~3%
+(64.1 -> 62.2 ms/chunk) for 4x the program — rejected. The remaining
+~3 ms/step vs the ~1 ms weight-streaming floor is fixed per-kernel overhead
+across ~300 small kernels per step.
+
 Usage: python scripts/xtts_decode_microbench.py
 """
 
@@ -111,7 +118,9 @@ def chunk_fn(ws, head, emb, cache, code, rng, i0, layout="BTHD", topk=50, const=
         out = (code, emb[code]) if emit_latents else code
         return (cache, code, key), out
 
-    (cache, code, rng), codes = jax.lax.scan(body, (cache, code, rng), i0 + jnp.arange(CHUNK))
+    (cache, code, rng), codes = jax.lax.scan(
+        body, (cache, code, rng), i0 + jnp.arange(CHUNK),
+        unroll=int(os.environ.get("MB_UNROLL", "1")))
     if emit_latents:
         codes = codes[0]
     return cache, code, rng, codes
