@@ -88,15 +88,38 @@ def test_expand_numbers_native(text, expected, lang):
 
 @pytest.mark.parametrize("text,expected,lang", NUMBER_CASES_NUM2WORDS)
 def test_expand_numbers_num2words(text, expected, lang):
-    if not _has_num2words():
-        pytest.skip("num2words not installed")
+    # runs against the real num2words when installed, otherwise the
+    # from-scratch converter (tpu_tts/layers/xtts/num_words.py) — same
+    # reference-derived expectations either way
     assert expand_numbers_multilingual(text, lang) == expected
 
 
-def test_numbers_passthrough_without_num2words():
-    if _has_num2words():
-        pytest.skip("num2words installed")
-    assert expand_numbers_multilingual("50 soldats", "fr") == "50 soldats"
+def test_builtin_number_words_cardinals():
+    """Spot-check the offline converter across magnitudes per language
+    (values chosen to exercise teens/compound/hundreds/thousands rules)."""
+    from tpu_tts.layers.xtts.num_words import cardinal
+
+    cases = [
+        ("fr", 71, "soixante et onze"), ("fr", 80, "quatre-vingts"),
+        ("fr", 95, "quatre-vingt-quinze"), ("fr", 221, "deux cent vingt et un"),
+        ("fr", 1000, "mille"), ("fr", 2000, "deux mille"),
+        ("de", 21, "einundzwanzig"), ("de", 100, "einhundert"),
+        ("de", 125, "einhundertfünfundzwanzig"), ("de", 1000, "eintausend"),
+        ("es", 21, "veintiuno"), ("es", 31, "treinta y uno"),
+        ("es", 100, "cien"), ("es", 101, "ciento uno"), ("es", 500, "quinientos"),
+        ("pt", 16, "dezasseis"), ("pt", 100, "cem"), ("pt", 121, "cento e vinte e um"),
+        ("it", 21, "ventuno"), ("it", 28, "ventotto"), ("it", 52, "cinquantadue"),
+        ("it", 2000, "duemila"),
+        ("ru", 42, "сорок два"), ("ru", 500, "пятьсот"), ("ru", 2000, "две тысячи"),
+        ("nl", 22, "tweeëntwintig"), ("nl", 33, "drieëndertig"), ("nl", 21, "eenentwintig"),
+        ("tr", 42, "kırk iki"), ("tr", 100, "yüz"), ("tr", 200, "iki yüz"),
+        ("hu", 52, "ötvenkettő"), ("hu", 15, "tizenöt"), ("hu", 25, "huszonöt"),
+        ("ko", 10, "십"), ("ko", 42, "사십이"), ("ko", 100, "백"), ("ko", 365, "삼백육십오"),
+        ("pl", 42, "czterdzieści dwa"), ("pl", 5000, "pięć tysięcy"),
+        ("cs", 42, "čtyřicet dva"), ("cs", 200, "dvě stě"),
+    ]
+    for lang, n, expected in cases:
+        assert cardinal(n, lang) == expected, (lang, n, cardinal(n, lang))
 
 
 @pytest.mark.parametrize("text,expected,lang", ABBREV_CASES)

@@ -152,10 +152,28 @@ _EN_CURRENCY_WORDS = {"EUR": ("euro", "euro", "cent", "cents"),
                       "GBP": ("pound", "pounds", "penny", "pence")}
 
 
-def _num2words(*args, **kwargs):
-    from num2words import num2words  # optional dependency
+def _num2words(value, *, lang="en", to="cardinal", ordinal=False, currency=None, **kwargs):
+    """The real num2words when installed (exact reference behavior),
+    otherwise the from-scratch converter in num_words.py — so number
+    expansion works offline for every supported language."""
+    if _has_num2words():
+        from num2words import num2words  # optional dependency
 
-    return num2words(*args, **kwargs)
+        return num2words(value, lang=lang, to=to, ordinal=ordinal,
+                         **({"currency": currency} if currency else {}), **kwargs)
+    from tpu_tts.layers.xtts import num_words
+
+    lang = "cs" if lang == "cz" else lang.split("_")[0]
+    if to == "currency":
+        return num_words.currency_words(float(value), currency, lang)
+    if ordinal:
+        return num_words.ordinal(int(value), lang)
+    fval = float(value)
+    if not fval.is_integer():
+        s = f"{fval}"
+        int_part, _, frac = s.partition(".")
+        return num_words.decimal_words(int(int_part), frac, lang)
+    return num_words.cardinal(int(fval), lang)
 
 
 def _has_num2words() -> bool:
@@ -167,6 +185,12 @@ def _has_num2words() -> bool:
         return isinstance(num2words(1, lang="en"), str)
     except Exception:
         return False
+
+
+def _number_words_available(lang: str) -> bool:
+    from tpu_tts.layers.xtts import num_words
+
+    return _has_num2words() or ("cs" if lang == "cz" else lang) in num_words.SUPPORTED
 
 
 def _expand_en_currency(m: re.Match, currency: str) -> str:
@@ -209,7 +233,7 @@ def expand_numbers_multilingual(text: str, lang: str = "en") -> str:
         text = re.sub(_currency_re["GBP"], lambda m: _expand_en_currency(m, "GBP"), text)
         text = re.sub(_currency_re["EUR"], lambda m: _expand_en_currency(m, "EUR"), text)
         return _en_normalize_numbers(text)
-    if not _has_num2words():
+    if not _number_words_available(lang):
         return text  # digits pass through the BPE vocab unexpanded
     n2w_lang = lang if lang != "cs" else "cz"
     if lang == "ru":
