@@ -16,6 +16,31 @@ def maybe_force_platform() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    maybe_enable_compile_cache()
+
+
+def maybe_enable_compile_cache() -> None:
+    """Persistent XLA compile cache for every CLI entry point (disable with
+    `TPU_TTS_COMPILE_CACHE=0`; dir via `TPU_TTS_COMPILE_CACHE_DIR`, default
+    /tmp/tpu_tts_jax_cache).
+
+    First compiles of full-size models take minutes (remote-compile TPU
+    tunnel, or XLA:CPU); a re-run of the same program shape loads the cached
+    executable instead. JAX's persistent cache writes entries atomically, so
+    concurrent multi-process training ranks can share one directory (each
+    rank compiles an identical program — the second rank gets a hit). Cache
+    setup is best-effort: an unwritable dir must never fail a training run."""
+    if os.environ.get("TPU_TTS_COMPILE_CACHE", "1") == "0":
+        return
+    import jax
+
+    cache_dir = os.environ.get("TPU_TTS_COMPILE_CACHE_DIR", "/tmp/tpu_tts_jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
 
 def maybe_init_distributed() -> None:
