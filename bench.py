@@ -329,9 +329,8 @@ def main():
 
     # persistent compilation cache: driver re-runs skip the multi-minute
     # remote compile of the full VITS/XTTS graphs
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tpu_tts.parallel.platform import maybe_enable_compile_cache
+    maybe_enable_compile_cache()
 
     stages = os.environ.get("BENCH_STAGES", "train,xtts,serve,rtf").split(",")
     runners = {

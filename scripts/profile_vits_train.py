@@ -99,9 +99,9 @@ def main():
     mp = (sys.argv[2] if len(sys.argv) > 2 else "bf16") == "bf16"
     import jax
 
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tpu_tts.parallel.platform import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
 
     step, params, opt_states, batch = build_step(mp)
     flops = step_flops(step, params, opt_states, batch)

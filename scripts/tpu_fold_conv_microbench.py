@@ -19,7 +19,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from tpu_tts.parallel.platform import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
     B, T, C, f = 128, 196608, 32, 4
     Cf = C * f
     convs = []

@@ -20,7 +20,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from tpu_tts.parallel.platform import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
 
     B = 128
     results = {}

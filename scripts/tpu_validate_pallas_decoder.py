@@ -19,9 +19,9 @@ import numpy as np
 def main():
     import jax
 
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tpu_tts.parallel.platform import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
     import jax.numpy as jnp
 
     from tpu_tts.ops.hifigan_pallas import hifigan_apply_pallas

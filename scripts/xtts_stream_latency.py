@@ -30,9 +30,9 @@ def measure(iters: int = None) -> dict:
     import jax
     import jax.numpy as jnp
 
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tpu_tts.parallel.platform import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
 
     from tpu_tts.configs.xtts_config import XttsConfig
     from tpu_tts.models.xtts import Xtts
@@ -108,9 +108,9 @@ def measure_multistream(batch_sizes=None, iters: int = None) -> dict:
     import jax
     import jax.numpy as jnp
 
-    os.makedirs("/tmp/jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from tpu_tts.parallel.platform import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()
 
     from tpu_tts.configs.xtts_config import XttsConfig
     from tpu_tts.models.xtts import Xtts, XttsNet

@@ -19,28 +19,50 @@ def maybe_force_platform() -> None:
     maybe_enable_compile_cache()
 
 
+def default_compile_cache_dir() -> str:
+    """Per-user default (a world-shared fixed /tmp path would let another
+    user pre-create it unwritable, or tamper with cached executables this
+    process would deserialize)."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"tpu_tts_jax_cache_{os.getuid()}"
+    )
+
+
 def maybe_enable_compile_cache() -> None:
-    """Persistent XLA compile cache for every CLI entry point (disable with
-    `TPU_TTS_COMPILE_CACHE=0`; dir via `TPU_TTS_COMPILE_CACHE_DIR`, default
-    /tmp/tpu_tts_jax_cache).
+    """Persistent XLA compile cache for every entry point — CLIs, bench.py
+    and the scripts/ benchmarks all share ONE directory so a warm-up run from
+    any of them warms the rest (disable with `TPU_TTS_COMPILE_CACHE=0`; dir
+    via `TPU_TTS_COMPILE_CACHE_DIR`, default `default_compile_cache_dir()`).
 
     First compiles of full-size models take minutes (remote-compile TPU
     tunnel, or XLA:CPU); a re-run of the same program shape loads the cached
-    executable instead. JAX's persistent cache writes entries atomically, so
-    concurrent multi-process training ranks can share one directory (each
-    rank compiles an identical program — the second rank gets a hit). Cache
-    setup is best-effort: an unwritable dir must never fail a training run."""
+    executable instead. Writes are atomic, so concurrent multi-process ranks
+    can safely share the directory (staggered ranks and re-runs get hits;
+    simultaneous identical first compiles all miss). Cache setup is
+    best-effort: an unwritable dir must never fail a training run — but it
+    warns, so a bad TPU_TTS_COMPILE_CACHE_DIR doesn't silently re-pay the
+    multi-minute compile every run."""
     if os.environ.get("TPU_TTS_COMPILE_CACHE", "1") == "0":
         return
     import jax
 
-    cache_dir = os.environ.get("TPU_TTS_COMPILE_CACHE_DIR", "/tmp/tpu_tts_jax_cache")
+    cache_dir = os.environ.get("TPU_TTS_COMPILE_CACHE_DIR", default_compile_cache_dir())
     try:
-        os.makedirs(cache_dir, exist_ok=True)
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+        # respect an explicit user setting of the min-compile-time knob
+        if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"persistent compile cache disabled ({cache_dir}: {e}) — every "
+            "run will re-pay full XLA compiles; fix TPU_TTS_COMPILE_CACHE_DIR "
+            "or set TPU_TTS_COMPILE_CACHE=0 to silence"
+        )
 
 
 def maybe_init_distributed() -> None:
