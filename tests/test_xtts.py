@@ -152,3 +152,80 @@ def test_xtts_decode_step_matches_teacher_forced(xtts_model):
             np.asarray(logits, dtype=np.float32), ref_logits[:, t], atol=2e-2, rtol=1e-2,
             err_msg=f"step {t}",
         )
+
+
+def test_xtts_masked_prefill_matches_teacher_forced(xtts_model):
+    """Right-padded prompt + key-side mask must reproduce the exact-length
+    teacher-forced logits at every decode step — the masked extension of the
+    invariant above (VERDICT r3 #8): any bucketed-serving bug that leaks
+    padded rows into attention shows up here, where stream-vs-scan
+    comparisons (both running the same masked path) cannot catch it."""
+    from tpu_tts.models.xtts import XttsNet
+
+    wav = np.random.default_rng(5).standard_normal(11025).astype(np.float32) * 0.3
+    cond, _ = xtts_model.get_conditioning_latents(wav)
+    text = jnp.asarray(np.arange(1, 7, dtype=np.int32))[None]
+    rng = np.random.default_rng(6)
+    codes = jnp.asarray(rng.integers(0, 32, (1, 6)), dtype=jnp.int32)
+    p, net = xtts_model.params, xtts_model.net
+
+    def teacher(m, cond, text, codes):
+        return m.gpt(cond, text, codes)
+
+    ref = net.apply({"params": p}, cond, text, codes, method=teacher)
+    ref_logits = np.asarray(ref["mel_logits"], dtype=np.float32)  # [1, 6, V]
+
+    # pad the prompt well past the real length; mask must hide the pad rows
+    pad = jnp.pad(text, ((0, 0), (0, 10)), constant_values=17)  # non-zero pad id
+    lengths = jnp.array([6], dtype=jnp.int32)
+    cache, plen, _start = net.apply(
+        {"params": p}, cond, pad, lengths, method=XttsNet.stream_prefill
+    )
+    assert int(plen) == cond.shape[1] + pad.shape[1]
+
+    def step(m, code, i, cache, idx, kv):
+        return m.gpt.decode_step(code, i, cache, idx, key_valid=kv)
+
+    def mask(m, plen, lengths):
+        return m.gpt.key_valid_mask(cond.shape[1], plen, lengths, m.a["kv_cache_len"])
+
+    kv = net.apply({"params": p}, plen, lengths, method=mask)
+    for t in range(codes.shape[1]):
+        logits, latent, cache = net.apply(
+            {"params": p}, codes[:, t], jnp.int32(t), cache, plen + t, kv, method=step
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits, dtype=np.float32), ref_logits[:, t], atol=2e-2, rtol=1e-2,
+            err_msg=f"masked step {t}",
+        )
+
+
+def test_xtts_inference_bucket_shares_compile_and_matches_exact(xtts_model):
+    """Serving-path bucketing (VERDICT r3 #1): two different text lengths in
+    the same TEXT_BUCKET must reuse ONE compiled generate program, and the
+    padded run must produce the same codes as an exact-length unmasked run
+    (greedy decoding — the mask makes padding numerically invisible)."""
+    from tpu_tts.models.xtts import XttsNet
+
+    wav = np.random.default_rng(11).standard_normal(11025).astype(np.float32) * 0.3
+    cond, spk = xtts_model.get_conditioning_latents(wav)
+    p, net = xtts_model.params, xtts_model.net
+
+    xtts_model._jit.clear()
+    outs = {}
+    for n in (5, 9):  # both bucket to TEXT_BUCKET=32
+        ids = jnp.asarray(np.arange(1, n + 1, dtype=np.int32))[None]
+        outs[n] = xtts_model.inference(
+            text_tokens=ids, gpt_cond_latent=cond, speaker_embedding=spk,
+            max_new_tokens=16, top_k=1,
+        )
+    gen_keys = [k for k in xtts_model._jit if k[0] == "gen"]
+    assert len(gen_keys) == 1, f"expected one bucketed generate compile, got {gen_keys}"
+
+    for n in (5, 9):
+        ids = jnp.asarray(np.arange(1, n + 1, dtype=np.int32))[None]
+        codes, lats, valid = net.apply(
+            {"params": p}, cond, ids, jax.random.PRNGKey(0), 16, 0.75, 1,
+            method=XttsNet.generate_latents,
+        )  # exact-length, unmasked
+        np.testing.assert_array_equal(outs[n]["gpt_codes"], np.asarray(codes))

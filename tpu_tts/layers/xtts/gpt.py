@@ -50,6 +50,12 @@ class CausalSelfAttention(nn.Module):
             pos = jnp.arange(T_k)[None, None, None, :]
             limit = (cache_index + jnp.arange(T))[None, None, :, None]
             att = jnp.where(pos <= limit, att, -1e9)
+            if mask is not None:
+                # key-side validity over cache rows [B, T_k]: lets a
+                # right-padded prompt share one compiled program across text
+                # lengths (padded rows contribute exp(-1e9)=0 exactly, so a
+                # full-length mask is bit-identical to no mask)
+                att = jnp.where(mask[:, None, None, :], att, -1e9)
             att = jax.nn.softmax(att, axis=-1)
             y = jnp.einsum("bhts,sbhd->bthd", att, v_cache)
             new_cache = (k_cache, v_cache)
@@ -148,9 +154,25 @@ class XttsGPT(nn.Module):
             for _ in range(self.n_layer)
         ]
 
-    def prefill(self, cond_latents, text_tokens, cache):
+    def key_valid_mask(self, n_cond: int, prompt_len, text_lengths, T_max: int):
+        """Key-side cache-row validity for a right-padded prompt
+        [cond | text (padded to T_pad) | audio...]: cond rows and every row
+        from `prompt_len` on (the audio region the decode writes) are valid;
+        text rows only up to each row's real length. `prompt_len` may be
+        traced, so one compiled program serves a whole text-length bucket."""
+        s = jnp.arange(T_max)[None]
+        return (s < n_cond) | (s >= prompt_len) | ((s - n_cond) < text_lengths[:, None])
+
+    def prefill(self, cond_latents, text_tokens, cache, text_lengths=None):
         """Run the prompt through the stack, writing rows [0, T) of the
-        KV-cache. Returns (cache, prompt_length, last_hidden)."""
+        KV-cache. Returns (cache, prompt_length, last_hidden).
+
+        With `text_lengths` [B], `text_tokens` is treated as RIGHT-PADDED:
+        padded rows still write (masked) cache rows, but a key-side mask
+        keeps every query — here and in later decode steps — from attending
+        to them, so one compiled prefill serves a text-length bucket (role of
+        the reference's dynamic-shape HF generate over arbitrary prompts,
+        ref stream_generator.py:930)."""
         x = jnp.concatenate(
             [
                 cond_latents,
@@ -160,14 +182,19 @@ class XttsGPT(nn.Module):
             axis=1,
         )
         T = x.shape[1]
+        mask = None
+        if text_lengths is not None:
+            mask = self.key_valid_mask(
+                cond_latents.shape[1], T, text_lengths, cache[0][0].shape[0]
+            )
         new_cache = []
         for blk, c in zip(self.blocks, cache):
-            x, nc = blk(x, cache=c, cache_index=0)
+            x, nc = blk(x, mask=mask, cache=c, cache_index=0)
             new_cache.append(nc)
         x = self.final_norm(self.ln_f(x))
         return new_cache, T, x[:, -1]
 
-    def decode_step(self, audio_code, pos_in_audio, cache, cache_index):
+    def decode_step(self, audio_code, pos_in_audio, cache, cache_index, key_valid=None):
         """One incremental step: embed previous code, attend over cache,
         return (logits, latent, new_cache).
 
@@ -184,7 +211,7 @@ class XttsGPT(nn.Module):
         x = a
         new_cache = []
         for blk, c in zip(self.blocks, cache):
-            x, nc = blk(x, cache=c, cache_index=cache_index)
+            x, nc = blk(x, mask=key_valid, cache=c, cache_index=cache_index)
             new_cache.append(nc)
         x = self.final_norm(self.ln_f(x))
         return self.mel_head(x)[:, 0], x[:, 0], new_cache

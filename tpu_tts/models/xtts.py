@@ -219,18 +219,32 @@ class XttsNet(nn.Module):
         max_new_tokens: int,
         temperature: float = 0.75,
         top_k: int = 50,
+        text_lengths=None,
     ):
-        """Sampled AR decode as one scan. Returns (codes, latents, valid)."""
+        """Sampled AR decode as one scan. Returns (codes, latents, valid).
+
+        With `text_lengths` [B], `text_tokens` is right-padded and a key-side
+        mask hides the pad rows (see XttsGPT.prefill) — one compile serves a
+        text-length bucket and mixed-length batches."""
         a = self.a
         B = text_tokens.shape[0]
         cache = self.gpt.init_cache(B, a["kv_cache_len"])
-        cache, prompt_len, _ = self.gpt.prefill(cond_latents, text_tokens, cache)
+        cache, prompt_len, _ = self.gpt.prefill(
+            cond_latents, text_tokens, cache, text_lengths=text_lengths
+        )
         start = jnp.full((B,), a["gpt_start_audio_token"], dtype=jnp.int32)
+        key_valid = None
+        if text_lengths is not None:
+            key_valid = self.gpt.key_valid_mask(
+                cond_latents.shape[1], prompt_len, text_lengths, a["kv_cache_len"]
+            )
 
         def step(carry, i):
             cache, code, stopped, key = carry
             key, sub = jax.random.split(key)
-            logits, latent, cache = self.gpt.decode_step(code, i, cache, prompt_len + i)
+            logits, latent, cache = self.gpt.decode_step(
+                code, i, cache, prompt_len + i, key_valid=key_valid
+            )
             logits = logits / temperature
             if top_k:
                 kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
@@ -250,13 +264,17 @@ class XttsNet(nn.Module):
             jnp.swapaxes(valid, 0, 1),
         )
 
-    def stream_prefill(self, cond_latents, text_tokens):
+    def stream_prefill(self, cond_latents, text_tokens, text_lengths=None):
         """Prefill-only program for incremental streaming: build the KV cache
-        over the prompt and return the initial decode carry."""
+        over the prompt and return the initial decode carry. With
+        `text_lengths`, `text_tokens` is right-padded to a bucket and the
+        pad rows are masked (see XttsGPT.prefill)."""
         a = self.a
         B = text_tokens.shape[0]
         cache = self.gpt.init_cache(B, a["kv_cache_len"])
-        cache, prompt_len, _ = self.gpt.prefill(cond_latents, text_tokens, cache)
+        cache, prompt_len, _ = self.gpt.prefill(
+            cond_latents, text_tokens, cache, text_lengths=text_lengths
+        )
         start = jnp.full((B,), a["gpt_start_audio_token"], dtype=jnp.int32)
         return cache, prompt_len, start
 
@@ -271,17 +289,27 @@ class XttsNet(nn.Module):
         chunk_len: int,
         temperature: float = 0.75,
         top_k: int = 50,
+        text_lengths=None,
     ):
         """`chunk_len` sampled decode steps starting at absolute step `i0`
         (traced scalar — one compile serves every chunk). Same per-step math
         and key-threading as `generate_latents`, so a chunked run reproduces
-        the one-scan run bit for bit."""
+        the one-scan run bit for bit. `text_lengths` [B] rebuilds the
+        right-padded prompt's key mask (no extra carry state) so the chunk
+        program also serves a text-length bucket."""
         a = self.a
+        key_valid = None
+        if text_lengths is not None:
+            key_valid = self.gpt.key_valid_mask(
+                a["num_cond_latents"], prompt_len, text_lengths, a["kv_cache_len"]
+            )
 
         def step(carry, i):
             cache, code, stopped, key = carry
             key, sub = jax.random.split(key)
-            logits, latent, cache = self.gpt.decode_step(code, i, cache, prompt_len + i)
+            logits, latent, cache = self.gpt.decode_step(
+                code, i, cache, prompt_len + i, key_valid=key_valid
+            )
             logits = logits / temperature
             if top_k:
                 kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
@@ -665,16 +693,17 @@ class Xtts(BaseTTSModel):
         if text_tokens is None:
             ids = self.bpe.encode(text, language)
             text_tokens = jnp.asarray(ids, dtype=jnp.int32)[None]
+        text_tokens, text_lengths = self._bucket_text(jnp.asarray(text_tokens))
         key = ("gen", text_tokens.shape, max_new_tokens, temperature, top_k)
         if key not in self._jit:
             self._jit[key] = jax.jit(
-                lambda p, c, t, r: self.net.apply(
-                    {"params": p}, c, t, r, max_new_tokens, temperature, top_k,
+                lambda p, c, t, tl, r: self.net.apply(
+                    {"params": p}, c, t, r, max_new_tokens, temperature, top_k, tl,
                     method=XttsNet.generate_latents,
                 )
             )
         codes, latents, valid = self._jit[key](
-            self.params, gpt_cond_latent, text_tokens, jax.random.PRNGKey(seed)
+            self.params, gpt_cond_latent, text_tokens, text_lengths, jax.random.PRNGKey(seed)
         )
         dec_key = ("dec", latents.shape)
         if dec_key not in self._jit:
@@ -687,6 +716,25 @@ class Xtts(BaseTTSModel):
             "wav": np.asarray(wav)[0, : self._n_samples(n_valid), 0],
             "gpt_codes": np.asarray(codes),
         }
+
+    # serving text-length bucket (multiples of this many tokens): one XLA
+    # compile serves every sentence whose token count falls in the bucket —
+    # the role of the reference's dynamic-shape torch runtime, which serves
+    # any prompt length with zero recompiles (ref stream_generator.py:930,
+    # synthesizer.py:294). Padded rows are hidden by the key-side mask, so
+    # padded-vs-exact outputs are bit-identical (tests/test_xtts.py).
+    TEXT_BUCKET = 32
+
+    def _bucket_text(self, text_tokens):
+        """Right-pad `[B, T]` token ids to the bucket grid; returns
+        (padded [B, T_pad], lengths [B]). T_pad is capped at the text
+        position-embedding table so long prompts stay in range."""
+        B, T = text_tokens.shape
+        cap = self.args.gpt_max_text_tokens + 2
+        T_pad = min(max(self.TEXT_BUCKET, -(-T // self.TEXT_BUCKET) * self.TEXT_BUCKET), max(cap, T))
+        padded = jnp.pad(jnp.asarray(text_tokens, jnp.int32), ((0, 0), (0, T_pad - T)))
+        lengths = jnp.full((B,), T, dtype=jnp.int32)
+        return padded, lengths
 
     def _n_samples(self, n_tokens: int) -> int:
         """Output samples per GPT token through decode_latents: interpolation
@@ -727,11 +775,13 @@ class Xtts(BaseTTSModel):
         Each emitted chunk is decoded with `overlap_latents` of left latent
         context so the conv decoder's receptive field sees history."""
         ids = self.bpe.encode(text, language)
-        text_tokens = jnp.asarray(ids, dtype=jnp.int32)[None]
+        text_tokens, text_lengths = self._bucket_text(jnp.asarray(ids, dtype=jnp.int32)[None])
         pf_key = ("stream_prefill", text_tokens.shape)
         if pf_key not in self._jit:
             self._jit[pf_key] = jax.jit(
-                lambda p, c, t: self.net.apply({"params": p}, c, t, method=XttsNet.stream_prefill)
+                lambda p, c, t, tl: self.net.apply(
+                    {"params": p}, c, t, tl, method=XttsNet.stream_prefill
+                )
             )
         def chunk_fn(n_steps):
             key = ("stream_chunk", n_steps, temperature, top_k)
@@ -742,9 +792,9 @@ class Xtts(BaseTTSModel):
                 # dwarfing the 59 ms decode itself (scripts/
                 # xtts_decode_microbench.py)
                 self._jit[key] = jax.jit(
-                    lambda p, cache, pl, code, stop, r, i0: self.net.apply(
+                    lambda p, cache, pl, code, stop, r, i0, tl: self.net.apply(
                         {"params": p}, cache, pl, code, stop, r, i0,
-                        n_steps, temperature, top_k,
+                        n_steps, temperature, top_k, tl,
                         method=XttsNet.stream_chunk,
                     ),
                     donate_argnums=(1,),
@@ -755,7 +805,9 @@ class Xtts(BaseTTSModel):
             jax.jit(lambda p, l, s: self.net.apply({"params": p}, l, s, method=XttsNet.decode_latents)),
         )
 
-        cache, prompt_len, code = self._jit[pf_key](self.params, gpt_cond_latent, text_tokens)
+        cache, prompt_len, code = self._jit[pf_key](
+            self.params, gpt_cond_latent, text_tokens, text_lengths
+        )
         stopped = jnp.zeros((text_tokens.shape[0],), dtype=bool)
         rng = jax.random.PRNGKey(seed)
         # ALL glue happens on host numpy at fixed shapes: anything else (a
@@ -767,7 +819,7 @@ class Xtts(BaseTTSModel):
             size = min(first_chunk_size if i0 == 0 else stream_chunk_size, max_new_tokens)
             n_steps = min(size, max_new_tokens - i0)
             (cache, code, stopped, rng), (codes, lats, valid) = chunk_fn(size)(
-                self.params, cache, prompt_len, code, stopped, rng, jnp.int32(i0)
+                self.params, cache, prompt_len, code, stopped, rng, jnp.int32(i0), text_lengths
             )
             lats_np = np.asarray(lats, dtype=np.float32)
             nv = int(np.asarray(valid)[0, :n_steps].sum())
