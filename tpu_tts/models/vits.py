@@ -389,6 +389,8 @@ class Vits(BaseTTSModel):
             dtype=jnp.bfloat16 if getattr(config, "mixed_precision", False) else None,
         )
         self._infer_cache = {}
+        # G-side paired discriminator pass (see loss_fn): hardware A/B knob
+        self._paired_disc_g = os.environ.get("TPU_TTS_PAIRED_DISC_G", "1") == "1"
 
     def _build_net(self):
         net_args = self.args.to_dict()
@@ -488,6 +490,24 @@ class Vits(BaseTTSModel):
         ), spec
 
     # ---------------------------------------------------------------- losses
+    def _disc_paired(self, d_params, real, fake):
+        """ONE discriminator pass over [real; fake] stacked on the batch
+        axis, split back into per-side score/feature lists. The batch axis is
+        a parallel dim, so per-row outputs equal two separate passes — but
+        every conv kernel is twice as large and the backward emits half as
+        many fusions, a direct attack on the small-kernel train-step bound
+        (the 8192-sample segment splits the GAN backward into hundreds of
+        sub-ms kernels; see scripts/profile_vits_train.py, README roofline)."""
+        B = real.shape[0]
+        scores, feats = self.disc.apply(
+            {"params": d_params}, jnp.concatenate([real, fake], axis=0)
+        )
+        s_real = [s[:B] for s in scores]
+        s_fake = [s[B:] for s in scores]
+        f_real = [[f[:B] for f in fl] for fl in feats]
+        f_fake = [[f[B:] for f in fl] for fl in feats]
+        return s_real, s_fake, f_real, f_fake
+
     def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
         hop = int(np.prod(self.args.upsample_rates_decoder))
         if optimizer_idx == 0:
@@ -500,8 +520,9 @@ class Vits(BaseTTSModel):
                 pad_short=True,
             )
             wav_seg = jnp.swapaxes(wav_seg, 1, 2)
-            scores_fake, _ = self.disc.apply({"params": params["discriminator"]}, y_hat)
-            scores_real, _ = self.disc.apply({"params": params["discriminator"]}, wav_seg)
+            scores_real, scores_fake, _, _ = self._disc_paired(
+                params["discriminator"], wav_seg, y_hat
+            )
             loss = d_loss_fn(scores_real, scores_fake) * self.config.disc_loss_alpha
             return loss, {"loss_disc": loss}
 
@@ -513,8 +534,15 @@ class Vits(BaseTTSModel):
         )
         wav_seg = jnp.swapaxes(wav_seg, 1, 2)
         d_params = jax.lax.stop_gradient(params["discriminator"])
-        scores_fake, feats_fake = self.disc.apply({"params": d_params}, y_hat)
-        _, feats_real = self.disc.apply({"params": d_params}, wav_seg)
+        if self._paired_disc_g:
+            # fewer/larger kernels, but the conv transposes now run over 2B
+            # rows (the real half previously had NO backward: it sits on no
+            # path to the generator params) — A/B'd on hardware via
+            # TPU_TTS_PAIRED_DISC_G (scripts/profile_vits_train.py)
+            _, scores_fake, feats_real, feats_fake = self._disc_paired(d_params, wav_seg, y_hat)
+        else:
+            scores_fake, feats_fake = self.disc.apply({"params": d_params}, y_hat)
+            _, feats_real = self.disc.apply({"params": d_params}, wav_seg)
 
         # mel L1 on the decoded segment
         mel_hat = self._mel_from_wav(y_hat)
@@ -587,12 +615,21 @@ class Vits(BaseTTSModel):
         opt_g = get_optimizer(self.config.optimizer, self.config.optimizer_params, None, self.config, schedule=sched_g, optimizer_idx=1)
         return [opt_d, opt_g]
 
+    # serving text-length bucket: pad token ids to this grid so the stage-1
+    # program compiles once per bucket, not once per sentence length (the
+    # role of the reference's dynamic-shape runtime, ref synthesizer.py:294).
+    # `x_lengths` masking makes the padded run numerically identical to the
+    # exact-length run (tests/test_vits_infer_bucket.py).
+    TEXT_BUCKET = 32
+
     # ------------------------------------------------------------- inference
     def inference(self, x: np.ndarray, aux_input=None, bucket: int = 128) -> Dict:
         """Two-stage bucketed inference: run the cheap duration stage first,
         then decode at the *actual* bucketed mel length — the single-pass
         reference path would decode a worst-case padded length (up to ~20×
-        wasted decoder FLOPs, measured in round-1 verification)."""
+        wasted decoder FLOPs, measured in round-1 verification). Text ids are
+        right-padded to the TEXT_BUCKET grid so a cold server compiles per
+        bucket, not per sentence length."""
         aux_input = aux_input or {}
         x = jnp.asarray(x)
         if x.ndim == 1:
@@ -601,6 +638,10 @@ class Vits(BaseTTSModel):
         if x_lengths is None:
             x_lengths = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
         x_lengths = jnp.asarray(x_lengths)
+        tb = self.TEXT_BUCKET
+        T_pad = max(tb, -(-x.shape[1] // tb) * tb)
+        if T_pad != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, T_pad - x.shape[1])))
         sid = aux_input.get("speaker_ids")
         dvec = aux_input.get("d_vectors")
         lid = aux_input.get("language_ids")
