@@ -53,7 +53,10 @@ def _run_mp_microtest(tmp_path, model, batch, key_loss, n_steps=8, lr=None, min_
 
     model.loss_fn = spy
     params0 = jax.device_get(model.init_params(jax.random.PRNGKey(0)))
-    trainer = Trainer(TrainerArgs(), cfg, str(tmp_path), model=model)
+    # num_devices=1: the precision property has nothing to do with the mesh
+    # (mesh behavior has its own tests); SPMD-partitioning every model's
+    # train step over 8 virtual devices dominated these tests' wall time
+    trainer = Trainer(TrainerArgs(num_devices=1), cfg, str(tmp_path), model=model)
 
     vals = []
     for i in range(n_steps):

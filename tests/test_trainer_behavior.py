@@ -91,12 +91,31 @@ def test_fused_gan_step_matches_sequential(tmp_path):
     from tests.test_vits import _batch as _vits_batch, _tiny_config
     from tpu_tts.models.vits import Vits
 
-    batch = {k: np.asarray(v) for k, v in _vits_batch().items()}
+    # smallest 2-optimizer GAN that still exercises the property: the
+    # fused-vs-sequential comparison needs identical numerics, not model
+    # capacity (VERDICT r3 #5 — this test was 1062 s at the shared tiny size)
+    def _smallest_cfg():
+        cfg = _tiny_config()
+        a = cfg.model_args
+        a.hidden_channels = 16
+        a.hidden_channels_ffn_text_encoder = 16
+        a.num_layers_flow = 1
+        a.num_layers_posterior_encoder = 1
+        a.upsample_initial_channel_decoder = 8
+        a.periods_multi_period_discriminator = [2]
+        return cfg
+
+    batch = {k: np.asarray(v) for k, v in _vits_batch(T_en=6, T_spec=16).items()}
     results = {}
     for fused in (False, True):
-        model = Vits(_tiny_config())
+        model = Vits(_smallest_cfg())
         model.init_params(jax.random.PRNGKey(0))
-        trainer = _make_trainer(tmp_path / f"fused_{fused}", model, fuse_optimizer_steps=fused)
+        # num_devices=1: the fusion property has nothing to do with the mesh,
+        # and SPMD-partitioning the tiny GAN graphs over the 8 virtual
+        # devices dominated this test's wall time (1062 s in the r3 suite)
+        trainer = _make_trainer(
+            tmp_path / f"fused_{fused}", model, fuse_optimizer_steps=fused, num_devices=1
+        )
         assert trainer.num_optimizers == 2
         logs = {}
         for _ in range(3):
@@ -201,18 +220,20 @@ def test_eval_epoch_per_optimizer_aggregation(tmp_path):
     np.testing.assert_allclose(got, 14.0, rtol=1e-6)
 
 
-def test_apply_if_finite_select_semantics():
-    """Branchless NaN guard: finite grads step exactly like the inner
-    optimizer; a non-finite grad leaves params AND optimizer state untouched
-    (optax.apply_if_finite semantics without the lax.cond — the cond regions
-    were ~7% of the TPU GAN step, scripts/profile_vits_train.py)."""
+@pytest.mark.parametrize("mode", ["select", "cond"])
+def test_apply_if_finite_select_semantics(mode):
+    """NaN guard: finite grads step exactly like the inner optimizer; a
+    non-finite grad leaves params AND optimizer state untouched. BOTH
+    implementations (branchless select — the TPU default, the cond regions
+    were ~7% of the TPU GAN step; lax.cond — the CPU default, per-leaf
+    selects blow up XLA:CPU compile time) must satisfy the same contract."""
     import optax
 
     from tpu_tts.train.optimizers import apply_if_finite_select
 
     params = {"w": np.ones((3,), dtype=np.float32)}
     inner = optax.adam(0.1)
-    guarded = apply_if_finite_select(inner)
+    guarded = apply_if_finite_select(inner, mode=mode)
     gs = guarded.init(params)
     is_ = inner.init(params)
     good = {"w": np.full((3,), 0.5, dtype=np.float32)}

@@ -123,7 +123,9 @@ def test_gan_model_train_steps():
             merged = model.param_merge(params, s, idx)
             return model.loss_fn(merged, batch, jax.random.PRNGKey(1), optimizer_idx=idx)
 
-        (loss, logs), grads = jax.value_and_grad(loss_sub, has_aux=True)(sub)
+        # jit: the eager MPD+MSD backward dispatches thousands of ops on
+        # XLA:CPU (this test alone was 530 s in the r3 suite)
+        (loss, logs), grads = jax.jit(jax.value_and_grad(loss_sub, has_aux=True))(sub)
         assert np.isfinite(float(loss)), f"opt {idx} loss not finite"
         gnorm = optax.global_norm(grads)
         assert float(gnorm) > 0, f"opt {idx} zero grads"

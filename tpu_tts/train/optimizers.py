@@ -112,28 +112,46 @@ class ApplyIfFiniteSelectState(NamedTuple):
     inner_state: Any
 
 
-def apply_if_finite_select(tx: optax.GradientTransformation) -> optax.GradientTransformation:
-    """Branchless `optax.apply_if_finite`: ALWAYS compute the inner update and
-    select it (or a zero update / the old state) by an all-grads-finite flag.
+def apply_if_finite_select(
+    tx: optax.GradientTransformation, mode: Optional[str] = None
+) -> optax.GradientTransformation:
+    """NaN-step guard (reference `check_update` semantics, TTS/utils/
+    training.py:5): a non-finite gradient leaves params and optimizer state
+    untouched. Two numerically identical implementations, chosen per backend:
 
-    Same semantics — a non-finite gradient leaves params and optimizer state
-    untouched — but no `lax.cond`: on TPU the cond regions around the whole
-    optimizer update were the two largest kernels of the fused VITS GAN step
-    (~7% of step time, scripts/profile_vits_train.py), because XLA cannot
-    fuse across a conditional or overlap it with the backward pass. With a
-    select, the adam/clip elementwise chains fuse into neighboring work.
-    `jnp.where` is an elementwise select, so NaNs in the discarded update do
-    not propagate."""
+    - "select" (TPU default): ALWAYS compute the inner update and select it
+      (or a zero update / the old state) with per-leaf `jnp.where`. On TPU
+      the `lax.cond` regions around the whole optimizer update were the two
+      largest kernels of the fused VITS GAN step (~7% of step time,
+      scripts/profile_vits_train.py) because XLA cannot fuse across a
+      conditional or overlap it with the backward; the select variant lets
+      the adam/clip elementwise chains fuse into neighboring work (+3%).
+      `jnp.where` is elementwise, so NaNs in the discarded update do not
+      propagate.
+    - "cond" (CPU default): one `lax.cond` around the inner update. The
+      ~1400 per-leaf selects of the other variant blow XLA:CPU's compile
+      time up 17 s → 143 s on the full VITS generator step (measured on the
+      r3 suite's top offender, test_fused_gan_step_matches_sequential);
+      XLA:CPU handles the conditional fine and the runtime argument for the
+      select is TPU-specific.
+
+    Both share `ApplyIfFiniteSelectState`, so checkpoints restore across
+    backends."""
     import jax
     import jax.numpy as jnp
+
+    if mode is None:
+        mode = "cond" if jax.default_backend() == "cpu" else "select"
 
     def init(params):
         return ApplyIfFiniteSelectState(jnp.zeros([], jnp.int32), tx.init(params))
 
-    def update(grads, state, params=None):
-        isfin = jnp.array(True)
-        for g in jax.tree_util.tree_leaves(grads):
-            isfin = jnp.logical_and(isfin, jnp.all(jnp.isfinite(g)))
+    def _isfin(grads):
+        flags = [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+        return jnp.all(jnp.stack(flags)) if flags else jnp.array(True)
+
+    def update_select(grads, state, params=None):
+        isfin = _isfin(grads)
         updates, new_inner = tx.update(grads, state.inner_state, params)
         updates = jax.tree_util.tree_map(lambda u: jnp.where(isfin, u, jnp.zeros_like(u)), updates)
         new_inner = jax.tree_util.tree_map(
@@ -143,4 +161,23 @@ def apply_if_finite_select(tx: optax.GradientTransformation) -> optax.GradientTr
         count = jnp.where(isfin, 0, state.notfinite_count + 1).astype(jnp.int32)
         return updates, ApplyIfFiniteSelectState(count, new_inner)
 
-    return optax.GradientTransformation(init, update)
+    def update_cond(grads, state, params=None):
+        isfin = _isfin(grads)
+
+        def do_apply(operand):
+            grads, inner, params = operand
+            updates, new_inner = tx.update(grads, inner, params)
+            return updates, ApplyIfFiniteSelectState(jnp.zeros([], jnp.int32), new_inner)
+
+        def do_skip(operand):
+            grads, inner, _ = operand
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, grads)
+            return zeros, ApplyIfFiniteSelectState(
+                (state.notfinite_count + 1).astype(jnp.int32), inner
+            )
+
+        return jax.lax.cond(isfin, do_apply, do_skip, (grads, state.inner_state, params))
+
+    return optax.GradientTransformation(
+        init, update_select if mode == "select" else update_cond
+    )

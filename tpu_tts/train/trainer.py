@@ -54,6 +54,11 @@ class TrainerArgs(Coqpit):
     skip_train_epoch: bool = False
     start_with_eval: bool = False
     small_run: Optional[int] = None
+    # cap the mesh at the first N local devices (single-process only):
+    # debugging, single-chip benchmarking on a multi-chip host, and tests
+    # whose property doesn't involve the mesh (SPMD partitioning dominates
+    # XLA:CPU compile time on the virtual 8-device test mesh)
+    num_devices: Optional[int] = None
 
 
 def _is_array_like(v) -> bool:
@@ -110,6 +115,10 @@ class Trainer:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         devices = np.array(jax.devices())
+        if args.num_devices:
+            if jax.process_count() > 1:
+                raise ValueError("TrainerArgs.num_devices is single-process only")
+            devices = devices[: args.num_devices]
         self.mesh = Mesh(devices, ("data",))
         self.repl_sharding = NamedSharding(self.mesh, P())
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
@@ -117,7 +126,9 @@ class Trainer:
         self.process_count = jax.process_count()
         self.process_index = jax.process_index()
         self.is_main = self.process_index == 0
-        self.local_device_count = jax.local_device_count()
+        self.local_device_count = (
+            len(devices) if args.num_devices else jax.local_device_count()
+        )
         self._replication_warned = set()
 
         # ---- params ----------------------------------------------------------
