@@ -38,15 +38,16 @@ def _emit(metric, value, unit, vs_baseline):
 
 
 # --------------------------------------------------------------------- train
-def bench_train_steps():
-    """Full-size VITS GAN train step (both optimizers) — steps/s, bf16 vs f32."""
+def _train_point(B, mp, host_params_box):
+    """Measure the full-size VITS GAN fused train step at batch B / precision
+    mp. Returns (steps_per_s, flops_per_step, host_params_box)."""
     import jax
     import optax
 
     from tpu_tts.configs.vits_config import VitsConfig
     from tpu_tts.models.vits import Vits
 
-    B = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    tag = "bf16" if mp else "f32"
     T_en, T_spec = 128, 256
     hop = 256
     rng = np.random.default_rng(0)
@@ -57,85 +58,94 @@ def bench_train_steps():
         "waveform": np.asarray(rng.standard_normal((B, T_spec * hop, 1)) * 0.1, dtype=np.float32),
     }
 
-    results = {}
-    flops_per_step = {}
-    host_params = None  # params are identical across compute dtypes — init once
+    cfg = VitsConfig()
+    cfg.model_args.num_chars = 165
+    cfg.mixed_precision = mp
+    model = Vits(cfg)
+    t0 = time.perf_counter()
+    if host_params_box[0] is None:  # params identical across dtypes/batches — init once
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            host_params_box[0] = jax.device_get(model.init_params(jax.random.PRNGKey(0)))
+    params = jax.device_put(host_params_box[0], jax.devices()[0])
+    opts = model.get_optimizer()
+    opt_states = [
+        jax.device_put(opts[i].init(jax.tree_util.tree_map(np.asarray, model.param_partition(params, i))),
+                       jax.devices()[0])
+        for i in range(2)
+    ]
+    print(f"[bench:train:{tag}:B{B}] init {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    def sub_step(idx, p, s, batch, key):
+        sub = model.param_partition(p, idx)
+
+        def loss_sub(x):
+            merged = model.param_merge(p, x, idx)
+            return model.loss_fn(merged, batch, key, optimizer_idx=idx)
+
+        (loss, _), grads = jax.value_and_grad(loss_sub, has_aux=True)(sub)
+        updates, s = opts[idx].update(grads, s, sub)
+        sub = optax.apply_updates(sub, updates)
+        return model.param_merge(p, sub, idx), s, loss
+
+    # D+G fused in one jit (the trainer's fuse_optimizer_steps default):
+    # XLA CSEs the generator forward shared by both sub-steps
+    def fused(p, ss, batch, key):
+        losses = []
+        for idx in (0, 1):
+            p, s, loss = sub_step(idx, p, ss[idx], batch, jax.random.fold_in(key, idx))
+            ss = (s, ss[1]) if idx == 0 else (ss[0], s)
+            losses.append(loss)
+        return p, ss, losses
+
+    step = jax.jit(fused, donate_argnums=(0, 1))
+    opt_states = tuple(opt_states)
+    batch = {k: jax.device_put(v, jax.devices()[0]) for k, v in batch_np.items()}
+    t_c = time.perf_counter()
+    params, opt_states, losses = step(params, opt_states, batch, jax.random.PRNGKey(0))
+    assert all(np.isfinite(float(l)) for l in losses), "train loss not finite"
+    print(f"[bench:train:{tag}:B{B}] compile+warmup {time.perf_counter()-t_c:.1f}s",
+          file=sys.stderr, flush=True)
+
+    # one sync per WINDOW, not per step — the trainer's deferred-logging
+    # loop dispatches ahead the same way, so this is the steps/s a real
+    # training run sees (per-step sync would bill the tunnel RTT per step)
+    n_iters = int(os.environ.get("BENCH_TRAIN_ITERS", "6"))
+    times = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            params, opt_states, losses = step(params, opt_states, batch,
+                                              jax.random.PRNGKey(100 * w + i))
+        _ = float(losses[-1])  # window sync
+        times.append((time.perf_counter() - t0) / n_iters)
+    steps_per_s = 1.0 / float(np.median(times))
+    # train-step MFU from XLA's own static FLOP count of the compiled
+    # fused D+G step (VERDICT r2 next-round #1) vs the v5e bf16 peak
+    flops = None
+    try:
+        ca = step.lower(params, opt_states, batch, jax.random.PRNGKey(0)).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        print(f"[bench:train:{tag}:B{B}] cost_analysis unavailable: {e}", file=sys.stderr, flush=True)
+    del params, opt_states, step, batch  # free HBM before the next point
+    return steps_per_s, flops
+
+
+def bench_train_steps():
+    """Full-size VITS GAN train step (both optimizers): bf16 vs f32 at the
+    B=16 continuity point, plus the THROUGHPUT point (default B=64, bf16 —
+    what a production run gets; VERDICT r3 #3)."""
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    box = [None]
+    results, flops_per_step = {}, {}
     dtypes = os.environ.get("BENCH_TRAIN_DTYPES", "bf16,f32").split(",")
     for tag, mp in (("bf16", True), ("f32", False)):
         if tag not in dtypes:
             continue
-        cfg = VitsConfig()
-        cfg.model_args.num_chars = 165
-        cfg.mixed_precision = mp
-        model = Vits(cfg)
-        t0 = time.perf_counter()
-        if host_params is None:
-            cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
-                host_params = jax.device_get(model.init_params(jax.random.PRNGKey(0)))
-        params = jax.device_put(host_params, jax.devices()[0])
-        opts = model.get_optimizer()
-        opt_states = [
-            jax.device_put(opts[i].init(jax.tree_util.tree_map(np.asarray, model.param_partition(params, i))),
-                           jax.devices()[0])
-            for i in range(2)
-        ]
-        print(f"[bench:train:{tag}] init {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
-
-        def sub_step(idx, p, s, batch, key):
-            sub = model.param_partition(p, idx)
-
-            def loss_sub(x):
-                merged = model.param_merge(p, x, idx)
-                return model.loss_fn(merged, batch, key, optimizer_idx=idx)
-
-            (loss, _), grads = jax.value_and_grad(loss_sub, has_aux=True)(sub)
-            updates, s = opts[idx].update(grads, s, sub)
-            sub = optax.apply_updates(sub, updates)
-            return model.param_merge(p, sub, idx), s, loss
-
-        # D+G fused in one jit (the trainer's fuse_optimizer_steps default):
-        # XLA CSEs the generator forward shared by both sub-steps
-        def fused(p, ss, batch, key):
-            losses = []
-            for idx in (0, 1):
-                p, s, loss = sub_step(idx, p, ss[idx], batch, jax.random.fold_in(key, idx))
-                ss = (s, ss[1]) if idx == 0 else (ss[0], s)
-                losses.append(loss)
-            return p, ss, losses
-
-        step = jax.jit(fused, donate_argnums=(0, 1))
-        opt_states = tuple(opt_states)
-        batch = {k: jax.device_put(v, jax.devices()[0]) for k, v in batch_np.items()}
-        t_c = time.perf_counter()
-        params, opt_states, losses = step(params, opt_states, batch, jax.random.PRNGKey(0))
-        assert all(np.isfinite(float(l)) for l in losses), "train loss not finite"
-        print(f"[bench:train:{tag}] compile+warmup {time.perf_counter()-t_c:.1f}s (B={B})",
-              file=sys.stderr, flush=True)
-
-        # one sync per WINDOW, not per step — the trainer's deferred-logging
-        # loop dispatches ahead the same way, so this is the steps/s a real
-        # training run sees (per-step sync would bill the tunnel RTT per step)
-        n_iters = int(os.environ.get("BENCH_TRAIN_ITERS", "6"))
-        times = []
-        for w in range(3):
-            t0 = time.perf_counter()
-            for i in range(n_iters):
-                params, opt_states, losses = step(params, opt_states, batch,
-                                                  jax.random.PRNGKey(100 * w + i))
-            _ = float(losses[-1])  # window sync
-            times.append((time.perf_counter() - t0) / n_iters)
-        results[tag] = 1.0 / float(np.median(times))
-        # train-step MFU from XLA's own static FLOP count of the compiled
-        # fused D+G step (VERDICT r2 next-round #1) vs the v5e bf16 peak
-        try:
-            ca = step.lower(params, opt_states, batch, jax.random.PRNGKey(0)).compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0] if ca else {}
-            flops_per_step[tag] = float(ca.get("flops", 0.0))
-        except Exception as e:
-            print(f"[bench:train:{tag}] cost_analysis unavailable: {e}", file=sys.stderr, flush=True)
-        del params, opt_states, step, batch  # free HBM before next stage
+        results[tag], flops_per_step[tag] = _train_point(B, mp, box)
 
     speedup = (
         results["bf16"] / results["f32"] if results.get("f32") and results.get("bf16") else None
@@ -145,13 +155,25 @@ def bench_train_steps():
     if "bf16" in results:
         _emit("vits_gan_train_steps_per_s_bf16", round(results["bf16"], 3), "steps/s",
               round(speedup, 3) if speedup else None)
-    # train MFU (bf16 step preferred): XLA-counted FLOPs/step × steps/s vs
+    # train MFU (bf16 step preferred): XLA-counted FLOPs/step x steps/s vs
     # the v5e bf16 peak — the honest fraction-of-speed-of-light for training
     for tag in ("bf16", "f32"):
         if results.get(tag) and flops_per_step.get(tag):
             mfu = flops_per_step[tag] * results[tag] / 197e12 * 100.0
             _emit("vits_train_mfu_pct", round(mfu, 1), "percent", None)
             break
+
+    # throughput-optimal point: per-chip samples/s at the large batch a
+    # production run would use (BASELINE.md north star is per-chip
+    # throughput, not fixed-B latency)
+    B_thr = int(os.environ.get("BENCH_TRAIN_BATCH_THROUGHPUT", "64"))
+    if B_thr and B_thr != B and "bf16" in dtypes:
+        sps, flops = _train_point(B_thr, True, box)
+        _emit(f"vits_gan_train_samples_per_s_b{B_thr}", round(sps * B_thr, 1),
+              "samples/s", None)
+        if flops:
+            mfu = flops * sps / 197e12 * 100.0
+            _emit(f"vits_train_mfu_pct_b{B_thr}", round(mfu, 1), "percent", None)
 
 
 # ---------------------------------------------------------------------- xtts

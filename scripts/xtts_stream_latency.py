@@ -142,16 +142,18 @@ def measure_multistream(batch_sizes=None, iters: int = None) -> dict:
     ]
     sr = a.output_sample_rate
 
-    pf = jax.jit(lambda p, c, t: model.net.apply({"params": p}, c, t, method=XttsNet.stream_prefill))
+    pf = jax.jit(
+        lambda p, c, t, tl: model.net.apply({"params": p}, c, t, tl, method=XttsNet.stream_prefill)
+    )
     dec = jax.jit(lambda p, l, s: model.net.apply({"params": p}, l, s, method=XttsNet.decode_latents))
 
     def chunk_fn(n_steps):
         # donated KV cache (models/xtts.py chunk_fn): without it each call
         # copies 128 MB x B of cache
         return jax.jit(
-            lambda p, cache, pl, code, stop, r, i0: model.net.apply(
+            lambda p, cache, pl, code, stop, r, i0, tl: model.net.apply(
                 {"params": p}, cache, pl, code, stop, r, i0,
-                n_steps, temperature, top_k,
+                n_steps, temperature, top_k, tl,
                 method=XttsNet.stream_chunk,
             ),
             donate_argnums=(1,),
@@ -161,7 +163,17 @@ def measure_multistream(batch_sizes=None, iters: int = None) -> dict:
     rows = []
     rng0 = np.random.default_rng(0)
     for B in batch_sizes:
+        # RANDOMIZED per-row text lengths padded to the n_text bucket — the
+        # shape real mixed-length traffic produces through XttsStreamPool
+        # (rows masked via text_lengths; VERDICT r3 #1c). LAT_FIXED_LEN=1
+        # restores the equal-length round for A/B.
         text = jnp.asarray(rng0.integers(1, 200, (B, n_text)), dtype=jnp.int32)
+        if os.environ.get("LAT_FIXED_LEN", "0") == "1":
+            text_lengths = jnp.full((B,), n_text, dtype=jnp.int32)
+        else:
+            text_lengths = jnp.asarray(
+                rng0.integers(max(1, n_text // 2), n_text + 1, (B,)), dtype=jnp.int32
+            )
         cond = jnp.asarray(
             rng0.standard_normal((B, a.num_cond_latents, a.gpt_n_model_channels)) * 0.02, dtype
         )
@@ -169,10 +181,10 @@ def measure_multistream(batch_sizes=None, iters: int = None) -> dict:
 
         def one_stream_round(key):
             t0 = time.perf_counter()
-            cache, pl, code = pf(model.params, cond, text)
+            cache, pl, code = pf(model.params, cond, text, text_lengths)
             stopped = jnp.zeros((B,), dtype=bool)
             (cache, code, stopped, key), (codes, lats, valid) = ck_first(
-                model.params, cache, pl, code, stopped, key, jnp.int32(0)
+                model.params, cache, pl, code, stopped, key, jnp.int32(0), text_lengths
             )
             wav = dec(model.params, lats, spk)
             np.asarray(wav[:, :4, 0])  # host sync = audio delivered
@@ -182,7 +194,8 @@ def measure_multistream(batch_sizes=None, iters: int = None) -> dict:
             n_steady = 3
             for j in range(n_steady):
                 (cache, code, stopped, key), (codes, lats, valid) = ck_steady(
-                    model.params, cache, pl, code, stopped, key, jnp.int32(first_chunk + j * chunk)
+                    model.params, cache, pl, code, stopped, key,
+                    jnp.int32(first_chunk + j * chunk), text_lengths
                 )
                 wav = dec(model.params, lats, spk)
             np.asarray(wav[:, :4, 0])
