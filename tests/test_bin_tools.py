@@ -134,3 +134,49 @@ def test_vad_adaptive_noise_floor():
     assert abs(segs[0]["start"] - sr // 2) < sr // 6
     assert abs(segs[-1]["end"] - (sr // 2 + sr)) < sr // 6
     assert not get_speech_timestamps(noise, sample_rate=sr), "pure noise flagged as speech"
+
+
+def test_prepare_voxceleb(tmp_path, capsys):
+    """bin/prepare_voxceleb.py writes the reference's 4-column TSV
+    (ref TTS/encoder/utils/prepare_voxceleb.py:183) from an extracted
+    subset tree, with speaker ids shared across subsets."""
+    import wave as wave_mod
+
+    from tpu_tts.bin.prepare_voxceleb import main
+
+    def _make_wav(path, n=160):
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with wave_mod.open(str(path), "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(b"\x00\x01" * n)
+
+    for spk, vid, clip in [("id001", "vidA", "00001"), ("id001", "vidA", "00002"),
+                           ("id002", "vidB", "00001")]:
+        _make_wav(tmp_path / "vox1_dev_wav" / spk / vid / f"{clip}.wav")
+    _make_wav(tmp_path / "vox1_test_wav" / "id003" / "vidC" / "00001.wav", n=80)
+
+    main([str(tmp_path), "--subsets", "vox1_dev_wav", "vox1_test_wav"])
+
+    import csv as csv_mod
+
+    with open(tmp_path / "vox1_dev_wav.csv") as f:
+        rows = list(csv_mod.reader(f, delimiter="\t"))
+    assert rows[0] == ["wav_filename", "wav_length_ms", "speaker_id", "speaker_name"]
+    assert len(rows) == 4
+    assert [r[3] for r in rows[1:]] == ["id001", "id001", "id002"]
+    assert [r[2] for r in rows[1:]] == ["0", "0", "1"]
+    assert all(r[1] == "160" for r in rows[1:])  # reference stores SAMPLES here
+    with open(tmp_path / "vox1_test_wav.csv") as f:
+        rows2 = list(csv_mod.reader(f, delimiter="\t"))
+    assert rows2[1][2] == "2"  # id dict shared across subsets
+    assert rows2[1][1] == "80"
+
+    # idempotent: existing CSV short-circuits unless --force
+    main([str(tmp_path), "--subsets", "vox1_dev_wav"])
+    # --download is gated in this offline build
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main([str(tmp_path), "--download"])
