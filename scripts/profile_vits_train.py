@@ -29,8 +29,15 @@ def build_step(mp: bool, B: int = 16, T_en: int = 128, T_spec: int = 256):
     from tpu_tts.configs.vits_config import VitsConfig
     from tpu_tts.models.vits import Vits
 
+    # segment-size study (VERDICT r3 #2): PROF_SEGMENT sets spec_segment_size
+    # (frames; default 32 = 8192 samples) and PROF_BATCH the batch, so e.g.
+    # PROF_BATCH=8 PROF_SEGMENT=64 measures the same samples/step as B=16
+    # seg=32 but with every GAN kernel twice as long.
+    B = int(os.environ.get("PROF_BATCH", B))
     cfg = VitsConfig()
     cfg.model_args.num_chars = 165
+    if os.environ.get("PROF_SEGMENT"):
+        cfg.model_args.spec_segment_size = int(os.environ["PROF_SEGMENT"])
     cfg.mixed_precision = mp
     model = Vits(cfg)
     hop = 256
@@ -119,7 +126,10 @@ def main():
         _ = float(losses[-1])
         times.append((time.perf_counter() - t0) / 6)
     sps = 1.0 / float(np.median(times))
-    print(f"steps/s: {sps:.2f}  ({'bf16' if mp else 'f32'})")
+    B = int(os.environ.get("PROF_BATCH", "16"))
+    seg = int(os.environ.get("PROF_SEGMENT", "32"))
+    print(f"steps/s: {sps:.2f}  ({'bf16' if mp else 'f32'}, B={B}, seg={seg} frames)"
+          f"  samples/s: {sps * B:.1f}  segment-samples/s: {sps * B * seg * 256:.0f}")
     if flops:
         print(f"XLA-counted FLOPs/step: {flops / 1e12:.3f} TF -> "
               f"{flops * sps / 1e12:.1f} TF/s achieved = "

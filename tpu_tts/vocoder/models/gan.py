@@ -120,6 +120,27 @@ class GAN(BaseTTSModel):
             scores, feats = [scores], [feats] if feats is not None else None
         return scores, feats
 
+    def _disc_apply_paired(self, d_params, real, fake, cond=None, rng=None):
+        """ONE discriminator pass over [real; fake] stacked on the batch axis
+        (per-row outputs identical to two passes; every kernel is twice as
+        large and the backward emits half as many small fusions — same
+        attack as Vits._disc_paired on the small-kernel train bound).
+
+        The random-window discriminator keeps two separate passes: its
+        window draws must stay aligned per row between real and fake, and a
+        stacked batch would give the two halves different windows."""
+        if self._disc_needs_cond:
+            s_fake, f_fake = self._disc_apply(d_params, fake, cond, rng)
+            s_real, f_real = self._disc_apply(d_params, real, cond, rng)
+            return s_real, s_fake, f_real, f_fake
+        B = real.shape[0]
+        scores, feats = self._disc_apply(d_params, jnp.concatenate([real, fake], axis=0))
+        s_real = jax.tree.map(lambda s: s[:B], scores)
+        s_fake = jax.tree.map(lambda s: s[B:], scores)
+        f_real = None if feats is None else jax.tree.map(lambda f: f[:B], feats)
+        f_fake = None if feats is None else jax.tree.map(lambda f: f[B:], feats)
+        return s_real, s_fake, f_real, f_fake
+
     def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
         mel = batch["mel_input"]  # [B, T_mel, C]
         y_real = batch["waveform"]  # [B, T, 1]
@@ -133,15 +154,17 @@ class GAN(BaseTTSModel):
         if optimizer_idx == 0:
             # ---- discriminator pass (fake detached) -------------------------
             y_hat_d = jax.lax.stop_gradient(y_hat)
-            scores_fake, _ = self._disc_apply(params["discriminator"], y_hat_d, mel, rng)
-            scores_real, _ = self._disc_apply(params["discriminator"], y_real, mel, rng)
+            scores_real, scores_fake, _, _ = self._disc_apply_paired(
+                params["discriminator"], y_real, y_hat_d, mel, rng
+            )
             losses = discriminator_loss(self.config, scores_fake, scores_real)
             return losses["loss"], losses
 
         # ---- generator pass -------------------------------------------------
         d_params = jax.lax.stop_gradient(params["discriminator"])
-        scores_fake, feats_fake = self._disc_apply(d_params, y_hat, mel, rng)
-        _, feats_real = self._disc_apply(d_params, y_real, mel, rng)
+        _, scores_fake, feats_real, feats_fake = self._disc_apply_paired(
+            d_params, y_real, y_hat, mel, rng
+        )
         y_sub = None
         if self.pqmf is not None:
             y_sub = self.pqmf.analysis(y_real)
