@@ -1,0 +1,115 @@
+"""`/api/tts_stream`: chunked-PCM XTTS streaming over the stdlib server,
+backed by the shared XttsStreamPool (concurrent requests batch into one
+lockstep decode round). No reference counterpart — ref server.py renders the
+whole wav per request; this route sends audio as the pool emits it."""
+
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests.test_xtts import xtts_model  # noqa: F401  (module-scoped fixture)
+
+
+@pytest.fixture(scope="module")
+def xtts_server(xtts_model, tmp_path_factory):
+    import scipy.io.wavfile
+    from http.server import ThreadingHTTPServer
+
+    from tpu_tts.server.server import TTSHandler
+
+    tmp = tmp_path_factory.mktemp("xtts_srv")
+    wav_path = tmp / "speaker.wav"
+    rng = np.random.default_rng(0)
+    scipy.io.wavfile.write(
+        str(wav_path), 22050, (rng.standard_normal(11025) * 8000).astype(np.int16)
+    )
+    xtts_model.bpe.encode = lambda text, lang: [ord(c) % 40 + 1 for c in text][:12]
+
+    class _StubSynth:
+        tts_model = xtts_model
+        output_sample_rate = 24000
+        tts_config = None
+
+    class _Handler(TTSHandler):
+        synthesizer = _StubSynth()
+        _pool = None
+        _pool_lock = threading.Lock()
+        pool_max_streams = 3
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", str(wav_path)
+    srv.shutdown()
+    if _Handler._pool is not None:
+        _Handler._pool.close()
+
+
+def _fetch(url):
+    with urllib.request.urlopen(url, timeout=300) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def test_stream_route_emits_pcm(xtts_server):
+    base, wav_path = xtts_server
+    status, headers, body = _fetch(
+        f"{base}/api/tts_stream?text=hello+world&speaker_wav={wav_path}"
+    )
+    assert status == 200
+    assert headers["X-Audio-Format"] == "pcm_s16le"
+    assert int(headers["X-Sample-Rate"]) == 24000
+    assert len(body) > 0 and len(body) % 2 == 0
+    pcm = np.frombuffer(body, dtype="<i2")
+    assert np.isfinite(pcm.astype(np.float32)).all()
+
+
+def test_stream_route_concurrent_mixed_lengths(xtts_server):
+    """Two concurrent different-length requests must both complete — they
+    share one pool round (same text-length bucket, masked rows)."""
+    base, wav_path = xtts_server
+    results = {}
+
+    def go(key, text):
+        results[key] = _fetch(f"{base}/api/tts_stream?text={text}&speaker_wav={wav_path}")
+
+    threads = [
+        threading.Thread(target=go, args=("a", "hi+there")),
+        threading.Thread(target=go, args=("b", "a+much+longer+sentence")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for key in ("a", "b"):
+        status, _, body = results[key]
+        assert status == 200 and len(body) > 0
+
+
+def test_stream_route_requires_speaker(xtts_server):
+    base, _ = xtts_server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _fetch(f"{base}/api/tts_stream?text=hello")
+    assert e.value.code == 400
+
+
+def test_stream_route_501_for_non_xtts():
+    """A batch-synthesis model (no streaming support) gets a clear 501."""
+    from tpu_tts.server.server import TTSHandler
+
+    sent = {}
+
+    class _H(TTSHandler):
+        def __init__(self):  # bypass BaseHTTPRequestHandler socket setup
+            pass
+
+        def _send(self, code, body, ctype="text/plain"):
+            sent["code"] = code
+
+        class synthesizer:
+            tts_model = object()
+
+    _H()._stream_pcm({"text": "hello"})
+    assert sent["code"] == 501

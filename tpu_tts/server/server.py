@@ -50,6 +50,84 @@ class TTSHandler(BaseHTTPRequestHandler):
     synthesizer = None
     lock = threading.Lock()
     details = {}
+    # lazily-built shared XttsStreamPool: CONCURRENT /api/tts_stream requests
+    # batch into one lockstep decode round (mixed text lengths share a bucket
+    # — tpu_tts/infer/xtts_pool.py), so N clients cost barely more than one.
+    # The blocking /api/tts route keeps the reference's global-lock behavior.
+    _pool = None
+    _pool_lock = threading.Lock()
+    pool_max_streams = 8
+
+    @classmethod
+    def _get_pool(cls, model):
+        with cls._pool_lock:
+            if cls._pool is None:
+                from tpu_tts.infer.xtts_pool import XttsStreamPool
+
+                cls._pool = XttsStreamPool(model, max_streams=cls.pool_max_streams)
+            return cls._pool
+
+    def _resolve_xtts(self):
+        """The loaded TTS model, iff it supports incremental streaming."""
+        from tpu_tts.models.xtts import Xtts
+
+        model = getattr(self.synthesizer, "tts_model", None)
+        return model if isinstance(model, Xtts) else None
+
+    def _stream_pcm(self, q):
+        """`/api/tts_stream`: chunked 16-bit PCM as the pool emits audio —
+        first bytes land after prefill + one chunk, not the full utterance.
+        Streaming has no reference-server counterpart (ref server.py renders
+        the whole wav per request); the response is raw PCM16 frames with
+        the rate in X-Sample-Rate (a WAV container needs a known length)."""
+        text = q.get("text", "")
+        if not text:
+            self._send(400, "missing `text` parameter")
+            return
+        model = self._resolve_xtts()
+        if model is None:
+            self._send(501, "streaming needs an XTTS model (got a batch-synthesis model)")
+            return
+        import numpy as np
+
+        speaker_id = q.get("speaker_id", "")
+        speaker_wav = q.get("speaker_wav", "")
+        if speaker_id and speaker_id in model._bundled_speakers():
+            d = model._bundled_speakers()[speaker_id]
+            cond = np.asarray(d["gpt_cond_latent"], np.float32).reshape(
+                1, -1, int(model.args.gpt_n_model_channels)
+            )
+            spk = np.asarray(d["speaker_embedding"], np.float32).reshape(1, -1)
+        elif speaker_wav:
+            from tpu_tts.audio.numpy_transforms import load_wav
+
+            wav = load_wav(
+                filename=speaker_wav, sample_rate=model.args.input_sample_rate, resample=True
+            )
+            cond, spk = model.get_conditioning_latents(wav, sr=model.args.input_sample_rate)
+        else:
+            self._send(400, "XTTS streaming needs `speaker_id` (bundled) or `speaker_wav` (path)")
+            return
+
+        pool = self._get_pool(model)
+        stream = pool.submit(
+            text=text, language=q.get("language_id", "") or "en",
+            gpt_cond_latent=cond, speaker_embedding=spk,
+        )
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("X-Sample-Rate", str(model.args.output_sample_rate))
+        self.send_header("X-Audio-Format", "pcm_s16le")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        try:
+            for chunk in stream:
+                pcm = (np.clip(np.asarray(chunk, np.float32), -1.0, 1.0) * 32767).astype("<i2").tobytes()
+                if pcm:
+                    self.wfile.write(b"%x\r\n" % len(pcm) + pcm + b"\r\n")
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client hung up mid-stream; the pool round finishes its rows
 
     def _send(self, code, body, ctype="text/plain"):
         if isinstance(body, str):
@@ -93,6 +171,8 @@ class TTSHandler(BaseHTTPRequestHandler):
                     text, q.get("speaker_id", ""), q.get("language_id", ""), q.get("style_wav")
                 )
                 self._send(200, wav, "audio/wav")
+            elif url.path == "/api/tts_stream":
+                self._stream_pcm(q)
             # ---- MaryTTS compatibility layer (ref :212-237) -----------------
             elif url.path == "/locales":
                 self._send(200, "en_US\n")
@@ -157,6 +237,7 @@ def create_server(args):
         vocoder_config=vocoder_config_path or "",
     )
     TTSHandler.synthesizer = synthesizer
+    TTSHandler.pool_max_streams = int(getattr(args, "max_streams", 8) or 8)
     TTSHandler.details = {
         "tts_config": synthesizer.tts_config.to_dict() if synthesizer.tts_config else {},
         "vocoder_config": synthesizer.vocoder_config.to_dict() if getattr(synthesizer, "vocoder_config", None) else None,
@@ -174,6 +255,10 @@ def main(argv=None):
     parser.add_argument("--vocoder_name", type=str, default=None, help="Released vocoder model name.")
     parser.add_argument("--speakers_file_path", type=str, default=None, help="JSON file for multi-speaker model.")
     parser.add_argument("--list_models", action="store_true", help="List released models and exit.")
+    parser.add_argument(
+        "--max_streams", type=int, default=8,
+        help="Concurrent /api/tts_stream requests batched per decode round (XTTS).",
+    )
     parser.add_argument("--host", type=str, default="localhost")
     parser.add_argument("--port", type=int, default=5002)
     parser.add_argument("--use_cuda", type=bool, default=False)
