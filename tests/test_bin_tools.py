@@ -175,6 +175,14 @@ def test_prepare_voxceleb(tmp_path, capsys):
 
     # idempotent: existing CSV short-circuits unless --force
     main([str(tmp_path), "--subsets", "vox1_dev_wav"])
+    # skip-existing still reserves the skipped subset's ids: delete only the
+    # test CSV and re-run both — test ids must continue after dev's, not
+    # restart from 0 (code-review r4 finding)
+    (tmp_path / "vox1_test_wav.csv").unlink()
+    main([str(tmp_path), "--subsets", "vox1_dev_wav", "vox1_test_wav"])
+    with open(tmp_path / "vox1_test_wav.csv") as f:
+        rows3 = list(csv_mod.reader(f, delimiter="\t"))
+    assert rows3[1][2] == "2", f"ids collided after skip: {rows3}"
     # --download is gated in this offline build
     import pytest as _pytest
 

@@ -124,3 +124,27 @@ def test_pool_compaction_evicts_finished_rows(xtts_model):
     for o in outs_long:
         assert o.shape == single.shape
         np.testing.assert_allclose(o, single, atol=2e-3)
+
+
+def test_pool_mid_chunk_budget_matches_single(xtts_model):
+    """A max_tokens that ends MID-chunk must zero the beyond-budget latents
+    BEFORE decoding (like the single-stream max_new_tokens path) — otherwise
+    the conv receptive field leaks decoded-but-discarded tokens into the
+    final emitted samples (code-review r4 finding)."""
+    cond, spk = _cond(xtts_model, 8)
+    tok = np.arange(1, 7, dtype=np.int32)
+    xtts_model.bpe.encode = lambda text, lang: list(tok)
+    ref = np.concatenate(list(xtts_model.inference_stream(
+        "x", "en", gpt_cond_latent=cond, speaker_embedding=spk,
+        stream_chunk_size=8, first_chunk_size=4, max_new_tokens=6, top_k=1,
+    )))
+
+    pool = _pool(xtts_model)  # pool max_new_tokens=20 > the request budget
+    try:
+        it = pool.submit(text_tokens=tok, gpt_cond_latent=cond,
+                         speaker_embedding=spk, max_tokens=6)
+        out = np.concatenate(list(it))
+    finally:
+        pool.close()
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-3)

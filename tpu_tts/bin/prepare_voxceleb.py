@@ -75,7 +75,10 @@ def make_label_csv(input_dir, subset, output_dir, output_file, speaker_id_dict):
                 continue
             speaker_name = root.split(os.path.sep)[-2]
             if speaker_name not in speaker_id_dict:
-                speaker_id_dict[speaker_name] = len(speaker_id_dict)
+                # max+1, not len(): ids folded in from a pre-existing CSV
+                # (skipped subset) may be non-dense
+                nxt = (max(speaker_id_dict.values()) + 1) if speaker_id_dict else 0
+                speaker_id_dict[speaker_name] = nxt
             rows.append((
                 os.path.abspath(wav_file),
                 _wav_n_samples(wav_file),
@@ -91,10 +94,21 @@ def make_label_csv(input_dir, subset, output_dir, output_file, speaker_id_dict):
     return csv_path
 
 
+def _load_ids(csv_path, speaker_id_dict):
+    """Fold an existing CSV's name→id pairs into the shared dict, so a
+    skipped subset still reserves its ids and later subsets in the same
+    invocation don't renumber from 0 (colliding with the existing file)."""
+    with open(csv_path, newline="") as f:
+        for row in list(csv.reader(f, delimiter="\t"))[1:]:
+            speaker_id_dict.setdefault(row[3], int(row[2]))
+
+
 def processor(directory, subset, force_process=False, speaker_id_dict=None):
     """Prepare one subset (ref processor:194, minus the download leg)."""
     subset_csv = os.path.join(directory, subset + ".csv")
     if not force_process and os.path.exists(subset_csv):
+        if speaker_id_dict is not None:
+            _load_ids(subset_csv, speaker_id_dict)
         return subset_csv
     if not os.path.isdir(os.path.join(directory, subset)):
         raise FileNotFoundError(

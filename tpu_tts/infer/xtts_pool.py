@@ -145,27 +145,28 @@ class XttsStreamPool:
         self._worker.join(timeout=30)
 
     # ---------------------------------------------------------------- worker
-    def _chunk_fn(self, n_steps: int):
-        if n_steps not in self._chunk_fns:
+    def _chunk_fn(self, n_steps: int, n_cond: int):
+        key = (n_steps, n_cond)
+        if key not in self._chunk_fns:
             jax, XttsNet, model = self._jax, self._net_cls, self.model
             # donated KV cache: avoids a 128 MB-per-stream copy every chunk
             # (see models/xtts.py chunk_fn)
-            self._chunk_fns[n_steps] = jax.jit(
+            self._chunk_fns[key] = jax.jit(
                 lambda p, cache, pl, code, stop, r, i0, tl: model.net.apply(
                     {"params": p}, cache, pl, code, stop, r, i0,
-                    n_steps, self.temperature, self.top_k, tl,
+                    n_steps, self.temperature, self.top_k, tl, n_cond,
                     method=XttsNet.stream_chunk,
                 ),
                 donate_argnums=(1,),
             )
-        return self._chunk_fns[n_steps]
+        return self._chunk_fns[key]
 
     def _bucket(self, n_tokens: int) -> int:
         """Same grid as the single-stream path (Xtts._bucket_text)."""
+        from tpu_tts.utils.generic_utils import bucket_len
+
         m = self.model
-        grid = m.TEXT_BUCKET
-        cap = m.args.gpt_max_text_tokens + 2
-        return min(max(grid, -(-n_tokens // grid) * grid), max(cap, n_tokens))
+        return bucket_len(n_tokens, m.TEXT_BUCKET, cap=m.args.gpt_max_text_tokens + 2)
 
     def _gather(self, first: _Request):
         """Collect same-BUCKET requests for up to `gather_window_s` — mixed
@@ -237,13 +238,21 @@ class XttsStreamPool:
         while i0 < self.max_new_tokens:
             size = min(self.first_chunk if i0 == 0 else self.chunk, self.max_new_tokens)
             n_steps = min(size, self.max_new_tokens - i0)
-            (cache, code, stopped, rng), (codes, lats, valid) = self._chunk_fn(size)(
+            (cache, code, stopped, rng), (codes, lats, valid) = self._chunk_fn(
+                size, int(cond.shape[1])
+            )(
                 model.params, cache, prompt_len, code, stopped, rng,
                 jnp.int32(i0), text_lengths,
             )
             lats_np = np.asarray(lats, dtype=np.float32)  # [B, size, C]
             valid_full = np.asarray(valid, dtype=np.float32)  # [B, size]
             valid_full[:, n_steps:] = 0.0
+            # per-request budget caps the valid mask BEFORE decoding (not
+            # just the emitted crop): latents past the cap must be zeroed
+            # like any other invalid tail, below
+            for i, req in enumerate(rows):
+                allowed = max(0, budget[id(req)] - emitted[id(req)])
+                valid_full[i, allowed:] = 0.0
             # zero the INVALID tail latents before decoding: the conv
             # decoder's receptive field leaks them into the last valid
             # samples otherwise (the single-stream path zero-pads the tail
@@ -268,8 +277,7 @@ class XttsStreamPool:
             for i, req in enumerate(rows):
                 if done[id(req)]:
                     continue
-                nv = int(valid_np[i].sum())
-                nv = min(nv, budget[id(req)] - emitted[id(req)])  # per-request cap
+                nv = int(valid_np[i].sum())  # already budget-capped above
                 if nv > 0:
                     new_lat = lats_np[i, :nv]
                     h = hist[id(req)]

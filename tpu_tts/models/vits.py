@@ -638,8 +638,9 @@ class Vits(BaseTTSModel):
         if x_lengths is None:
             x_lengths = jnp.full((x.shape[0],), x.shape[1], dtype=jnp.int32)
         x_lengths = jnp.asarray(x_lengths)
-        tb = self.TEXT_BUCKET
-        T_pad = max(tb, -(-x.shape[1] // tb) * tb)
+        from tpu_tts.utils.generic_utils import bucket_len
+
+        T_pad = bucket_len(x.shape[1], self.TEXT_BUCKET)
         if T_pad != x.shape[1]:
             x = jnp.pad(x, ((0, 0), (0, T_pad - x.shape[1])))
         sid = aux_input.get("speaker_ids")

@@ -290,18 +290,24 @@ class XttsNet(nn.Module):
         temperature: float = 0.75,
         top_k: int = 50,
         text_lengths=None,
+        n_cond: int = None,
     ):
         """`chunk_len` sampled decode steps starting at absolute step `i0`
         (traced scalar — one compile serves every chunk). Same per-step math
         and key-threading as `generate_latents`, so a chunked run reproduces
         the one-scan run bit for bit. `text_lengths` [B] rebuilds the
         right-padded prompt's key mask (no extra carry state) so the chunk
-        program also serves a text-length bucket."""
+        program also serves a text-length bucket; `n_cond` is the ACTUAL
+        conditioning-latent count the prefill saw (callers may pass stacked
+        multi-reference latents wider than the configured
+        num_cond_latents — the mask must anchor the text region at the same
+        offset the prefill used)."""
         a = self.a
         key_valid = None
         if text_lengths is not None:
             key_valid = self.gpt.key_valid_mask(
-                a["num_cond_latents"], prompt_len, text_lengths, a["kv_cache_len"]
+                a["num_cond_latents"] if n_cond is None else n_cond,
+                prompt_len, text_lengths, a["kv_cache_len"],
             )
 
         def step(carry, i):
@@ -729,9 +735,10 @@ class Xtts(BaseTTSModel):
         """Right-pad `[B, T]` token ids to the bucket grid; returns
         (padded [B, T_pad], lengths [B]). T_pad is capped at the text
         position-embedding table so long prompts stay in range."""
+        from tpu_tts.utils.generic_utils import bucket_len
+
         B, T = text_tokens.shape
-        cap = self.args.gpt_max_text_tokens + 2
-        T_pad = min(max(self.TEXT_BUCKET, -(-T // self.TEXT_BUCKET) * self.TEXT_BUCKET), max(cap, T))
+        T_pad = bucket_len(T, self.TEXT_BUCKET, cap=self.args.gpt_max_text_tokens + 2)
         padded = jnp.pad(jnp.asarray(text_tokens, jnp.int32), ((0, 0), (0, T_pad - T)))
         lengths = jnp.full((B,), T, dtype=jnp.int32)
         return padded, lengths
@@ -783,8 +790,10 @@ class Xtts(BaseTTSModel):
                     {"params": p}, c, t, tl, method=XttsNet.stream_prefill
                 )
             )
+        n_cond = int(gpt_cond_latent.shape[1])
+
         def chunk_fn(n_steps):
-            key = ("stream_chunk", n_steps, temperature, top_k)
+            key = ("stream_chunk", n_steps, temperature, top_k, n_cond)
             if key not in self._jit:
                 # donate the KV cache: without it every chunk call COPIES the
                 # whole cache (30 layers x 2 x [B,1100,16,64] bf16 = 128 MB
@@ -794,7 +803,7 @@ class Xtts(BaseTTSModel):
                 self._jit[key] = jax.jit(
                     lambda p, cache, pl, code, stop, r, i0, tl: self.net.apply(
                         {"params": p}, cache, pl, code, stop, r, i0,
-                        n_steps, temperature, top_k, tl,
+                        n_steps, temperature, top_k, tl, n_cond,
                         method=XttsNet.stream_chunk,
                     ),
                     donate_argnums=(1,),

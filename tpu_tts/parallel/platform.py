@@ -51,6 +51,18 @@ def maybe_enable_compile_cache() -> None:
     cache_dir = os.environ.get("TPU_TTS_COMPILE_CACHE_DIR", default_compile_cache_dir())
     try:
         os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        # makedirs(exist_ok=True) ignores `mode` for a PRE-EXISTING dir: on a
+        # sticky world-writable /tmp another user can pre-create the
+        # predictable path and later swap cached executables this process
+        # would deserialize. Refuse dirs we don't own or that others can
+        # write (the cache is an optimization — failing closed just means
+        # recompiling).
+        st = os.stat(cache_dir)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            raise PermissionError(
+                f"not owned by uid {os.getuid()} or group/world-writable "
+                f"(uid={st.st_uid}, mode={oct(st.st_mode & 0o777)})"
+            )
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # respect an explicit user setting of the min-compile-time knob
         if "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS" not in os.environ:

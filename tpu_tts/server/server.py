@@ -47,6 +47,11 @@ async function speak() {
 
 
 class TTSHandler(BaseHTTPRequestHandler):
+    # HTTP/1.1 is REQUIRED for the chunked /api/tts_stream response: a 1.0
+    # status line with chunked framing makes strict clients read-until-close
+    # and deliver the hex chunk-size lines as audio bytes (RFC 7230 §3.3.1).
+    # Non-stream routes are unaffected (_send always sets Content-Length).
+    protocol_version = "HTTP/1.1"
     synthesizer = None
     lock = threading.Lock()
     details = {}
@@ -66,6 +71,30 @@ class TTSHandler(BaseHTTPRequestHandler):
 
                 cls._pool = XttsStreamPool(model, max_streams=cls.pool_max_streams)
             return cls._pool
+
+    # speaker_wav → (cond, spk) cache, keyed by (path, mtime): recomputing
+    # the conditioning per request serializes mel+encoder work on the
+    # request path and makes concurrent same-speaker clients miss each
+    # other's 20 ms gather window
+    _cond_cache = {}
+
+    @classmethod
+    def _cond_latents_cached(cls, model, speaker_wav):
+        from tpu_tts.audio.numpy_transforms import load_wav
+
+        key = (speaker_wav, os.path.getmtime(speaker_wav))
+        with cls._pool_lock:
+            if key in cls._cond_cache:
+                return cls._cond_cache[key]
+        wav = load_wav(
+            filename=speaker_wav, sample_rate=model.args.input_sample_rate, resample=True
+        )
+        out = model.get_conditioning_latents(wav, sr=model.args.input_sample_rate)
+        with cls._pool_lock:
+            if len(cls._cond_cache) > 64:  # bound memory for long-lived servers
+                cls._cond_cache.clear()
+            cls._cond_cache[key] = out
+        return out
 
     def _resolve_xtts(self):
         """The loaded TTS model, iff it supports incremental streaming."""
@@ -99,12 +128,7 @@ class TTSHandler(BaseHTTPRequestHandler):
             )
             spk = np.asarray(d["speaker_embedding"], np.float32).reshape(1, -1)
         elif speaker_wav:
-            from tpu_tts.audio.numpy_transforms import load_wav
-
-            wav = load_wav(
-                filename=speaker_wav, sample_rate=model.args.input_sample_rate, resample=True
-            )
-            cond, spk = model.get_conditioning_latents(wav, sr=model.args.input_sample_rate)
+            cond, spk = self._cond_latents_cached(model, speaker_wav)
         else:
             self._send(400, "XTTS streaming needs `speaker_id` (bundled) or `speaker_wav` (path)")
             return
@@ -120,6 +144,10 @@ class TTSHandler(BaseHTTPRequestHandler):
         self.send_header("X-Audio-Format", "pcm_s16le")
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
+        # headers are out: NOTHING below may raise into do_GET's catch-all
+        # (a second status line injected mid-body would be parsed as a chunk
+        # size). On any error, drop the connection without the terminating
+        # 0-chunk — the client sees a truncated chunked stream, not garbage.
         try:
             for chunk in stream:
                 pcm = (np.clip(np.asarray(chunk, np.float32), -1.0, 1.0) * 32767).astype("<i2").tobytes()
@@ -127,7 +155,10 @@ class TTSHandler(BaseHTTPRequestHandler):
                     self.wfile.write(b"%x\r\n" % len(pcm) + pcm + b"\r\n")
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
-            pass  # client hung up mid-stream; the pool round finishes its rows
+            self.close_connection = True  # client hung up; pool round finishes its rows
+        except Exception as e:
+            print(f" > stream error after headers: {e}", flush=True)
+            self.close_connection = True
 
     def _send(self, code, body, ctype="text/plain"):
         if isinstance(body, str):

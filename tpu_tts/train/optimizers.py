@@ -162,6 +162,11 @@ def apply_if_finite_select(
         return updates, ApplyIfFiniteSelectState(count, new_inner)
 
     def update_cond(grads, state, params=None):
+        # NOTE: the skip branch returns zeros_like(grads) — like upstream
+        # optax.apply_if_finite, this assumes the inner update's pytree
+        # structure/dtypes match the gradients' (true for every optimizer
+        # built by get_optimizer; a transform that casts its updates would
+        # need the select variant, whose zeros follow the actual updates)
         isfin = _isfin(grads)
 
         def do_apply(operand):

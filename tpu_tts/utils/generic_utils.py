@@ -53,6 +53,19 @@ def get_experiment_folder_path(root_path: str, model_name: str) -> str:
     return os.path.join(root_path, model_name + "-" + date_str)
 
 
+def bucket_len(n: int, grid: int, cap: int = None) -> int:
+    """Serving text-length bucket: the smallest multiple of `grid` >=
+    max(n, grid), optionally capped at max(cap, n) (e.g. a position-embedding
+    table size). ONE definition shared by Vits.inference, Xtts._bucket_text
+    and XttsStreamPool._bucket — the pool's grouping must stay bit-identical
+    to the single-stream padding or pooled requests compile different shapes
+    than the single-stream path."""
+    b = max(grid, -(-n // grid) * grid)
+    if cap is not None:
+        b = min(b, max(cap, n))
+    return b
+
+
 def count_parameters(params) -> int:
     """Count leaves' sizes of a JAX pytree of parameters."""
     import jax
