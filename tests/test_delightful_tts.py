@@ -99,10 +99,12 @@ def test_delightful_grads_flow_both_partitions():
     params = model.init_params(jax.random.PRNGKey(0))
     batch = _batch(cfg)
 
-    gd = jax.grad(lambda p: model.loss_fn(p, batch, jax.random.PRNGKey(1), 0)[0])(params)
+    # jit: the eager conformer+GAN backward dispatches thousands of ops on
+    # XLA:CPU (this test was the r4 suite's slowest at 255 s)
+    gd = jax.jit(jax.grad(lambda p: model.loss_fn(p, batch, jax.random.PRNGKey(1), 0)[0]))(params)
     d_norm = sum(float(np.abs(x).sum()) for x in jax.tree.leaves(gd["discriminator"]))
     assert d_norm > 0.0
-    gg = jax.grad(lambda p: model.loss_fn(p, batch, jax.random.PRNGKey(1), 1)[0])(params)
+    gg = jax.jit(jax.grad(lambda p: model.loss_fn(p, batch, jax.random.PRNGKey(1), 1)[0]))(params)
     g_norm = sum(float(np.abs(x).sum()) for x in jax.tree.leaves(gg["generator"]))
     assert g_norm > 0.0
     # discriminator grads are zero in the generator pass (stop_gradient)

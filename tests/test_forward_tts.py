@@ -45,9 +45,9 @@ def test_fast_pitch_loss_and_grads():
     model = ForwardTTS(_small(FastPitchConfig))
     params = model.init_params(jax.random.PRNGKey(0))
     batch = _batch(with_pitch=True)
-    (loss, logs), grads = jax.value_and_grad(
+    (loss, logs), grads = jax.jit(jax.value_and_grad(
         lambda p: model.loss_fn(p, batch, jax.random.PRNGKey(1)), has_aux=True
-    )(params)
+    ))(params)
     assert np.isfinite(float(loss)), logs
     assert float(optax.global_norm(grads)) > 0
     assert {"loss_spec", "loss_dur", "loss_pitch", "loss_aligner"} <= set(logs)

@@ -47,9 +47,9 @@ def test_tacotron2_train_loss():
     model = _small_model(_cfg())
     params = model.init_params(jax.random.PRNGKey(0))
     batch = _batch()
-    (loss, logs), grads = jax.value_and_grad(
+    (loss, logs), grads = jax.jit(jax.value_and_grad(
         lambda p: model.loss_fn(p, batch, jax.random.PRNGKey(1)), has_aux=True
-    )(params)
+    ))(params)
     assert np.isfinite(float(loss)), logs
     assert float(optax.global_norm(grads)) > 0
     assert {"decoder_loss", "postnet_loss", "stopnet_loss", "ga_loss"} <= set(logs)
@@ -124,7 +124,7 @@ def test_tacotron2_capacitron():
     assert "capacitron_kl" in logs
     assert abs(float(logs["capacitron_beta"]) - 1.0) < 1e-4
     # beta leaf gets gradient from the Lagrangian term
-    g = jax.grad(lambda p: model.loss_fn(p, _batch(), jax.random.PRNGKey(1))[0])(params)
+    g = jax.jit(jax.grad(lambda p: model.loss_fn(p, _batch(), jax.random.PRNGKey(1))[0]))(params)
     assert float(np.abs(np.asarray(g["capacitron_vae_layer"]["beta"])).sum()) > 0
     # dual optimizer: beta routed to SGD via multi_transform
     import optax

@@ -499,6 +499,23 @@ class ResidualCouplingBlocks(nn.Module):
         return x
 
 
+def paired_disc_apply(disc, d_params, real, fake):
+    """ONE discriminator pass over [real; fake] stacked on the batch axis,
+    split back into per-side (scores_real, scores_fake, feats_real,
+    feats_fake). The batch axis is a parallel dim, so per-row outputs equal
+    two separate passes — but every conv kernel is twice as large and the
+    backward emits half as many fusions, a direct attack on the small-kernel
+    GAN train-step bound (measured +9.9% on the full VITS step, README
+    roofline; shared by Vits and DelightfulTTS)."""
+    B = real.shape[0]
+    scores, feats = disc.apply({"params": d_params}, jnp.concatenate([real, fake], axis=0))
+    s_real = [s[:B] for s in scores]
+    s_fake = [s[B:] for s in scores]
+    f_real = [[f[:B] for f in fl] for fl in feats]
+    f_fake = [[f[B:] for f in fl] for fl in feats]
+    return s_real, s_fake, f_real, f_fake
+
+
 class VitsDiscriminator(nn.Module):
     """MPD (periods) + one scale discriminator (ref discriminator.py:50)."""
 

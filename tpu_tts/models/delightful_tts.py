@@ -579,8 +579,11 @@ class DelightfulTTS(BaseTTSModel):
                 jnp.swapaxes(batch["waveform"], 1, 2), outputs["slice_ids"] * hop, seg_size * hop, pad_short=True
             )
             wav_seg = jnp.swapaxes(wav_seg, 1, 2)
-            scores_fake, _ = self.disc.apply({"params": params["discriminator"]}, y_hat)
-            scores_real, _ = self.disc.apply({"params": params["discriminator"]}, wav_seg)
+            from tpu_tts.layers.vits import paired_disc_apply
+
+            scores_real, scores_fake, _, _ = paired_disc_apply(
+                self.disc, params["discriminator"], wav_seg, y_hat
+            )
             loss = mse_D_loss(scores_fake, scores_real)[0] * cfg.disc_loss_alpha
         # fp32 loss per project invariant
             loss = loss.astype(jnp.float32)
@@ -593,8 +596,14 @@ class DelightfulTTS(BaseTTSModel):
         )
         wav_seg = jnp.swapaxes(wav_seg, 1, 2)
         d_params = jax.lax.stop_gradient(params["discriminator"])
-        scores_fake, feats_fake = self.disc.apply({"params": d_params}, y_hat)
-        _, feats_real = self.disc.apply({"params": d_params}, wav_seg)
+        from tpu_tts.layers.vits import paired_disc_apply
+
+        # fewer/larger kernels (see paired_disc_apply); like Vits, the G-side
+        # pairing adds conv-transpose work over the real half but measured
+        # faster overall on the VITS step (README roofline)
+        _, scores_fake, feats_real, feats_fake = paired_disc_apply(
+            self.disc, d_params, wav_seg, y_hat
+        )
 
         f32 = lambda t: t.astype(jnp.float32)
         T_src = batch["text_input"].shape[1]

@@ -491,22 +491,10 @@ class Vits(BaseTTSModel):
 
     # ---------------------------------------------------------------- losses
     def _disc_paired(self, d_params, real, fake):
-        """ONE discriminator pass over [real; fake] stacked on the batch
-        axis, split back into per-side score/feature lists. The batch axis is
-        a parallel dim, so per-row outputs equal two separate passes — but
-        every conv kernel is twice as large and the backward emits half as
-        many fusions, a direct attack on the small-kernel train-step bound
-        (the 8192-sample segment splits the GAN backward into hundreds of
-        sub-ms kernels; see scripts/profile_vits_train.py, README roofline)."""
-        B = real.shape[0]
-        scores, feats = self.disc.apply(
-            {"params": d_params}, jnp.concatenate([real, fake], axis=0)
-        )
-        s_real = [s[:B] for s in scores]
-        s_fake = [s[B:] for s in scores]
-        f_real = [[f[:B] for f in fl] for fl in feats]
-        f_fake = [[f[B:] for f in fl] for fl in feats]
-        return s_real, s_fake, f_real, f_fake
+        """See layers/vits.py paired_disc_apply (the small-kernel attack)."""
+        from tpu_tts.layers.vits import paired_disc_apply
+
+        return paired_disc_apply(self.disc, d_params, real, fake)
 
     def loss_fn(self, params, batch: Dict, rng, optimizer_idx: int = 0):
         hop = int(np.prod(self.args.upsample_rates_decoder))
