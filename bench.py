@@ -165,8 +165,10 @@ def bench_train_steps():
 
     # throughput-optimal point: per-chip samples/s at the large batch a
     # production run would use (BASELINE.md north star is per-chip
-    # throughput, not fixed-B latency)
-    B_thr = int(os.environ.get("BENCH_TRAIN_BATCH_THROUGHPUT", "64"))
+    # throughput, not fixed-B latency). Measured scaling (bf16, r4 paired-D):
+    # 245 samples/s 25.3% MFU @ B=16 -> 365 / 37.6% @ B=64 -> 442 / 45.6%
+    # @ B=128 (fits in HBM at the bench shapes; B=128 is the knee).
+    B_thr = int(os.environ.get("BENCH_TRAIN_BATCH_THROUGHPUT", "128"))
     if B_thr and B_thr != B and "bf16" in dtypes:
         sps, flops = _train_point(B_thr, True, box)
         _emit(f"vits_gan_train_samples_per_s_b{B_thr}", round(sps * B_thr, 1),
