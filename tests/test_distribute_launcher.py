@@ -32,13 +32,19 @@ WORKER = textwrap.dedent(
 def test_distribute_two_cpu_processes(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env.pop("TPU_TTS_PLATFORM", None)
+    # the spawned workers run `python worker.py` from tmp_path — without the
+    # repo on PYTHONPATH they cannot import the (uninstalled) package; that
+    # ModuleNotFoundError used to be swallowed by the skip guard below
+    # because the TRACEBACK's module path contains "distribute"
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(
         [sys.executable, "-m", "tpu_tts.bin.distribute", "--nproc", "2", "--script", str(script)],
-        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=300, env=env, cwd=repo_root,
     )
-    if r.returncode != 0 and "distributed" in (r.stderr or "").lower():
+    if r.returncode != 0 and "jax.distributed.initialize" in (r.stderr or ""):
         pytest.skip(f"multi-process CPU jax unsupported here: {r.stderr[-300:]}")
     assert r.returncode == 0, r.stderr[-2000:]
     assert (r.stdout + r.stderr).count("WORKER_OK") == 2
