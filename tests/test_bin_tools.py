@@ -183,6 +183,16 @@ def test_prepare_voxceleb(tmp_path, capsys):
     with open(tmp_path / "vox1_test_wav.csv") as f:
         rows3 = list(csv_mod.reader(f, delimiter="\t"))
     assert rows3[1][2] == "2", f"ids collided after skip: {rows3}"
+    # order-independent: rebuild only DEV while TEST's csv exists — the
+    # pre-scan of ALL existing CSVs must keep dev's fresh ids DISJOINT from
+    # test's (dev's old ids went away with its deleted CSV; what matters is
+    # that a joint load of both CSVs never merges distinct speakers)
+    (tmp_path / "vox1_dev_wav.csv").unlink()
+    main([str(tmp_path), "--subsets", "vox1_dev_wav"])
+    with open(tmp_path / "vox1_dev_wav.csv") as f:
+        rows4 = list(csv_mod.reader(f, delimiter="\t"))
+    dev_ids = {r[2] for r in rows4[1:]}
+    assert len(dev_ids) == 2 and "2" not in dev_ids, rows4
     # --download is gated in this offline build
     import pytest as _pytest
 

@@ -143,6 +143,13 @@ def main(argv=None):
             "then re-run on the extracted tree"
         )
     speaker_id_dict = {}
+    # pre-scan EVERY existing subset CSV (not only the requested ones) so a
+    # fresh subset never reuses ids an earlier run assigned — regardless of
+    # processing order within this invocation
+    for subset in SUBSETS:
+        existing = os.path.join(args.directory, subset + ".csv")
+        if os.path.exists(existing) and not (args.force and subset in args.subsets):
+            _load_ids(existing, speaker_id_dict)
     for subset in args.subsets:
         processor(args.directory, subset, args.force, speaker_id_dict)
 

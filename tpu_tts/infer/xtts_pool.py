@@ -168,11 +168,18 @@ class XttsStreamPool:
         m = self.model
         return bucket_len(n_tokens, m.TEXT_BUCKET, cap=m.args.gpt_max_text_tokens + 2)
 
+    @staticmethod
+    def _n_cond(req: _Request) -> int:
+        return int(np.asarray(req.cond).shape[1])
+
     def _gather(self, first: _Request):
-        """Collect same-BUCKET requests for up to `gather_window_s` — mixed
-        true lengths batch together; only the padded bucket must match."""
+        """Collect batchable requests for up to `gather_window_s` — mixed
+        true text lengths batch together; the padded bucket AND the
+        conditioning-latent width must match (rows are concatenated on the
+        batch axis, so a different n_cond cannot share a round)."""
         batch = [first]
         bucket = self._bucket(first.text_tokens.shape[0])
+        n_cond = self._n_cond(first)
         deadline = time.monotonic() + self.gather_window_s
         leftover = []
         while len(batch) < self.max_streams:
@@ -186,10 +193,10 @@ class XttsStreamPool:
             if req is None:
                 self._in.put(None)  # re-signal shutdown after this round
                 break
-            if self._bucket(req.text_tokens.shape[0]) == bucket:
+            if self._bucket(req.text_tokens.shape[0]) == bucket and self._n_cond(req) == n_cond:
                 batch.append(req)
             else:
-                leftover.append(req)  # different bucket → next round
+                leftover.append(req)  # different bucket/width → next round
         for req in leftover:
             self._in.put(req)
         return batch, bucket

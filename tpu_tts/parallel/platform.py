@@ -57,7 +57,11 @@ def maybe_enable_compile_cache() -> None:
         # would deserialize. Refuse dirs we don't own or that others can
         # write (the cache is an optimization — failing closed just means
         # recompiling).
-        st = os.stat(cache_dir)
+        if os.path.islink(cache_dir):
+            # a pre-created symlink would pass the (following) stat check
+            # while pointing writes at an attacker-chosen location
+            raise PermissionError("is a symlink")
+        st = os.lstat(cache_dir)
         if st.st_uid != os.getuid() or (st.st_mode & 0o022):
             raise PermissionError(
                 f"not owned by uid {os.getuid()} or group/world-writable "

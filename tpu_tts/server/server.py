@@ -52,6 +52,10 @@ class TTSHandler(BaseHTTPRequestHandler):
     # and deliver the hex chunk-size lines as audio bytes (RFC 7230 §3.3.1).
     # Non-stream routes are unaffected (_send always sets Content-Length).
     protocol_version = "HTTP/1.1"
+    # HTTP/1.1 keep-alive would otherwise pin one handler thread per idle
+    # persistent connection forever (readline with no timeout); idle
+    # connections are reaped after this many seconds instead
+    timeout = 60
     synthesizer = None
     lock = threading.Lock()
     details = {}
@@ -75,26 +79,39 @@ class TTSHandler(BaseHTTPRequestHandler):
     # speaker_wav → (cond, spk) cache, keyed by (path, mtime): recomputing
     # the conditioning per request serializes mel+encoder work on the
     # request path and makes concurrent same-speaker clients miss each
-    # other's 20 ms gather window
+    # other's 20 ms gather window. In-flight keys hold an Event so a cold
+    # same-speaker burst computes ONCE and the followers wait for it (then
+    # all land in the same pool round).
     _cond_cache = {}
+    _cond_inflight = {}
 
     @classmethod
     def _cond_latents_cached(cls, model, speaker_wav):
         from tpu_tts.audio.numpy_transforms import load_wav
 
         key = (speaker_wav, os.path.getmtime(speaker_wav))
-        with cls._pool_lock:
-            if key in cls._cond_cache:
-                return cls._cond_cache[key]
-        wav = load_wav(
-            filename=speaker_wav, sample_rate=model.args.input_sample_rate, resample=True
-        )
-        out = model.get_conditioning_latents(wav, sr=model.args.input_sample_rate)
-        with cls._pool_lock:
-            if len(cls._cond_cache) > 64:  # bound memory for long-lived servers
-                cls._cond_cache.clear()
-            cls._cond_cache[key] = out
-        return out
+        while True:
+            with cls._pool_lock:
+                if key in cls._cond_cache:
+                    return cls._cond_cache[key]
+                evt = cls._cond_inflight.get(key)
+                if evt is None:
+                    cls._cond_inflight[key] = threading.Event()
+                    break
+            evt.wait(timeout=300)  # follower: wait for the leader's compute
+        try:
+            wav = load_wav(
+                filename=speaker_wav, sample_rate=model.args.input_sample_rate, resample=True
+            )
+            out = model.get_conditioning_latents(wav, sr=model.args.input_sample_rate)
+            with cls._pool_lock:
+                if len(cls._cond_cache) > 64:  # bound memory for long-lived servers
+                    cls._cond_cache.clear()
+                cls._cond_cache[key] = out
+            return out
+        finally:
+            with cls._pool_lock:
+                cls._cond_inflight.pop(key).set()
 
     def _resolve_xtts(self):
         """The loaded TTS model, iff it supports incremental streaming."""
