@@ -130,6 +130,11 @@ class TTSHandler(BaseHTTPRequestHandler):
         if not text:
             self._send(400, "missing `text` parameter")
             return
+        if getattr(self, "request_version", "HTTP/1.1") == "HTTP/1.0":
+            # chunked framing is HTTP/1.1-only: a 1.0 client would read the
+            # hex chunk-size lines as PCM bytes (RFC 7230 §3.3.1)
+            self._send(505, "/api/tts_stream requires an HTTP/1.1 client (chunked response)")
+            return
         model = self._resolve_xtts()
         if model is None:
             self._send(501, "streaming needs an XTTS model (got a batch-synthesis model)")
@@ -138,6 +143,11 @@ class TTSHandler(BaseHTTPRequestHandler):
 
         speaker_id = q.get("speaker_id", "")
         speaker_wav = q.get("speaker_wav", "")
+        if speaker_wav and not os.path.isfile(speaker_wav):
+            # validate BEFORE the cache: a bad path should be a clear 400,
+            # not a FileNotFoundError-turned-500 from the mtime lookup
+            self._send(400, "`speaker_wav` is not a readable file on the server")
+            return
         if speaker_id and speaker_id in model._bundled_speakers():
             d = model._bundled_speakers()[speaker_id]
             cond = np.asarray(d["gpt_cond_latent"], np.float32).reshape(
