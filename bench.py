@@ -203,6 +203,22 @@ def bench_xtts_multistream():
               "audio_s/s", None)
 
 
+def bench_xtts_openloop():
+    """OPEN-LOOP serving (VERDICT r4 #1): Poisson arrivals through the real
+    XttsStreamPool (chunk-boundary admission) — p95 first-chunk latency and
+    delivered audio-s/s at the stated offered load, arrivals NOT aligned to
+    round boundaries."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from xtts_stream_latency import measure_openloop
+
+    m = measure_openloop()
+    _emit("xtts_openloop_offered_rps", m["offered_rps"], "req/s", None)
+    if m["p95_first_chunk_ms"]:
+        _emit("xtts_p95_first_chunk_ms_openloop", m["p95_first_chunk_ms"], "ms",
+              round(200.0 / m["p95_first_chunk_ms"], 3))
+    _emit("xtts_openloop_audio_s_per_s", m["aggregate_audio_s_per_s"], "audio_s/s", None)
+
+
 def _hifigan_flops(a, B: int, T_in: int) -> float:
     """Analytic MAC·2 count of the HiFi-GAN generator at `[B, T_in, C]` input
     (conv_pre + transposed upsamples + MRF stacks + conv_post) — the FLOPs
@@ -356,14 +372,15 @@ def main():
     from tpu_tts.parallel.platform import maybe_enable_compile_cache
     maybe_enable_compile_cache()
 
-    stages = os.environ.get("BENCH_STAGES", "train,xtts,serve,rtf").split(",")
+    stages = os.environ.get("BENCH_STAGES", "train,xtts,serve,openloop,rtf").split(",")
     runners = {
         "train": bench_train_steps,
         "xtts": bench_xtts_first_chunk,
         "serve": bench_xtts_multistream,
+        "openloop": bench_xtts_openloop,
         "rtf": bench_inference_rtf,  # keep LAST: driver parses the last line
     }
-    for name in ("train", "xtts", "serve", "rtf"):
+    for name in ("train", "xtts", "serve", "openloop", "rtf"):
         if name not in stages:
             continue
         try:

@@ -229,8 +229,145 @@ def measure_multistream(batch_sizes=None, iters: int = None) -> dict:
     }
 
 
+def _build_model(dtype_env: str = "bf16"):
+    """Full-size XTTS with random weights on the current accelerator."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_tts.configs.xtts_config import XttsConfig
+    from tpu_tts.models.xtts import Xtts
+
+    model = Xtts(XttsConfig())
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = model.init_params(jax.random.PRNGKey(0))
+    params = jax.device_put(params, jax.devices()[0])
+    if os.environ.get("BENCH_DTYPE", dtype_env) == "bf16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+        )
+    model.params = params
+    return model
+
+
+def measure_openloop(
+    rate: float = None,
+    duration: float = None,
+    model=None,
+    pool_kwargs: dict = None,
+    n_text: int = None,
+    utter_tokens: int = None,
+    warmup_frac: float = 0.25,
+    seed: int = 0,
+) -> dict:
+    """OPEN-LOOP serving benchmark (VERDICT r4 #1): Poisson arrivals through
+    the real `XttsStreamPool` — requests land at arbitrary times, NOT aligned
+    to round boundaries, and join live rounds via chunk-boundary admission.
+    Reports p50/p95 first-chunk latency and aggregate delivered audio-s/s at
+    the stated offered load. The reference serves arrivals one at a time
+    behind a global lock (ref stream_generator.py:930, server/server.py:188);
+    this is the like-for-like traffic shape that serving claim lives under.
+
+    Requests submitted during the first `warmup_frac` of the run are excluded
+    from the latency stats (they pay one-time XLA compiles of the batch-size
+    ladder; the persistent compile cache absorbs them across runs)."""
+    import threading
+
+    from tpu_tts.infer.xtts_pool import XttsStreamPool
+
+    if model is None:
+        from tpu_tts.parallel import maybe_force_platform
+
+        maybe_force_platform()
+        from tpu_tts.parallel.platform import maybe_enable_compile_cache
+
+        maybe_enable_compile_cache()
+        t0 = time.perf_counter()
+        model = _build_model()
+        print(f"[openloop] init {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    rate = rate or float(os.environ.get("LAT_RATE", "4"))
+    duration = duration or float(os.environ.get("LAT_DURATION", "30"))
+    n_text = n_text or int(os.environ.get("LAT_TEXT_TOKENS", "30"))
+    utter_tokens = utter_tokens or int(os.environ.get("LAT_UTTER_TOKENS", "120"))
+    a = model.args
+    sr = a.output_sample_rate
+    rng = np.random.default_rng(seed)
+    pool = XttsStreamPool(model, **{
+        "max_streams": int(os.environ.get("LAT_POOL_STREAMS", "16")),
+        "stream_chunk_size": int(os.environ.get("LAT_CHUNK", "20")),
+        "max_new_tokens": utter_tokens,
+        **(pool_kwargs or {}),
+    })
+
+    records = []
+    rec_lock = threading.Lock()
+    threads = []
+
+    def consume(rec, it):
+        samples = 0
+        try:
+            for i, w in enumerate(it):
+                if i == 0:
+                    rec["t_first"] = time.perf_counter()
+                samples += len(w)
+        finally:
+            rec["t_done"] = time.perf_counter()
+            rec["samples"] = samples
+
+    t_start = time.perf_counter()
+    t_next = t_start
+    while True:
+        now = time.perf_counter()
+        if now - t_start >= duration:
+            break
+        if now < t_next:
+            time.sleep(min(t_next - now, 0.01))
+            continue
+        t_next += rng.exponential(1.0 / rate)
+        hi = min(200, int(a.gpt_number_text_tokens) - 1)
+        tokens = rng.integers(1, hi, (int(rng.integers(max(1, n_text // 2), n_text + 1)),))
+        cond = rng.standard_normal((1, a.num_cond_latents, a.gpt_n_model_channels)).astype(np.float32) * 0.02
+        spk = rng.standard_normal((1, a.d_vector_dim)).astype(np.float32) * 0.1
+        rec = {"t_submit": time.perf_counter()}
+        it = pool.submit(text_tokens=tokens.astype(np.int32), gpt_cond_latent=cond,
+                         speaker_embedding=spk)
+        th = threading.Thread(target=consume, args=(rec, it))
+        th.start()
+        with rec_lock:
+            records.append(rec)
+            threads.append(th)
+    for th in threads:
+        th.join(timeout=600)
+    pool.close()
+
+    t_warm = t_start + warmup_frac * duration
+    meas = [r for r in records if r["t_submit"] >= t_warm and "t_first" in r]
+    firsts = sorted((r["t_first"] - r["t_submit"]) * 1e3 for r in meas)
+    audio_s = sum(r.get("samples", 0) for r in meas) / sr
+    span = max(r["t_done"] for r in meas) - min(r["t_submit"] for r in meas) if meas else 1.0
+    pct = lambda p: round(float(firsts[min(len(firsts) - 1, int(p * len(firsts)))]), 1) if firsts else None
+    out = {
+        "offered_rps": rate,
+        "duration_s": duration,
+        "utter_tokens": utter_tokens,
+        "n_requests": len(records),
+        "n_measured": len(meas),
+        "p50_first_chunk_ms": pct(0.50),
+        "p95_first_chunk_ms": pct(0.95),
+        "max_first_chunk_ms": round(firsts[-1], 1) if firsts else None,
+        "aggregate_audio_s_per_s": round(audio_s / span, 1),
+        "rounds_served": pool.rounds_served,
+        "admissions": pool.admissions,
+        "reference_target_ms": 200,
+    }
+    print(f"[openloop] {out}", file=sys.stderr, flush=True)
+    return out
+
+
 def main():
-    if os.environ.get("LAT_MULTI"):
+    if os.environ.get("LAT_OPENLOOP"):
+        print(json.dumps(measure_openloop()))
+    elif os.environ.get("LAT_MULTI"):
         print(json.dumps(measure_multistream()))
     else:
         print(json.dumps(measure()))

@@ -33,16 +33,20 @@ def xtts_server(xtts_model, tmp_path_factory):
         output_sample_rate = 24000
         tts_config = None
 
+    from tpu_tts.infer.xtts_pool import XttsStreamPool
+
     class _Handler(TTSHandler):
         synthesizer = _StubSynth()
-        _pool = None
+        # pre-built pool with a wide gather window so concurrent test
+        # requests deterministically land in one round
+        _pool = XttsStreamPool(xtts_model, max_streams=3, gather_window_s=0.5)
         _pool_lock = threading.Lock()
         pool_max_streams = 3
 
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}", str(wav_path)
+    yield f"http://127.0.0.1:{srv.server_address[1]}", str(wav_path), _Handler
     srv.shutdown()
     if _Handler._pool is not None:
         _Handler._pool.close()
@@ -54,7 +58,7 @@ def _fetch(url):
 
 
 def test_stream_route_emits_pcm(xtts_server):
-    base, wav_path = xtts_server
+    base, wav_path, _ = xtts_server
     status, headers, body = _fetch(
         f"{base}/api/tts_stream?text=hello+world&speaker_wav={wav_path}"
     )
@@ -67,9 +71,13 @@ def test_stream_route_emits_pcm(xtts_server):
 
 
 def test_stream_route_concurrent_mixed_lengths(xtts_server):
-    """Two concurrent different-length requests must both complete — they
-    share one pool round (same text-length bucket, masked rows)."""
-    base, wav_path = xtts_server
+    """Two concurrent different-length requests must BATCH — either gathered
+    into one round or admitted into the live one (VERDICT r4 #7: completing
+    is not enough; a scheduler serving them serially would pass a
+    completion-only check)."""
+    base, wav_path, handler = xtts_server
+    pool = handler._pool
+    rounds0, adm0 = pool.rounds_served, pool.admissions
     results = {}
 
     def go(key, text):
@@ -86,10 +94,15 @@ def test_stream_route_concurrent_mixed_lengths(xtts_server):
     for key in ("a", "b"):
         status, _, body = results[key]
         assert status == 200 and len(body) > 0
+    shared = (pool.rounds_served - rounds0 == 1) or (pool.admissions - adm0 >= 1)
+    assert shared, (
+        f"requests were served in {pool.rounds_served - rounds0} separate rounds "
+        f"with {pool.admissions - adm0} admissions — batching regressed"
+    )
 
 
 def test_stream_route_requires_speaker(xtts_server):
-    base, _ = xtts_server
+    base, _, _ = xtts_server
     with pytest.raises(urllib.error.HTTPError) as e:
         _fetch(f"{base}/api/tts_stream?text=hello")
     assert e.value.code == 400

@@ -1,47 +1,68 @@
-"""Multi-stream XTTS streaming serving — lockstep batched decoding.
+"""Multi-stream XTTS streaming serving — continuous batched decoding.
 
 The reference serves XTTS streams one at a time (`inference_stream`,
-ref xtts.py:611). On TPU the GPT decode step at B=1 is weight-streaming
-bound, so B concurrent streams cost barely more than one: `XttsStreamPool`
-batches up to `max_streams` requests on the leading axis and runs them
-through the SAME three compiled programs the single-stream path uses
-(stream_prefill / stream_chunk / decode_latents), yielding audio to every
-caller after each chunk. Measured on v5e (scripts/xtts_stream_latency.py
-multistream mode): batching multiplies aggregate audio-s/s near-linearly
-until the first chunk crosses the 200 ms target.
+ref xtts.py:611, behind the server's global lock, ref server/server.py:188).
+On TPU the GPT decode step at B=1 is weight-streaming bound, so B concurrent
+streams cost barely more than one: `XttsStreamPool` batches requests on the
+leading axis and runs them through the SAME compiled programs the
+single-stream path uses (stream_prefill / stream_chunk / decode_latents),
+yielding audio to every caller after each chunk.
 
-Batching rules:
-- Requests whose text-token counts fall in the SAME length bucket
-  (`Xtts.TEXT_BUCKET`-grid, matching the single-stream path) batch together:
-  rows are right-padded to the bucket and a key-side attention mask hides
-  the pad rows (models/xtts.py stream_prefill), so mixed-length requests
-  share one compiled program set. A gather window collects same-bucket
-  requests before launching a round.
-- A round runs until every stream in it stops. Rows that stop early ride
-  along until enough have stopped, then the round COMPACTS: live rows are
-  gathered into the next power-of-two batch (cache rows included) so the
-  remaining streams stop paying for dead ones. Compaction needs one
-  compiled chunk-program per (chunk size, batch size) pair — power-of-two
-  steps bound that at log2(max_streams) programs per chunk size, warmed
-  once and shared via the persistent compile cache.
+Serving model (r5 — open-loop continuous batching):
+- A round starts from the oldest queued request plus everything compatible
+  gathered in a short window, padded up to a power-of-two batch.
+- Requests keep arriving DURING a round: at every chunk boundary the pool
+  admits compatible queued requests into the live batch — newcomers are
+  prefilled, their KV rows spliced into free (finished/padding) slots, the
+  batch grown to the next power of two when full. A spliced row carries
+  `audio_start = i0`: its audio positions are relative to its own start
+  while cache writes share the round's absolute index, so the batch keeps
+  one contiguous time-major cache write per step (models/xtts.py
+  stream_chunk). A request therefore waits at most one chunk (~tens of ms),
+  not a whole round.
+- Compatibility: same text-length bucket (`Xtts.TEXT_BUCKET` grid — rows are
+  right-padded and key-masked) and conditioning width ≤ the round's width
+  grid (`num_cond_latents` multiples — rows are right-padded on the latent
+  axis and masked via `cond_lengths`, so single- and multi-reference
+  speakers batch together). Incompatible requests wait for the next round; a
+  request deferred `max_deferrals` times seeds the next round itself, so
+  minority-bucket traffic cannot starve.
+- Audio emission is PER-ROW PHASE-ALIGNED: each row buffers its valid GPT
+  latents and emits in its own [first_chunk, chunk, chunk, ...] cadence from
+  its own start, decoded with the same `overlap_latents` left-context scheme
+  the single-stream path uses. A row admitted mid-round therefore reproduces
+  its solo `inference_stream` output exactly (greedy: bit for bit) — chunk
+  boundaries, overlap context, and tail padding all match.
+- Rows that finish free their slots for admission; with nothing waiting, the
+  round COMPACTS live rows into half-size power-of-two batches so remaining
+  streams stop paying for dead ones. Batch sizes are powers of two
+  throughout, bounding the compiled programs at log2(max batch) per chunk
+  size, warmed once and shared via the persistent compile cache.
 
 With `top_k=1` (greedy) the sampled codes are batch-size invariant, so a
 pooled stream reproduces the single-stream output bit for bit even across
-compactions — tested in tests/test_xtts_pool.py. With sampling (top_k>1)
-streams stay correct draws but are not bitwise-reproducible against an
-uncompacted run (the batch PRNG shape changes at a compaction boundary).
+admissions and compactions — tested in tests/test_xtts_pool.py. With
+sampling (top_k>1) streams stay correct draws but are not bitwise-
+reproducible against a solo run (the shared batch PRNG differs).
 """
 
 import queue
 import threading
 import time
-from typing import Iterator, Optional
+from typing import Iterator, List, Optional
 
 import numpy as np
 
 
+def _pow2_ceil(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 class _Request:
-    __slots__ = ("text_tokens", "cond", "spk", "max_tokens", "out")
+    __slots__ = ("text_tokens", "cond", "spk", "max_tokens", "out", "deferrals", "t_submit")
 
     def __init__(self, text_tokens, cond, spk, max_tokens=None):
         self.text_tokens = text_tokens  # np [T]
@@ -49,6 +70,8 @@ class _Request:
         self.spk = spk  # np/jnp [1, d]
         self.max_tokens = max_tokens  # per-request decode budget (None = pool default)
         self.out: "queue.Queue" = queue.Queue()
+        self.deferrals = 0  # rounds started without this request (starvation guard)
+        self.t_submit = time.monotonic()
 
 
 class XttsStreamPool:
@@ -65,6 +88,8 @@ class XttsStreamPool:
         gather_window_s: float = 0.02,
         seed: int = 0,
         compact: bool = True,
+        admit_mid_round: bool = True,
+        max_deferrals: int = 2,
     ):
         import jax
 
@@ -81,28 +106,58 @@ class XttsStreamPool:
         self.gather_window_s = float(gather_window_s)
         self.seed = int(seed)
         self.compact = bool(compact)
+        self.admit_mid_round = bool(admit_mid_round)
+        self.max_deferrals = int(max_deferrals)
+        # observability: tests pin the batching invariant on these (a serial
+        # fallback would show rounds_served == n_requests, admissions == 0)
+        self.rounds_served = 0
+        self.admissions = 0
         self._jax = jax
         self._net_cls = XttsNet
         self._pf = jax.jit(
-            lambda p, c, t, tl: model.net.apply(
-                {"params": p}, c, t, tl, method=XttsNet.stream_prefill
+            lambda p, c, t, tl, cl: model.net.apply(
+                {"params": p}, c, t, tl, cl, method=XttsNet.stream_prefill
             )
         )
         self._dec = jax.jit(
             lambda p, l, s: model.net.apply({"params": p}, l, s, method=XttsNet.decode_latents)
         )
-        # row-gather for compaction: jit handles the per-(B_old,B_new) shapes
+        # row-gather for compaction/growth: jit handles the (B_old, B_new)
+        # shapes; no donation — the gathered cache has a different batch
+        # size, so XLA could not reuse the buffer anyway (it would just warn)
         self._gather_rows = jax.jit(
-            lambda cache, code, stop, tl, spk, idx: (
+            lambda cache, code, stop, tl, cl, ast, spk, idx: (
                 jax.tree.map(lambda a: jnp_take(a, idx, 1), cache),
-                code[idx], stop[idx], tl[idx], spk[idx],
+                code[idx], stop[idx], tl[idx], cl[idx], ast[idx], spk[idx],
             ),
-            # no donation: the gathered cache is SMALLER than the input, so
-            # XLA could not reuse the buffer anyway (it would just warn)
         )
+
+        # row-splice for admission: scatter the newcomers' prefilled KV rows
+        # (first k rows of their power-of-two prefill batch) into the chosen
+        # slots of the live round's cache. The live cache is donated — the
+        # splice updates k batch columns in place instead of copying the
+        # whole (B x 128 MB) buffer.
+        def _splice(cache, ncache, code, ncode, stop, tl, ntl, cl, ncl,
+                    ast, spk, nspk, slots, i0):
+            k = slots.shape[0]
+            spliced = jax.tree.map(
+                lambda a, n: a.at[:, slots].set(n[:, :k]), cache, ncache
+            )
+            return (
+                spliced,
+                code.at[slots].set(ncode[:k]),
+                stop.at[slots].set(False),
+                tl.at[slots].set(ntl[:k]),
+                cl.at[slots].set(ncl[:k]),
+                ast.at[slots].set(i0),
+                spk.at[slots].set(nspk[:k]),
+            )
+
+        self._splice = jax.jit(_splice, donate_argnums=(0,))
         self._chunk_fns = {}
         self._in: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
+        self._stop = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -118,8 +173,8 @@ class XttsStreamPool:
     ) -> Iterator[np.ndarray]:
         """Enqueue one stream; returns an iterator of waveform chunks.
         `max_tokens` caps THIS request's decode budget below the pool's
-        `max_new_tokens` — the row is evicted (compaction) once it hits the
-        cap, so one short request doesn't ride a long round to the end."""
+        `max_new_tokens` — the row frees its slot once it hits the cap, so
+        one short request doesn't ride a long round to the end."""
         if self._closed:
             raise RuntimeError("pool is closed")
         if text_tokens is None:
@@ -152,167 +207,341 @@ class XttsStreamPool:
             # donated KV cache: avoids a 128 MB-per-stream copy every chunk
             # (see models/xtts.py chunk_fn)
             self._chunk_fns[key] = jax.jit(
-                lambda p, cache, pl, code, stop, r, i0, tl: model.net.apply(
+                lambda p, cache, pl, code, stop, r, i0, tl, cl, ast: model.net.apply(
                     {"params": p}, cache, pl, code, stop, r, i0,
-                    n_steps, self.temperature, self.top_k, tl, n_cond,
+                    n_steps, self.temperature, self.top_k, tl, n_cond, cl, ast,
                     method=XttsNet.stream_chunk,
                 ),
                 donate_argnums=(1,),
             )
         return self._chunk_fns[key]
 
-    def _bucket(self, n_tokens: int) -> int:
+    def _bucket(self, req: _Request) -> int:
         """Same grid as the single-stream path (Xtts._bucket_text)."""
         from tpu_tts.utils.generic_utils import bucket_len
 
         m = self.model
-        return bucket_len(n_tokens, m.TEXT_BUCKET, cap=m.args.gpt_max_text_tokens + 2)
+        return bucket_len(req.text_tokens.shape[0], m.TEXT_BUCKET,
+                          cap=m.args.gpt_max_text_tokens + 2)
 
-    @staticmethod
-    def _n_cond(req: _Request) -> int:
-        return int(np.asarray(req.cond).shape[1])
+    def _width(self, req: _Request) -> int:
+        """Conditioning width, bucketed to the model's latent-count grid
+        (multi-reference speakers stack k x num_cond_latents latents,
+        ref xtts.py:326 get_conditioning_latents)."""
+        from tpu_tts.utils.generic_utils import bucket_len
 
-    def _gather(self, first: _Request):
-        """Collect batchable requests for up to `gather_window_s` — mixed
-        true text lengths batch together; the padded bucket AND the
-        conditioning-latent width must match (rows are concatenated on the
-        batch axis, so a different n_cond cannot share a round)."""
-        batch = [first]
-        bucket = self._bucket(first.text_tokens.shape[0])
-        n_cond = self._n_cond(first)
-        deadline = time.monotonic() + self.gather_window_s
-        leftover = []
-        while len(batch) < self.max_streams:
-            timeout = deadline - time.monotonic()
-            if timeout <= 0:
-                break
+        w0 = int(self.model.args.num_cond_latents)
+        return bucket_len(int(np.asarray(req.cond).shape[1]), w0)
+
+    def _budget(self, req: _Request) -> int:
+        return min(req.max_tokens or self.max_new_tokens, self.max_new_tokens)
+
+    # ------------------------------------------------------------- main loop
+    def _drain(self, pending: List[_Request], timeout: float = 0.0):
+        """Move queued arrivals into `pending`; flips `_stop` on shutdown."""
+        deadline = time.monotonic() + timeout
+        while True:
+            t = deadline - time.monotonic()
             try:
-                req = self._in.get(timeout=timeout)
+                req = self._in.get(timeout=t) if t > 0 else self._in.get_nowait()
             except queue.Empty:
-                break
+                return
             if req is None:
-                self._in.put(None)  # re-signal shutdown after this round
-                break
-            if self._bucket(req.text_tokens.shape[0]) == bucket and self._n_cond(req) == n_cond:
-                batch.append(req)
-            else:
-                leftover.append(req)  # different bucket/width → next round
-        for req in leftover:
-            self._in.put(req)
-        return batch, bucket
+                self._stop = True
+                return
+            pending.append(req)
+
+    def _select_round(self, pending: List[_Request]):
+        """Pick the next round's batch: the oldest request — or a starved one
+        past `max_deferrals` — seeds it, joined by every same-bucket request
+        (the round's cond width is the max width bucket among them)."""
+        seed = next((r for r in pending if r.deferrals >= self.max_deferrals), pending[0])
+        bucket = self._bucket(seed)
+        batch = [seed] + [
+            r for r in pending if r is not seed and self._bucket(r) == bucket
+        ][: self.max_streams - 1]
+        for r in pending:
+            if r not in batch:
+                r.deferrals += 1
+        return [r for r in pending if r not in batch], batch, bucket
 
     def _run(self):
-        jax = self._jax
         import jax.numpy as jnp
 
+        pending: List[_Request] = []
         while True:
-            first = self._in.get()
-            if first is None:
+            if self._stop:
+                for r in pending:
+                    r.out.put(None)
                 return
-            batch, bucket = self._gather(first)
-            try:
-                self._serve_round(batch, bucket, jnp)
-            except Exception as e:  # surface the error to every caller
-                for req in batch:
-                    req.out.put(e)
-                    req.out.put(None)
+            if not pending:
+                req = self._in.get()  # block until there is work
+                if req is None:
+                    self._stop = True
+                    continue
+                pending.append(req)
+            self._drain(pending, timeout=self.gather_window_s)
+            if not pending:
+                continue
+            pending, batch, bucket = self._select_round(pending)
+            self._serve_round(batch, bucket, pending, jnp)
 
-    def _serve_round(self, batch, bucket, jnp):
+    # ------------------------------------------------------------- one round
+    def _prefill_batch(self, reqs: List[_Request], B: int, bucket: int, W: int, jnp):
+        """Right-pad `reqs` to a [B, bucket] text / [B, W] cond batch
+        (padding slots replicate row 0 — they are masked and marked done)
+        and run the shared prefill program. Returns device state."""
         model = self.model
-        B = len(batch)
-        text = jnp.asarray(np.stack([
-            np.pad(r.text_tokens, (0, bucket - r.text_tokens.shape[0])) for r in batch
-        ]))
-        text_lengths = jnp.asarray(
-            np.array([r.text_tokens.shape[0] for r in batch], dtype=np.int32)
+        n = len(reqs)
+        pad = lambda r: np.pad(r.text_tokens, (0, bucket - r.text_tokens.shape[0]))
+        text = np.stack([pad(reqs[i if i < n else 0]) for i in range(B)])
+        text_lengths = np.array(
+            [reqs[i if i < n else 0].text_tokens.shape[0] for i in range(B)], dtype=np.int32
         )
-        cond = jnp.concatenate([jnp.asarray(r.cond) for r in batch], axis=0)
-        spk = jnp.concatenate([jnp.asarray(r.spk) for r in batch], axis=0)
+        conds, cond_lengths, spks = [], [], []
+        for i in range(B):
+            r = reqs[i if i < n else 0]
+            c = np.asarray(r.cond, dtype=np.float32)[0]  # [w, C]
+            cond_lengths.append(c.shape[0])
+            conds.append(np.pad(c, ((0, W - c.shape[0]), (0, 0))))
+            spks.append(np.asarray(r.spk, dtype=np.float32).reshape(-1))
+        cond = jnp.asarray(np.stack(conds))
+        spk = jnp.asarray(np.stack(spks))
+        text_lengths = jnp.asarray(text_lengths)
+        cond_lengths = jnp.asarray(np.array(cond_lengths, dtype=np.int32))
+        cache, prompt_len, code = self._pf(
+            model.params, cond, jnp.asarray(text), text_lengths, cond_lengths
+        )
+        return cache, prompt_len, code, text_lengths, cond_lengths, spk
 
-        cache, prompt_len, code = self._pf(model.params, cond, text, text_lengths)
-        stopped = jnp.zeros((B,), dtype=bool)
+    def _serve_round(self, batch, bucket, pending, jnp):
+        self.rounds_served += 1
+        all_reqs = list(batch)
+        closed = set()
+
+        def close(req, err=None):
+            if id(req) not in closed:
+                closed.add(id(req))
+                if err is not None:
+                    req.out.put(err)
+                req.out.put(None)
+
+        try:
+            self._serve_round_inner(batch, bucket, pending, jnp, all_reqs, close)
+        except Exception as e:  # surface the error to every caller in the round
+            for req in all_reqs:
+                close(req, err=e)
+
+    def _serve_round_inner(self, batch, bucket, pending, jnp, all_reqs, close):
+        model = self.model
+        W = max(self._width(r) for r in batch)
+        B = _pow2_ceil(len(batch))
+        slots: List[Optional[_Request]] = list(batch) + [None] * (B - len(batch))
+        cache, prompt_len, code, text_lengths, cond_lengths, spk = self._prefill_batch(
+            batch, B, bucket, W, jnp
+        )
+        stopped = jnp.asarray(np.array([s is None for s in slots]))
+        audio_start = jnp.zeros((B,), dtype=jnp.int32)
         rng = self._jax.random.PRNGKey(self.seed)
-        # row → request mapping; compaction shrinks `rows` with the batch
-        rows = list(batch)
-        done = {id(r): False for r in batch}
-        hist = {id(r): None for r in batch}  # per-stream latent history (np [n, C])
-        emitted = {id(r): 0 for r in batch}  # decoded tokens per stream
-        budget = {
-            id(r): min(r.max_tokens or self.max_new_tokens, self.max_new_tokens)
-            for r in batch
-        }
+        # capacity of the shared absolute timeline: admission must not
+        # truncate a newcomer's budget, so a request only joins while its
+        # full budget still fits (audio positions are per-row RELATIVE, so
+        # only the cache length binds, not the position-embedding table)
+        cache_cap = int(model.args.kv_cache_len) - (W + bucket)
+
+        # host-side per-request bookkeeping
+        done, hist, eptr, emitted, budget, first_emit = {}, {}, {}, {}, {}, {}
+
+        def track(req):
+            all_reqs.append(req)
+            done[id(req)] = False
+            hist[id(req)] = None  # np [n_valid, C] — valid latents, in order
+            eptr[id(req)] = 0  # latents emitted so far
+            emitted[id(req)] = 0  # decoded valid tokens so far
+            budget[id(req)] = self._budget(req)
+            first_emit[id(req)] = True  # next emission is this row's first chunk
+
+        for r in batch:
+            track(r)
+
         i0 = 0
-        while i0 < self.max_new_tokens:
-            size = min(self.first_chunk if i0 == 0 else self.chunk, self.max_new_tokens)
-            n_steps = min(size, self.max_new_tokens - i0)
-            (cache, code, stopped, rng), (codes, lats, valid) = self._chunk_fn(
-                size, int(cond.shape[1])
-            )(
+        while True:
+            # ---- admission: splice compatible queued requests into free slots
+            if self.admit_mid_round and not self._stop:
+                self._drain(pending)
+                (cache, code, stopped, text_lengths, cond_lengths, audio_start,
+                 spk, slots) = self._admit(
+                    pending, slots, bucket, W, i0, cache_cap,
+                    cache, code, stopped, text_lengths, cond_lengths, audio_start,
+                    spk, track, done, jnp,
+                )
+            live = [s for s in slots if s is not None and not done[id(s)]]
+            if not live:
+                break
+            size = self.first_chunk if i0 == 0 else self.chunk
+            if i0 + size > cache_cap:
+                break  # shared timeline exhausted (admission guard makes this rare)
+            (cache, code, stopped, rng), (codes, lats, valid) = self._chunk_fn(size, W)(
                 model.params, cache, prompt_len, code, stopped, rng,
-                jnp.int32(i0), text_lengths,
+                jnp.int32(i0), text_lengths, cond_lengths, audio_start,
             )
             lats_np = np.asarray(lats, dtype=np.float32)  # [B, size, C]
             valid_full = np.asarray(valid, dtype=np.float32)  # [B, size]
-            valid_full[:, n_steps:] = 0.0
-            # per-request budget caps the valid mask BEFORE decoding (not
-            # just the emitted crop): latents past the cap must be zeroed
-            # like any other invalid tail, below
-            for i, req in enumerate(rows):
+            stopped_np = np.asarray(stopped)
+            newly_done = []
+            for i, req in enumerate(slots):
+                if req is None or done[id(req)]:
+                    continue
+                # per-request budget caps the valid mask BEFORE buffering:
+                # latents past the cap never reach a decode call (their conv
+                # receptive field would leak into the valid samples)
                 allowed = max(0, budget[id(req)] - emitted[id(req)])
                 valid_full[i, allowed:] = 0.0
-            # zero the INVALID tail latents before decoding: the conv
-            # decoder's receptive field leaks them into the last valid
-            # samples otherwise (the single-stream path zero-pads the tail
-            # chunk the same way — models/xtts.py inference_stream)
-            lats_np = lats_np * valid_full[:, :, None]
-            valid_np = valid_full[:, :n_steps] > 0
-            # fixed decode shape: 2 programs per batch size (first / steady) —
-            # per-stream crop happens on host
-            if i0 == 0:
-                chunk_lat, lead_rows = lats_np, [0] * len(rows)
-            else:
-                ctxs = []
-                for r in rows:
-                    h = hist[id(r)]
-                    if h is None or h.shape[0] < self.overlap:
-                        h = np.zeros((self.overlap, lats_np.shape[2]), np.float32)
-                    ctxs.append(h[-self.overlap :])
-                chunk_lat = np.concatenate([np.stack(ctxs), lats_np], axis=1)
-                lead_rows = [model._n_samples(self.overlap)] * len(rows)
-            wav = np.asarray(self._dec(model.params, jnp.asarray(chunk_lat), spk))
-            stopped_np = np.asarray(stopped)
-            for i, req in enumerate(rows):
-                if done[id(req)]:
-                    continue
-                nv = int(valid_np[i].sum())  # already budget-capped above
+                nv = int((valid_full[i] > 0).sum())
                 if nv > 0:
                     new_lat = lats_np[i, :nv]
                     h = hist[id(req)]
-                    hist[id(req)] = new_lat if h is None else np.concatenate([h, new_lat], axis=0)
+                    hist[id(req)] = new_lat if h is None else np.concatenate([h, new_lat])
                     emitted[id(req)] += nv
-                    req.out.put(wav[i, lead_rows[i] : lead_rows[i] + model._n_samples(nv), 0])
-                if nv < n_steps or bool(stopped_np[i]) or emitted[id(req)] >= budget[id(req)]:
+                if nv < size or bool(stopped_np[i]) or emitted[id(req)] >= budget[id(req)]:
                     done[id(req)] = True
-                    req.out.put(None)
-            live_idx = [i for i, r in enumerate(rows) if not done[id(r)]]
-            if not live_idx:
-                break
+                    newly_done.append(req)
+            self._emit(slots, done, hist, eptr, first_emit, spk, jnp)
+            for req in newly_done:
+                close(req)  # tail (if any) was just emitted above
             i0 += size
-            if self.compact and len(rows) > 1 and len(live_idx) <= len(rows) // 2:
-                newB = len(rows) // 2
+            live_idx = [i for i, s in enumerate(slots) if s is not None and not done[id(s)]]
+            if not live_idx:
+                if self.admit_mid_round and not self._stop and (pending or not self._in.empty()):
+                    continue  # the round stays open for same-bucket admission
+                break
+            # ---- compaction: drop dead rows once half the batch has finished
+            # (skipped while admission traffic could reuse those slots)
+            if (
+                self.compact and len(slots) > 1 and len(live_idx) <= len(slots) // 2
+                and not (self.admit_mid_round and (pending or not self._in.empty()))
+            ):
+                newB = len(slots) // 2
                 while newB // 2 >= len(live_idx):
                     newB //= 2
-                # keep live rows first; pad the gather index with dead rows so
-                # the batch stays a power-of-two step (their output is dropped)
-                dead_idx = [i for i in range(len(rows)) if i not in live_idx]
+                dead_idx = [i for i in range(len(slots)) if i not in live_idx]
                 idx = (live_idx + dead_idx)[:newB]
-                cache, code, stopped, text_lengths, spk = self._gather_rows(
-                    cache, code, stopped, text_lengths, spk, jnp.asarray(idx, jnp.int32)
+                (cache, code, stopped, text_lengths, cond_lengths, audio_start,
+                 spk) = self._gather_rows(
+                    cache, code, stopped, text_lengths, cond_lengths, audio_start,
+                    spk, jnp.asarray(idx, jnp.int32),
                 )
-                rows = [rows[i] for i in idx]
-        for req in batch:
-            if not done[id(req)]:
-                req.out.put(None)
+                slots = [slots[i] for i in idx]
+        # flush buffered tails of truncated rows, then close every stream
+        self._emit(slots, done, hist, eptr, first_emit, spk, jnp, flush=True)
+        for req in all_reqs:
+            close(req)
+
+    # -------------------------------------------------------------- admission
+    def _admit(self, pending, slots, bucket, W, i0, cache_cap,
+               cache, code, stopped, text_lengths, cond_lengths, audio_start,
+               spk, track, done, jnp):
+        """Splice compatible pending requests into the live round at absolute
+        step `i0`. Slots of finished rows are reused; the batch grows in
+        power-of-two steps when no slot is free (bounded by max_streams)."""
+        n_live = sum(1 for s in slots if s is not None and not done[id(s)])
+        ok = [
+            r for r in pending
+            if self._bucket(r) == bucket and self._width(r) <= W
+            and self._budget(r) + i0 <= cache_cap
+        ][: self.max_streams - n_live]
+        if not ok:
+            return cache, code, stopped, text_lengths, cond_lengths, audio_start, spk, slots
+        free = [i for i, s in enumerate(slots) if s is None or done[id(s)]]
+        # grow the batch (power-of-two steps) until the newcomers fit
+        while len(free) < len(ok) and len(slots) < _pow2_ceil(self.max_streams):
+            B_old = len(slots)
+            idx = list(range(B_old)) + [0] * B_old  # pad rows replicate row 0
+            (cache, code, stopped, text_lengths, cond_lengths, audio_start,
+             spk) = self._gather_rows(
+                cache, code, stopped, text_lengths, cond_lengths, audio_start,
+                spk, jnp.asarray(idx, jnp.int32),
+            )
+            slots = slots + [None] * B_old
+            free += list(range(B_old, 2 * B_old))
+        take = ok[: len(free)]
+        if not take:
+            return cache, code, stopped, text_lengths, cond_lengths, audio_start, spk, slots
+        for r in take:
+            pending.remove(r)
+        slot_idx = free[: len(take)]
+        k = len(take)
+        ncache, _nplen, ncode, ntl, ncl, nspk = self._prefill_batch(
+            take, _pow2_ceil(k), bucket, W, jnp
+        )
+        (cache, code, stopped, text_lengths, cond_lengths, audio_start, spk) = self._splice(
+            cache, ncache, code, ncode, stopped, text_lengths, ntl,
+            cond_lengths, ncl, audio_start, spk, nspk,
+            jnp.asarray(slot_idx, jnp.int32), jnp.int32(i0),
+        )
+        for s, r in zip(slot_idx, take):
+            slots[s] = r
+            track(r)
+        self.admissions += k
+        return cache, code, stopped, text_lengths, cond_lengths, audio_start, spk, slots
+
+    # --------------------------------------------------------------- emission
+    def _emit(self, slots, done, hist, eptr, first_emit, spk, jnp, flush=False):
+        """Phase-aligned audio emission: each row emits its buffered valid
+        latents in its own [first_chunk, chunk, ...] cadence with the same
+        overlap-context decode the single-stream path uses, so every pooled
+        stream matches its solo `inference_stream` output chunk for chunk.
+        Rows sharing an emission shape decode in ONE batched call; chunks are
+        delivered to each request strictly in order."""
+        model = self.model
+        plans = []  # (slot_i, req, esize, n_emit, is_first, seg_start)
+        for i, req in enumerate(slots):
+            if req is None or hist[id(req)] is None:
+                continue
+            while True:
+                buffered = hist[id(req)].shape[0] - eptr[id(req)]
+                esize = self.first_chunk if first_emit[id(req)] else self.chunk
+                if buffered >= esize:
+                    n_emit = esize
+                elif (done[id(req)] or flush) and buffered > 0:
+                    n_emit = buffered  # tail: pad to the pattern chunk size
+                else:
+                    break
+                plans.append((i, req, esize, n_emit, first_emit[id(req)], eptr[id(req)]))
+                eptr[id(req)] += n_emit
+                first_emit[id(req)] = False
+        if not plans:
+            return
+        spk_np = np.asarray(spk, dtype=np.float32)
+        C = next(h.shape[1] for h in hist.values() if h is not None)
+        # group by decode shape (emit size, first chunk or overlap context),
+        # run one batched decode per group, then deliver in plan order
+        groups = {}
+        for pi, plan in enumerate(plans):
+            groups.setdefault((plan[2], plan[4]), []).append(pi)
+        wavs = [None] * len(plans)
+        for (esize, is_first), idxs in groups.items():
+            L = esize if is_first else self.overlap + esize
+            Bg = _pow2_ceil(len(idxs))
+            inp = np.zeros((Bg, L, C), dtype=np.float32)
+            spk_g = np.zeros((Bg, spk_np.shape[1]), dtype=np.float32)
+            for g, pi in enumerate(idxs):
+                i, req, _esize, n_emit, _f, p = plans[pi]
+                h = hist[id(req)]
+                off = 0
+                if not is_first:
+                    ctx = h[max(0, p - self.overlap) : p]
+                    off = self.overlap
+                    inp[g, off - ctx.shape[0] : off] = ctx
+                inp[g, off : off + n_emit] = h[p : p + n_emit]
+                spk_g[g] = spk_np[i]
+            wav = np.asarray(self._dec(model.params, jnp.asarray(inp), jnp.asarray(spk_g)))
+            lead = 0 if is_first else model._n_samples(self.overlap)
+            for g, pi in enumerate(idxs):
+                _i, _req, _esize, n_emit, _f, _p = plans[pi]
+                wavs[pi] = wav[g, lead : lead + model._n_samples(n_emit), 0]
+        for pi, (_i, req, _esize, _n, _f, _p) in enumerate(plans):
+            req.out.put(wavs[pi])
 
 
 def jnp_take(a, idx, axis):

@@ -154,16 +154,32 @@ class XttsGPT(nn.Module):
             for _ in range(self.n_layer)
         ]
 
-    def key_valid_mask(self, n_cond: int, prompt_len, text_lengths, T_max: int):
+    def key_valid_mask(
+        self, n_cond: int, prompt_len, text_lengths, T_max: int,
+        cond_lengths=None, audio_start=None,
+    ):
         """Key-side cache-row validity for a right-padded prompt
-        [cond | text (padded to T_pad) | audio...]: cond rows and every row
-        from `prompt_len` on (the audio region the decode writes) are valid;
-        text rows only up to each row's real length. `prompt_len` may be
-        traced, so one compiled program serves a whole text-length bucket."""
-        s = jnp.arange(T_max)[None]
-        return (s < n_cond) | (s >= prompt_len) | ((s - n_cond) < text_lengths[:, None])
+        [cond (padded to n_cond) | text (padded to T_pad) | audio...]: cond
+        rows up to each row's real latent count (`cond_lengths` [B], default
+        the full width), text rows up to each row's real length, and the
+        audio region from `prompt_len` on. `prompt_len` may be traced, so one
+        compiled program serves a whole text-length bucket.
 
-    def prefill(self, cond_latents, text_tokens, cache, text_lengths=None):
+        `audio_start` [B] marks the absolute decode step at which each row
+        JOINED the shared timeline (continuous-batching admission,
+        infer/xtts_pool.py): audio cache rows before `prompt_len +
+        audio_start[b]` are a spliced-in row's uninitialized gap and must be
+        hidden. Rows present from step 0 pass 0 — the mask (and the compiled
+        program) is then bit-identical to the no-admission case."""
+        s = jnp.arange(T_max)[None]
+        cond_ok = s < (n_cond if cond_lengths is None else cond_lengths[:, None])
+        text_ok = (s >= n_cond) & ((s - n_cond) < text_lengths[:, None])
+        audio_ok = s >= prompt_len
+        if audio_start is not None:
+            audio_ok = audio_ok & ((s - prompt_len) >= audio_start[:, None])
+        return (cond_ok & (s < n_cond)) | text_ok | audio_ok
+
+    def prefill(self, cond_latents, text_tokens, cache, text_lengths=None, cond_lengths=None):
         """Run the prompt through the stack, writing rows [0, T) of the
         KV-cache. Returns (cache, prompt_length, last_hidden).
 
@@ -172,7 +188,10 @@ class XttsGPT(nn.Module):
         keeps every query — here and in later decode steps — from attending
         to them, so one compiled prefill serves a text-length bucket (role of
         the reference's dynamic-shape HF generate over arbitrary prompts,
-        ref stream_generator.py:930)."""
+        ref stream_generator.py:930). `cond_lengths` [B] does the same for a
+        RIGHT-PADDED conditioning-latent track: rows with fewer reference
+        latents than the padded width batch with wider (multi-reference,
+        ref xtts.py:326) rows."""
         x = jnp.concatenate(
             [
                 cond_latents,
@@ -183,9 +202,14 @@ class XttsGPT(nn.Module):
         )
         T = x.shape[1]
         mask = None
-        if text_lengths is not None:
+        if text_lengths is not None or cond_lengths is not None:
+            if text_lengths is None:
+                text_lengths = jnp.full(
+                    text_tokens.shape[:1], text_tokens.shape[1], dtype=jnp.int32
+                )
             mask = self.key_valid_mask(
-                cond_latents.shape[1], T, text_lengths, cache[0][0].shape[0]
+                cond_latents.shape[1], T, text_lengths, cache[0][0].shape[0],
+                cond_lengths=cond_lengths,
             )
         new_cache = []
         for blk, c in zip(self.blocks, cache):

@@ -264,16 +264,18 @@ class XttsNet(nn.Module):
             jnp.swapaxes(valid, 0, 1),
         )
 
-    def stream_prefill(self, cond_latents, text_tokens, text_lengths=None):
+    def stream_prefill(self, cond_latents, text_tokens, text_lengths=None, cond_lengths=None):
         """Prefill-only program for incremental streaming: build the KV cache
         over the prompt and return the initial decode carry. With
         `text_lengths`, `text_tokens` is right-padded to a bucket and the
-        pad rows are masked (see XttsGPT.prefill)."""
+        pad rows are masked; `cond_lengths` does the same for a right-padded
+        conditioning track (see XttsGPT.prefill)."""
         a = self.a
         B = text_tokens.shape[0]
         cache = self.gpt.init_cache(B, a["kv_cache_len"])
         cache, prompt_len, _ = self.gpt.prefill(
-            cond_latents, text_tokens, cache, text_lengths=text_lengths
+            cond_latents, text_tokens, cache,
+            text_lengths=text_lengths, cond_lengths=cond_lengths,
         )
         start = jnp.full((B,), a["gpt_start_audio_token"], dtype=jnp.int32)
         return cache, prompt_len, start
@@ -291,30 +293,42 @@ class XttsNet(nn.Module):
         top_k: int = 50,
         text_lengths=None,
         n_cond: int = None,
+        cond_lengths=None,
+        audio_start=None,
     ):
         """`chunk_len` sampled decode steps starting at absolute step `i0`
         (traced scalar — one compile serves every chunk). Same per-step math
         and key-threading as `generate_latents`, so a chunked run reproduces
         the one-scan run bit for bit. `text_lengths` [B] rebuilds the
         right-padded prompt's key mask (no extra carry state) so the chunk
-        program also serves a text-length bucket; `n_cond` is the ACTUAL
-        conditioning-latent count the prefill saw (callers may pass stacked
-        multi-reference latents wider than the configured
-        num_cond_latents — the mask must anchor the text region at the same
-        offset the prefill used)."""
+        program also serves a text-length bucket; `n_cond` is the PADDED
+        conditioning-track width the prefill saw (callers may pass stacked
+        multi-reference latents wider than the configured num_cond_latents —
+        the mask must anchor the text region at the same offset the prefill
+        used) and `cond_lengths` [B] each row's real latent count within it.
+
+        `audio_start` [B] supports continuous-batching admission
+        (infer/xtts_pool.py): a row spliced into a live round at absolute
+        step s0 carries audio_start=s0 — its audio POSITIONS (pos embedding,
+        relative step) start at 0 while its cache writes share the round's
+        absolute index, so the batch keeps ONE contiguous time-major cache
+        write per step; the key mask hides its [prompt_len, prompt_len+s0)
+        gap. Rows with audio_start=0 are bit-identical to the plain path."""
         a = self.a
         key_valid = None
         if text_lengths is not None:
             key_valid = self.gpt.key_valid_mask(
                 a["num_cond_latents"] if n_cond is None else n_cond,
                 prompt_len, text_lengths, a["kv_cache_len"],
+                cond_lengths=cond_lengths, audio_start=audio_start,
             )
 
         def step(carry, i):
             cache, code, stopped, key = carry
             key, sub = jax.random.split(key)
+            pos = i if audio_start is None else i - audio_start
             logits, latent, cache = self.gpt.decode_step(
-                code, i, cache, prompt_len + i, key_valid=key_valid
+                code, pos, cache, prompt_len + i, key_valid=key_valid
             )
             logits = logits / temperature
             if top_k:
