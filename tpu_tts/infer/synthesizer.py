@@ -136,6 +136,42 @@ class Synthesizer:
         wav = np.array(wav)
         self.tts_model.ap.save_wav(wav, path, self.output_sample_rate, pipe_out=pipe_out)
 
+    # --------------------------------------------------------- id resolution
+    def resolve_speaker(self, speaker_name: str = "", speaker_wav=None):
+        """(speaker_id, d_vector) for a request — shared by the blocking
+        `tts` path and the server micro-batcher (ref synthesizer.py:305)."""
+        speaker_id = None
+        d_vector = None
+        if self.speaker_manager is not None and getattr(self.speaker_manager, "name_to_id", None):
+            if speaker_name and isinstance(speaker_name, str):
+                if getattr(self.tts_config, "use_d_vector_file", False) or (
+                    hasattr(self.tts_config, "model_args")
+                    and getattr(self.tts_config.model_args, "use_d_vector_file", False)
+                ):
+                    d_vector = self.speaker_manager.get_mean_embedding(speaker_name, num_samples=None)
+                else:
+                    speaker_id = self.speaker_manager.name_to_id[speaker_name]
+            elif len(self.speaker_manager.name_to_id) == 1:
+                speaker_id = list(self.speaker_manager.name_to_id.values())[0]
+            elif not speaker_wav:
+                if len(self.speaker_manager.name_to_id) > 1:
+                    raise ValueError(
+                        " [!] Looks like you are using a multi-speaker model. "
+                        "You need to define either a `speaker_idx` or a `speaker_wav` to use a multi-speaker model."
+                    )
+        if speaker_wav is not None and self.speaker_manager is not None and self.speaker_manager.encoder is not None:
+            d_vector = self.speaker_manager.compute_embedding_from_clip(speaker_wav)
+        return speaker_id, d_vector
+
+    def resolve_language(self, language_name: str = ""):
+        language_id = None
+        if self.language_manager is not None and getattr(self.language_manager, "name_to_id", None):
+            if language_name and isinstance(language_name, str):
+                language_id = self.language_manager.name_to_id[language_name]
+            elif len(self.language_manager.name_to_id) == 1:
+                language_id = list(self.language_manager.name_to_id.values())[0]
+        return language_id
+
     # ------------------------------------------------------------------- tts
     def tts(
         self,
@@ -163,36 +199,9 @@ class Synthesizer:
             print(" > Text splitted to sentences.")
             print(sens)
 
-        # --- resolve speaker -------------------------------------------------
-        speaker_id = None
-        d_vector = None
-        if self.speaker_manager is not None and getattr(self.speaker_manager, "name_to_id", None):
-            if speaker_name and isinstance(speaker_name, str):
-                if getattr(self.tts_config, "use_d_vector_file", False) or (
-                    hasattr(self.tts_config, "model_args")
-                    and getattr(self.tts_config.model_args, "use_d_vector_file", False)
-                ):
-                    d_vector = self.speaker_manager.get_mean_embedding(speaker_name, num_samples=None)
-                else:
-                    speaker_id = self.speaker_manager.name_to_id[speaker_name]
-            elif len(self.speaker_manager.name_to_id) == 1:
-                speaker_id = list(self.speaker_manager.name_to_id.values())[0]
-            elif not speaker_wav:
-                if len(self.speaker_manager.name_to_id) > 1:
-                    raise ValueError(
-                        " [!] Looks like you are using a multi-speaker model. "
-                        "You need to define either a `speaker_idx` or a `speaker_wav` to use a multi-speaker model."
-                    )
-        if speaker_wav is not None and self.speaker_manager is not None and self.speaker_manager.encoder is not None:
-            d_vector = self.speaker_manager.compute_embedding_from_clip(speaker_wav)
-
-        # --- resolve language ------------------------------------------------
-        language_id = None
-        if self.language_manager is not None and getattr(self.language_manager, "name_to_id", None):
-            if language_name and isinstance(language_name, str):
-                language_id = self.language_manager.name_to_id[language_name]
-            elif len(self.language_manager.name_to_id) == 1:
-                language_id = list(self.language_manager.name_to_id.values())[0]
+        # --- resolve speaker / language --------------------------------------
+        speaker_id, d_vector = self.resolve_speaker(speaker_name, speaker_wav)
+        language_id = self.resolve_language(language_name)
 
         use_gl = self.vocoder_model is None
 

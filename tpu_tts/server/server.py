@@ -199,14 +199,27 @@ class TTSHandler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):
         print(" > %s - %s" % (self.address_string(), fmt % args), flush=True)
 
+    # micro-batching queue for end-to-end batch models (VITS family):
+    # concurrent /api/tts requests share ONE batched `inference` call instead
+    # of serializing behind the lock (tpu_tts/infer/batcher.py). None → the
+    # model doesn't qualify and requests take the reference-style locked path.
+    _batcher = None
+
     def _synth_to_wav_bytes(self, text, speaker_id="", language_id="", style_wav=None):
+        import numpy as np
+
+        if self._batcher is not None and text and style_wav is None:
+            wavs = self._batcher.tts(text, speaker_name=speaker_id, language_name=language_id)
+            return self._wav_container(np.asarray(wavs, dtype=np.float32))
         # serialize synthesis — the reference holds a global lock too (:188)
         with self.lock:
             wavs = self.synthesizer.tts(text, speaker_name=speaker_id, language_name=language_id)
+        return self._wav_container(np.array(wavs, dtype=np.float32))
+
+    def _wav_container(self, wav):
         import numpy as np
         import scipy.io.wavfile
 
-        wav = np.array(wavs, dtype=np.float32)
         wav_norm = (wav * (32767 / max(0.01, float(np.max(np.abs(wav)))))).astype(np.int16)
         buf = io.BytesIO()
         scipy.io.wavfile.write(buf, self.synthesizer.output_sample_rate, wav_norm)
@@ -296,6 +309,12 @@ def create_server(args):
     )
     TTSHandler.synthesizer = synthesizer
     TTSHandler.pool_max_streams = int(getattr(args, "max_streams", 8) or 8)
+    from tpu_tts.infer.batcher import TTSMicroBatcher
+
+    if TTSMicroBatcher.supports(synthesizer):
+        TTSHandler._batcher = TTSMicroBatcher(
+            synthesizer, max_batch=int(getattr(args, "max_batch", 16) or 16)
+        )
     TTSHandler.details = {
         "tts_config": synthesizer.tts_config.to_dict() if synthesizer.tts_config else {},
         "vocoder_config": synthesizer.vocoder_config.to_dict() if getattr(synthesizer, "vocoder_config", None) else None,
@@ -316,6 +335,10 @@ def main(argv=None):
     parser.add_argument(
         "--max_streams", type=int, default=8,
         help="Concurrent /api/tts_stream requests batched per decode round (XTTS).",
+    )
+    parser.add_argument(
+        "--max_batch", type=int, default=16,
+        help="Max sentences per micro-batched /api/tts inference call (VITS family).",
     )
     parser.add_argument("--host", type=str, default="localhost")
     parser.add_argument("--port", type=int, default=5002)
