@@ -85,8 +85,15 @@ def measure(iters: int = None) -> dict:
     sr = a.output_sample_rate
     first_audio_ms = marks[0][1] / sr * 1e3
     steady_audio_s = float(np.median(steady_audio)) / sr if steady_audio else None
+    f = np.sort(np.asarray(firsts)) * 1e3
     return {
         "first_chunk_ms": round(float(np.median(firsts)) * 1e3, 1),
+        # run-to-run spread for variance attribution (VERDICT r4 #4): the
+        # driver artifacts are single medians; this records the distribution
+        "first_chunk_ms_min": round(float(f[0]), 1),
+        "first_chunk_ms_p90": round(float(f[min(len(f) - 1, int(0.9 * len(f)))]), 1),
+        "first_chunk_ms_max": round(float(f[-1]), 1),
+        "first_chunk_ms_all": [round(float(v), 1) for v in f],
         "first_chunk_audio_ms": round(first_audio_ms, 1),
         "per_chunk_ms": round(float(np.median(cadences)) * 1e3, 1) if cadences else None,
         "chunk_audio_ms": round(steady_audio_s * 1e3, 1) if steady_audio_s else None,
@@ -298,6 +305,37 @@ def measure_openloop(
         "max_new_tokens": utter_tokens,
         **(pool_kwargs or {}),
     })
+
+    # explicit program-ladder warmup: compile prefill/chunk/decode at every
+    # power-of-two batch the open-loop run can reach BEFORE measuring, so the
+    # p95 reflects serving, not one-time XLA compiles (persistent cache makes
+    # later runs skip this in seconds)
+    t_w = time.perf_counter()
+    Bmax = pool.max_streams
+    ladder, b = [], 1
+    while b <= Bmax:
+        ladder.append(b)
+        b *= 2
+    for b in ladder:
+        warm_rng = np.random.default_rng(1000 + b)
+        its = []
+        for _ in range(b):
+            tokens = warm_rng.integers(
+                1, min(200, int(a.gpt_number_text_tokens) - 1), (max(1, n_text // 2),)
+            ).astype(np.int32)
+            cond = warm_rng.standard_normal(
+                (1, a.num_cond_latents, a.gpt_n_model_channels)).astype(np.float32) * 0.02
+            spk = warm_rng.standard_normal((1, a.d_vector_dim)).astype(np.float32) * 0.1
+            its.append(pool.submit(
+                text_tokens=tokens, gpt_cond_latent=cond, speaker_embedding=spk,
+                max_tokens=int(os.environ.get("LAT_CHUNK", "20")) + pool.first_chunk,
+            ))
+        for it in its:
+            for _ in it:
+                pass
+    print(f"[openloop] warmup (B ladder {ladder}) {time.perf_counter()-t_w:.1f}s",
+          file=sys.stderr, flush=True)
+    pool.rounds_served = pool.admissions = 0
 
     records = []
     rec_lock = threading.Lock()

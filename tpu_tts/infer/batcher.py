@@ -32,7 +32,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from tpu_tts.infer.synthesis import END2END_MODELS, trim_silence
+from tpu_tts.infer.synthesis import trim_silence
 
 
 class _Job:
@@ -67,18 +67,24 @@ class TTSMicroBatcher:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    @staticmethod
-    def supports(synthesizer) -> bool:
+    # end-to-end models whose `inference` honors per-row `x_lengths` masks —
+    # the requirement for batching MIXED-length rows (delightful_tts pads all
+    # rows to one assumed length, so it stays on the locked path)
+    BATCHABLE_MODELS = {"vits", "yourtts"}
+
+    @classmethod
+    def supports(cls, synthesizer) -> bool:
         """End-to-end batch models only: `inference` returns waveform for a
-        whole `[B, T]` id batch and there is no per-request `synthesize`
-        pipeline (AR/cloning models stream through XttsStreamPool instead)."""
+        whole `[B, T]` id batch with per-row length masks, and there is no
+        per-request `synthesize` pipeline (AR/cloning models stream through
+        XttsStreamPool instead)."""
         model = getattr(synthesizer, "tts_model", None)
         cfg = getattr(synthesizer, "tts_config", None)
         return (
             model is not None
             and not hasattr(model, "synthesize")
             and hasattr(model, "inference")
-            and str(getattr(cfg, "model", "")).lower() in END2END_MODELS
+            and str(getattr(cfg, "model", "")).lower() in cls.BATCHABLE_MODELS
         )
 
     # ------------------------------------------------------------------- api

@@ -271,6 +271,7 @@ class XttsStreamPool:
         pending: List[_Request] = []
         while True:
             if self._stop:
+                self._drain(pending)  # requests still queued must not strand
                 for r in pending:
                     r.out.put(None)
                 return

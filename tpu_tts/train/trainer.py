@@ -130,6 +130,21 @@ class Trainer:
             len(devices) if args.num_devices else jax.local_device_count()
         )
         self._replication_warned = set()
+        if self.process_count > 1:
+            # Establish the cross-process collective transport (Gloo TCP
+            # pairs on CPU) while the ranks are still near-synchronized from
+            # the jax.distributed.initialize barrier. Without this, the
+            # job's FIRST collective fires inside the multi-minute fused
+            # train-step compile, whose rank-to-rank skew can exceed Gloo's
+            # hard-coded 30 s connect window (the r4 flaky 2-process proof).
+            # This millisecond psum creates the clique for the job's device
+            # set up front; the train step's collectives reuse the pairs.
+            x = jax.make_array_from_process_local_data(
+                self.batch_sharding,
+                np.ones((self.local_device_count, 1), np.float32),
+            )
+            y = jax.jit(lambda v: v.sum(), out_shardings=self.repl_sharding)(x)
+            assert float(y) == float(self.n_devices), "collective handshake failed"
 
         # ---- params ----------------------------------------------------------
         # model init hook before param init (ref trainer `on_init_start`, used
