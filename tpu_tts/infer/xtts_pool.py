@@ -106,6 +106,12 @@ class XttsStreamPool:
         self.gather_window_s = float(gather_window_s)
         self.seed = int(seed)
         self.compact = bool(compact)
+        if self.first_chunk < self.overlap:
+            raise ValueError(
+                f"first_chunk_size ({self.first_chunk}) must be >= overlap_latents "
+                f"({self.overlap}): the device-resident emission slices its overlap "
+                "context from the row's own emitted history"
+            )
         self.admit_mid_round = bool(admit_mid_round)
         self.max_deferrals = int(max_deferrals)
         # observability: tests pin the batching invariant on these (a serial
@@ -119,16 +125,13 @@ class XttsStreamPool:
                 {"params": p}, c, t, tl, cl, method=XttsNet.stream_prefill
             )
         )
-        self._dec = jax.jit(
-            lambda p, l, s: model.net.apply({"params": p}, l, s, method=XttsNet.decode_latents)
-        )
         # row-gather for compaction/growth: jit handles the (B_old, B_new)
         # shapes; no donation — the gathered cache has a different batch
         # size, so XLA could not reuse the buffer anyway (it would just warn)
         self._gather_rows = jax.jit(
-            lambda cache, code, stop, tl, cl, ast, spk, idx: (
+            lambda cache, hist, code, stop, tl, cl, ast, spk, idx: (
                 jax.tree.map(lambda a: jnp_take(a, idx, 1), cache),
-                code[idx], stop[idx], tl[idx], cl[idx], ast[idx], spk[idx],
+                hist[idx], code[idx], stop[idx], tl[idx], cl[idx], ast[idx], spk[idx],
             ),
         )
 
@@ -136,8 +139,10 @@ class XttsStreamPool:
         # (first k rows of their power-of-two prefill batch) into the chosen
         # slots of the live round's cache. The live cache is donated — the
         # splice updates k batch columns in place instead of copying the
-        # whole (B x 128 MB) buffer.
-        def _splice(cache, ncache, code, ncode, stop, tl, ntl, cl, ncl,
+        # whole (B x 128 MB) buffer. The reused slots' latent-history rows
+        # are ZEROED: stale latents there would otherwise leak into the
+        # newcomer's zero-pad regions (the zeros ARE the pad semantics).
+        def _splice(cache, ncache, hist, code, ncode, stop, tl, ntl, cl, ncl,
                     ast, spk, nspk, slots, i0):
             k = slots.shape[0]
             spliced = jax.tree.map(
@@ -145,6 +150,7 @@ class XttsStreamPool:
             )
             return (
                 spliced,
+                hist.at[slots].set(0.0),
                 code.at[slots].set(ncode[:k]),
                 stop.at[slots].set(False),
                 tl.at[slots].set(ntl[:k]),
@@ -153,7 +159,29 @@ class XttsStreamPool:
                 spk.at[slots].set(nspk[:k]),
             )
 
-        self._splice = jax.jit(_splice, donate_argnums=(0,))
+        self._splice = jax.jit(_splice, donate_argnums=(0, 2))
+
+        # device-resident latent history (r5): each chunk's VALID latents are
+        # scattered into a per-row [H_max, C] buffer at that row's write
+        # offset; emission windows are sliced out ON DEVICE. The old path
+        # bounced latents through host numpy every chunk (3 host↔device
+        # round-trips); now the host fetches only (valid, stopped) per chunk
+        # and one waveform per emission group. Invalid/budget-capped steps
+        # store zeros, and unwritten history IS zeros — so tail windows read
+        # exactly the zero-padding the single-stream path applies.
+        def _store(hist, lats, valid, offsets, allowed):
+            import jax.numpy as jnp
+
+            mask = valid & (jnp.arange(lats.shape[1])[None] < allowed[:, None])
+            latsm = lats * mask[:, :, None].astype(lats.dtype)
+
+            def put(h, l, o):
+                return jax.lax.dynamic_update_slice(h, l, (o, 0))
+
+            return jax.vmap(put)(hist, latsm, offsets)
+
+        self._store = jax.jit(_store, donate_argnums=(0,))
+        self._emit_fns = {}
         self._chunk_fns = {}
         self._in: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
@@ -215,6 +243,32 @@ class XttsStreamPool:
                 donate_argnums=(1,),
             )
         return self._chunk_fns[key]
+
+    def _emit_fn(self, k: int, esize: int, first: bool):
+        """Batched device-side emission: gather `k` rows' decode windows
+        (overlap context + `esize` latents, zeros where unwritten) out of the
+        device history buffer and decode them in one call."""
+        key = (k, esize, first)
+        if key not in self._emit_fns:
+            jax, XttsNet, model = self._jax, self._net_cls, self.model
+            ovl = self.overlap
+            L = esize if (first or not ovl) else ovl + esize
+
+            def run(p, hist, rows, eptrs, spk):
+                h = hist[rows]  # [k, H_max, C]
+
+                def win(hr, e):
+                    start = e if first else e - ovl
+                    return jax.lax.dynamic_slice(hr, (start, 0), (L, hr.shape[1]))
+
+                x = jax.vmap(win)(h, eptrs)
+                wav = model.net.apply(
+                    {"params": p}, x, spk[rows], method=XttsNet.decode_latents
+                )
+                return wav[:, :, 0]
+
+            self._emit_fns[key] = jax.jit(run)
+        return self._emit_fns[key]
 
     def _bucket(self, req: _Request) -> int:
         """Same grid as the single-stream path (Xtts._bucket_text)."""
@@ -306,8 +360,11 @@ class XttsStreamPool:
             cond_lengths.append(c.shape[0])
             conds.append(np.pad(c, ((0, W - c.shape[0]), (0, 0))))
             spks.append(np.asarray(r.spk, dtype=np.float32).reshape(-1))
-        cond = jnp.asarray(np.stack(conds))
-        spk = jnp.asarray(np.stack(spks))
+        # match the parameter dtype: host-side repacking must not promote a
+        # bf16 model's prefill to f32 (the KV cache dtype follows the params)
+        dt = self._jax.tree_util.tree_leaves(model.params)[0].dtype
+        cond = jnp.asarray(np.stack(conds), dtype=dt)
+        spk = jnp.asarray(np.stack(spks), dtype=dt)
         text_lengths = jnp.asarray(text_lengths)
         cond_lengths = jnp.asarray(np.array(cond_lengths, dtype=np.int32))
         cache, prompt_len, code = self._pf(
@@ -349,16 +406,22 @@ class XttsStreamPool:
         # full budget still fits (audio positions are per-row RELATIVE, so
         # only the cache length binds, not the position-embedding table)
         cache_cap = int(model.args.kv_cache_len) - (W + bucket)
+        # device latent history: per-row valid latents, written at each row's
+        # own offset; +chunk headroom keeps every emission window in-bounds
+        # (dynamic_slice clamps, and a clamped start would misalign windows)
+        dt = self._jax.tree_util.tree_leaves(model.params)[0].dtype
+        C = int(model.args.gpt_n_model_channels)
+        H_max = self.max_new_tokens + self.chunk
+        hist_dev = jnp.zeros((B, H_max, C), dt)
 
         # host-side per-request bookkeeping
-        done, hist, eptr, emitted, budget, first_emit = {}, {}, {}, {}, {}, {}
+        done, eptr, emitted, budget, first_emit = {}, {}, {}, {}, {}
 
         def track(req):
             all_reqs.append(req)
             done[id(req)] = False
-            hist[id(req)] = None  # np [n_valid, C] — valid latents, in order
-            eptr[id(req)] = 0  # latents emitted so far
-            emitted[id(req)] = 0  # decoded valid tokens so far
+            eptr[id(req)] = 0  # latents emitted (decoded to audio) so far
+            emitted[id(req)] = 0  # valid latents stored so far
             budget[id(req)] = self._budget(req)
             first_emit[id(req)] = True  # next emission is this row's first chunk
 
@@ -370,11 +433,11 @@ class XttsStreamPool:
             # ---- admission: splice compatible queued requests into free slots
             if self.admit_mid_round and not self._stop:
                 self._drain(pending)
-                (cache, code, stopped, text_lengths, cond_lengths, audio_start,
-                 spk, slots) = self._admit(
+                (cache, hist_dev, code, stopped, text_lengths, cond_lengths,
+                 audio_start, spk, slots) = self._admit(
                     pending, slots, bucket, W, i0, cache_cap,
-                    cache, code, stopped, text_lengths, cond_lengths, audio_start,
-                    spk, track, done, jnp,
+                    cache, hist_dev, code, stopped, text_lengths, cond_lengths,
+                    audio_start, spk, track, done, jnp,
                 )
             live = [s for s in slots if s is not None and not done[id(s)]]
             if not live:
@@ -386,28 +449,34 @@ class XttsStreamPool:
                 model.params, cache, prompt_len, code, stopped, rng,
                 jnp.int32(i0), text_lengths, cond_lengths, audio_start,
             )
-            lats_np = np.asarray(lats, dtype=np.float32)  # [B, size, C]
-            valid_full = np.asarray(valid, dtype=np.float32)  # [B, size]
-            stopped_np = np.asarray(stopped)
+            # store each row's budget-capped valid latents at its own offset
+            # (dead/pad rows get allowed=0 — they store only zeros); latents
+            # past a row's budget never reach a decode window (their conv
+            # receptive field would leak into the valid samples)
+            offsets = np.array([emitted.get(id(s), 0) if s is not None else 0
+                                for s in slots], np.int32)
+            allowed = np.array([
+                max(0, budget[id(s)] - emitted[id(s)])
+                if s is not None and not done[id(s)] else 0
+                for s in slots
+            ], np.int32)
+            hist_dev = self._store(
+                hist_dev, lats, valid, jnp.asarray(offsets), jnp.asarray(allowed)
+            )
+            # ONE host fetch per chunk (the old path pulled the full latent
+            # block through numpy: 3 transfers per chunk)
+            valid_h, stopped_np = self._jax.device_get((valid, stopped))
+            valid_h = np.asarray(valid_h, dtype=bool)
             newly_done = []
             for i, req in enumerate(slots):
                 if req is None or done[id(req)]:
                     continue
-                # per-request budget caps the valid mask BEFORE buffering:
-                # latents past the cap never reach a decode call (their conv
-                # receptive field would leak into the valid samples)
-                allowed = max(0, budget[id(req)] - emitted[id(req)])
-                valid_full[i, allowed:] = 0.0
-                nv = int((valid_full[i] > 0).sum())
-                if nv > 0:
-                    new_lat = lats_np[i, :nv]
-                    h = hist[id(req)]
-                    hist[id(req)] = new_lat if h is None else np.concatenate([h, new_lat])
-                    emitted[id(req)] += nv
+                nv = min(int(valid_h[i].sum()), int(allowed[i]))
+                emitted[id(req)] += nv
                 if nv < size or bool(stopped_np[i]) or emitted[id(req)] >= budget[id(req)]:
                     done[id(req)] = True
                     newly_done.append(req)
-            self._emit(slots, done, hist, eptr, first_emit, spk, jnp)
+            self._emit(slots, done, emitted, eptr, first_emit, hist_dev, spk, jnp)
             for req in newly_done:
                 close(req)  # tail (if any) was just emitted above
             i0 += size
@@ -427,21 +496,21 @@ class XttsStreamPool:
                     newB //= 2
                 dead_idx = [i for i in range(len(slots)) if i not in live_idx]
                 idx = (live_idx + dead_idx)[:newB]
-                (cache, code, stopped, text_lengths, cond_lengths, audio_start,
-                 spk) = self._gather_rows(
-                    cache, code, stopped, text_lengths, cond_lengths, audio_start,
-                    spk, jnp.asarray(idx, jnp.int32),
+                (cache, hist_dev, code, stopped, text_lengths, cond_lengths,
+                 audio_start, spk) = self._gather_rows(
+                    cache, hist_dev, code, stopped, text_lengths, cond_lengths,
+                    audio_start, spk, jnp.asarray(idx, jnp.int32),
                 )
                 slots = [slots[i] for i in idx]
         # flush buffered tails of truncated rows, then close every stream
-        self._emit(slots, done, hist, eptr, first_emit, spk, jnp, flush=True)
+        self._emit(slots, done, emitted, eptr, first_emit, hist_dev, spk, jnp, flush=True)
         for req in all_reqs:
             close(req)
 
     # -------------------------------------------------------------- admission
     def _admit(self, pending, slots, bucket, W, i0, cache_cap,
-               cache, code, stopped, text_lengths, cond_lengths, audio_start,
-               spk, track, done, jnp):
+               cache, hist, code, stopped, text_lengths, cond_lengths,
+               audio_start, spk, track, done, jnp):
         """Splice compatible pending requests into the live round at absolute
         step `i0`. Slots of finished rows are reused; the batch grows in
         power-of-two steps when no slot is free (bounded by max_streams)."""
@@ -452,22 +521,22 @@ class XttsStreamPool:
             and self._budget(r) + i0 <= cache_cap
         ][: self.max_streams - n_live]
         if not ok:
-            return cache, code, stopped, text_lengths, cond_lengths, audio_start, spk, slots
+            return cache, hist, code, stopped, text_lengths, cond_lengths, audio_start, spk, slots
         free = [i for i, s in enumerate(slots) if s is None or done[id(s)]]
         # grow the batch (power-of-two steps) until the newcomers fit
         while len(free) < len(ok) and len(slots) < _pow2_ceil(self.max_streams):
             B_old = len(slots)
             idx = list(range(B_old)) + [0] * B_old  # pad rows replicate row 0
-            (cache, code, stopped, text_lengths, cond_lengths, audio_start,
-             spk) = self._gather_rows(
-                cache, code, stopped, text_lengths, cond_lengths, audio_start,
-                spk, jnp.asarray(idx, jnp.int32),
+            (cache, hist, code, stopped, text_lengths, cond_lengths,
+             audio_start, spk) = self._gather_rows(
+                cache, hist, code, stopped, text_lengths, cond_lengths,
+                audio_start, spk, jnp.asarray(idx, jnp.int32),
             )
             slots = slots + [None] * B_old
             free += list(range(B_old, 2 * B_old))
         take = ok[: len(free)]
         if not take:
-            return cache, code, stopped, text_lengths, cond_lengths, audio_start, spk, slots
+            return cache, hist, code, stopped, text_lengths, cond_lengths, audio_start, spk, slots
         for r in take:
             pending.remove(r)
         slot_idx = free[: len(take)]
@@ -475,8 +544,9 @@ class XttsStreamPool:
         ncache, _nplen, ncode, ntl, ncl, nspk = self._prefill_batch(
             take, _pow2_ceil(k), bucket, W, jnp
         )
-        (cache, code, stopped, text_lengths, cond_lengths, audio_start, spk) = self._splice(
-            cache, ncache, code, ncode, stopped, text_lengths, ntl,
+        (cache, hist, code, stopped, text_lengths, cond_lengths, audio_start,
+         spk) = self._splice(
+            cache, ncache, hist, code, ncode, stopped, text_lengths, ntl,
             cond_lengths, ncl, audio_start, spk, nspk,
             jnp.asarray(slot_idx, jnp.int32), jnp.int32(i0),
         )
@@ -484,28 +554,31 @@ class XttsStreamPool:
             slots[s] = r
             track(r)
         self.admissions += k
-        return cache, code, stopped, text_lengths, cond_lengths, audio_start, spk, slots
+        return cache, hist, code, stopped, text_lengths, cond_lengths, audio_start, spk, slots
 
     # --------------------------------------------------------------- emission
-    def _emit(self, slots, done, hist, eptr, first_emit, spk, jnp, flush=False):
-        """Phase-aligned audio emission: each row emits its buffered valid
+    def _emit(self, slots, done, emitted, eptr, first_emit, hist_dev, spk, jnp,
+              flush=False):
+        """Phase-aligned audio emission: each row emits its stored valid
         latents in its own [first_chunk, chunk, ...] cadence with the same
         overlap-context decode the single-stream path uses, so every pooled
         stream matches its solo `inference_stream` output chunk for chunk.
-        Rows sharing an emission shape decode in ONE batched call; chunks are
-        delivered to each request strictly in order."""
+        Decode windows are sliced out of the DEVICE history buffer — rows
+        sharing an emission shape decode in ONE batched call, and the only
+        host transfer per group is the waveform itself. Chunks are delivered
+        to each request strictly in order."""
         model = self.model
         plans = []  # (slot_i, req, esize, n_emit, is_first, seg_start)
         for i, req in enumerate(slots):
-            if req is None or hist[id(req)] is None:
+            if req is None:
                 continue
             while True:
-                buffered = hist[id(req)].shape[0] - eptr[id(req)]
+                buffered = emitted[id(req)] - eptr[id(req)]
                 esize = self.first_chunk if first_emit[id(req)] else self.chunk
                 if buffered >= esize:
                     n_emit = esize
                 elif (done[id(req)] or flush) and buffered > 0:
-                    n_emit = buffered  # tail: pad to the pattern chunk size
+                    n_emit = buffered  # tail: the zeros past it ARE the pad
                 else:
                     break
                 plans.append((i, req, esize, n_emit, first_emit[id(req)], eptr[id(req)]))
@@ -513,34 +586,26 @@ class XttsStreamPool:
                 first_emit[id(req)] = False
         if not plans:
             return
-        spk_np = np.asarray(spk, dtype=np.float32)
-        C = next(h.shape[1] for h in hist.values() if h is not None)
-        # group by decode shape (emit size, first chunk or overlap context),
+        # group by decode shape: (emit size, first chunk or overlap context),
         # run one batched decode per group, then deliver in plan order
         groups = {}
         for pi, plan in enumerate(plans):
             groups.setdefault((plan[2], plan[4]), []).append(pi)
         wavs = [None] * len(plans)
         for (esize, is_first), idxs in groups.items():
-            L = esize if is_first else self.overlap + esize
             Bg = _pow2_ceil(len(idxs))
-            inp = np.zeros((Bg, L, C), dtype=np.float32)
-            spk_g = np.zeros((Bg, spk_np.shape[1]), dtype=np.float32)
+            rows = np.zeros((Bg,), np.int32)
+            eptrs = np.zeros((Bg,), np.int32)
             for g, pi in enumerate(idxs):
-                i, req, _esize, n_emit, _f, p = plans[pi]
-                h = hist[id(req)]
-                off = 0
-                if not is_first:
-                    ctx = h[max(0, p - self.overlap) : p]
-                    off = self.overlap
-                    inp[g, off - ctx.shape[0] : off] = ctx
-                inp[g, off : off + n_emit] = h[p : p + n_emit]
-                spk_g[g] = spk_np[i]
-            wav = np.asarray(self._dec(model.params, jnp.asarray(inp), jnp.asarray(spk_g)))
+                rows[g] = plans[pi][0]
+                eptrs[g] = plans[pi][5]
+            wav = np.asarray(self._emit_fn(Bg, esize, is_first)(
+                model.params, hist_dev, jnp.asarray(rows), jnp.asarray(eptrs), spk
+            ), dtype=np.float32)
             lead = 0 if is_first else model._n_samples(self.overlap)
             for g, pi in enumerate(idxs):
-                _i, _req, _esize, n_emit, _f, _p = plans[pi]
-                wavs[pi] = wav[g, lead : lead + model._n_samples(n_emit), 0]
+                n_emit = plans[pi][3]
+                wavs[pi] = wav[g, lead : lead + model._n_samples(n_emit)]
         for pi, (_i, req, _esize, _n, _f, _p) in enumerate(plans):
             req.out.put(wavs[pi])
 
