@@ -306,34 +306,13 @@ def measure_openloop(
         **(pool_kwargs or {}),
     })
 
-    # explicit program-ladder warmup: compile prefill/chunk/decode at every
-    # power-of-two batch the open-loop run can reach BEFORE measuring, so the
-    # p95 reflects serving, not one-time XLA compiles (persistent cache makes
-    # later runs skip this in seconds)
-    t_w = time.perf_counter()
-    Bmax = pool.max_streams
-    ladder, b = [], 1
-    while b <= Bmax:
-        ladder.append(b)
-        b *= 2
-    for b in ladder:
-        warm_rng = np.random.default_rng(1000 + b)
-        its = []
-        for _ in range(b):
-            tokens = warm_rng.integers(
-                1, min(200, int(a.gpt_number_text_tokens) - 1), (max(1, n_text // 2),)
-            ).astype(np.int32)
-            cond = warm_rng.standard_normal(
-                (1, a.num_cond_latents, a.gpt_n_model_channels)).astype(np.float32) * 0.02
-            spk = warm_rng.standard_normal((1, a.d_vector_dim)).astype(np.float32) * 0.1
-            its.append(pool.submit(
-                text_tokens=tokens, gpt_cond_latent=cond, speaker_embedding=spk,
-                max_tokens=int(os.environ.get("LAT_CHUNK", "20")) + pool.first_chunk,
-            ))
-        for it in its:
-            for _ in it:
-                pass
-    print(f"[openloop] warmup (B ladder {ladder}) {time.perf_counter()-t_w:.1f}s",
+    # full program-ladder warmup: prefill/chunk/store/emit/splice/growth at
+    # every power-of-two batch BEFORE measuring, so the p95 reflects serving,
+    # not one-time XLA compiles (the persistent cache makes later runs skip
+    # this in seconds; a cold tunnel run otherwise spends its first minutes
+    # inside XLA — measured p50 ~59 s from exactly that)
+    warm_s = pool.warmup(n_text=n_text, verbose=True)
+    print(f"[openloop] warmup (full program ladder) {warm_s:.1f}s",
           file=sys.stderr, flush=True)
     pool.rounds_served = pool.admissions = 0
 

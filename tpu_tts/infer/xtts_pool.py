@@ -227,6 +227,86 @@ class XttsStreamPool:
         self._in.put(None)
         self._worker.join(timeout=30)
 
+    # ---------------------------------------------------------------- warmup
+    def warmup(self, n_text: int = 30, width: int = None, verbose: bool = False):
+        """Compile the FULL serving program ladder up front: prefill / chunk /
+        store / emission / admission-splice / growth / compaction programs at
+        every power-of-two batch size the pool can reach. Without this, a
+        cold server pays each compile the first time live traffic hits that
+        shape — an open-loop measurement (or a production cold start) then
+        spends its first minutes inside XLA instead of serving (observed:
+        p50 first-chunk ~59 s on a cold v5e tunnel vs ~0.2 s warm). All
+        programs land in the persistent compile cache, so later processes
+        warm in seconds."""
+        import sys as _sys
+        import time as _time
+
+        import jax.numpy as jnp
+
+        from tpu_tts.utils.generic_utils import bucket_len
+
+        m = self.model
+        a = m.args
+        t0 = _time.monotonic()
+        bucket = bucket_len(n_text, m.TEXT_BUCKET, cap=a.gpt_max_text_tokens + 2)
+        W = int(width or a.num_cond_latents)
+        dt = self._jax.tree_util.tree_leaves(m.params)[0].dtype
+        C = int(a.gpt_n_model_channels)
+        H_max = self.max_new_tokens + self.chunk
+        ladder, b = [], 1
+        while b <= self.max_streams:
+            ladder.append(b)
+            b *= 2
+        for B in ladder:
+            text = jnp.ones((B, bucket), jnp.int32)
+            tl = jnp.full((B,), min(n_text, bucket), jnp.int32)
+            cond = jnp.zeros((B, W, C), dt)
+            cl = jnp.full((B,), W, jnp.int32)
+            spk = jnp.zeros((B, int(a.d_vector_dim)), dt)
+            cache, plen, code = self._pf(m.params, cond, text, tl, cl)
+            stopped = jnp.zeros((B,), bool)
+            ast = jnp.zeros((B,), jnp.int32)
+            rng = self._jax.random.PRNGKey(0)
+            hist = jnp.zeros((B, H_max, C), dt)
+            i0 = 0
+            for size in (self.first_chunk, self.chunk):
+                (cache, code, stopped, rng), (codes, lats, valid) = self._chunk_fn(size, W)(
+                    m.params, cache, plen, code, stopped, rng, jnp.int32(i0), tl, cl, ast
+                )
+                hist = self._store(
+                    hist, lats, valid, jnp.zeros((B,), jnp.int32),
+                    jnp.full((B,), size, jnp.int32),
+                )
+                i0 += size
+            rows = jnp.zeros((B,), jnp.int32)
+            for esize, first in ((self.first_chunk, True), (self.chunk, False)):
+                eptrs = jnp.full((B,), 0 if first else self.first_chunk, jnp.int32)
+                self._emit_fn(B, esize, first)(m.params, hist, rows, eptrs, spk).block_until_ready()
+            # growth (B -> 2B) and compaction (B -> B/2) gathers
+            for idx in ([0] * (2 * B), [0] * max(1, B // 2)):
+                self._gather_rows(cache, hist, code, stopped, tl, cl, ast, spk,
+                                  jnp.asarray(idx, jnp.int32))
+            # admission splices: every newcomer power-of-two k into batch B
+            # (fresh prefill per k — the chunk programs donated the earlier
+            # caches, so saved references would be dead buffers)
+            for k in [x for x in ladder if x <= B]:
+                ncache, _np, _nc = self._pf(
+                    m.params, jnp.zeros((k, W, C), dt), jnp.ones((k, bucket), jnp.int32),
+                    jnp.full((k,), min(n_text, bucket), jnp.int32),
+                    jnp.full((k,), W, jnp.int32),
+                )
+                ncode = jnp.zeros((k,), jnp.int32)
+                (cache, hist, code, stopped, tl, cl, ast, spk) = self._splice(
+                    cache, ncache, hist, code, ncode, stopped, tl,
+                    jnp.ones((k,), jnp.int32), cl, jnp.full((k,), W, jnp.int32),
+                    ast, spk, jnp.zeros((k, int(a.d_vector_dim)), dt),
+                    jnp.asarray(list(range(k)), jnp.int32), jnp.int32(i0),
+                )
+            if verbose:
+                print(f"[pool.warmup] B={B} done at {_time.monotonic()-t0:.1f}s",
+                      file=_sys.stderr, flush=True)
+        return _time.monotonic() - t0
+
     # ---------------------------------------------------------------- worker
     def _chunk_fn(self, n_steps: int, n_cond: int):
         key = (n_steps, n_cond)
