@@ -510,19 +510,26 @@ class XttsStreamPool:
 
         i0 = 0
         while True:
+            just_admitted = False
             # ---- admission: splice compatible queued requests into free slots
             if self.admit_mid_round and not self._stop:
                 self._drain(pending)
+                adm0 = self.admissions
                 (cache, hist_dev, code, stopped, text_lengths, cond_lengths,
                  audio_start, spk, slots) = self._admit(
                     pending, slots, bucket, W, i0, cache_cap,
                     cache, hist_dev, code, stopped, text_lengths, cond_lengths,
                     audio_start, spk, track, done, jnp,
                 )
+                just_admitted = self.admissions > adm0
             live = [s for s in slots if s is not None and not done[id(s)]]
             if not live:
                 break
-            size = self.first_chunk if i0 == 0 else self.chunk
+            # a small chunk right after an admission gets the newcomers'
+            # first audio out in first_chunk steps instead of a full chunk —
+            # emission is per-row phase-aligned, so the GPT chunk size is
+            # free to vary without touching any row's output cadence
+            size = self.first_chunk if (i0 == 0 or just_admitted) else self.chunk
             if i0 + size > cache_cap:
                 break  # shared timeline exhausted (admission guard makes this rare)
             (cache, code, stopped, rng), (codes, lats, valid) = self._chunk_fn(size, W)(
