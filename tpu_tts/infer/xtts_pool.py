@@ -129,9 +129,9 @@ class XttsStreamPool:
         # shapes; no donation — the gathered cache has a different batch
         # size, so XLA could not reuse the buffer anyway (it would just warn)
         self._gather_rows = jax.jit(
-            lambda cache, hist, code, stop, tl, cl, ast, spk, idx: (
+            lambda cache, code, stop, tl, cl, ast, spk, idx: (
                 jax.tree.map(lambda a: jnp_take(a, idx, 1), cache),
-                hist[idx], code[idx], stop[idx], tl[idx], cl[idx], ast[idx], spk[idx],
+                code[idx], stop[idx], tl[idx], cl[idx], ast[idx], spk[idx],
             ),
         )
 
@@ -143,14 +143,14 @@ class XttsStreamPool:
         # are ZEROED: stale latents there would otherwise leak into the
         # newcomer's zero-pad regions (the zeros ARE the pad semantics).
         def _splice(cache, ncache, hist, code, ncode, stop, tl, ntl, cl, ncl,
-                    ast, spk, nspk, slots, i0):
+                    ast, spk, nspk, slots, hrows, i0):
             k = slots.shape[0]
             spliced = jax.tree.map(
                 lambda a, n: a.at[:, slots].set(n[:, :k]), cache, ncache
             )
             return (
                 spliced,
-                hist.at[slots].set(0.0),
+                hist.at[hrows].set(0.0),
                 code.at[slots].set(ncode[:k]),
                 stop.at[slots].set(False),
                 tl.at[slots].set(ntl[:k]),
@@ -169,16 +169,26 @@ class XttsStreamPool:
         # and one waveform per emission group. Invalid/budget-capped steps
         # store zeros, and unwritten history IS zeros — so tail windows read
         # exactly the zero-padding the single-stream path applies.
-        def _store(hist, lats, valid, offsets, allowed):
+        # `hist` stays at a FIXED B_max+1 rows for the pool's lifetime (it is
+        # tiny — ~9 MB at full size): each request owns one persistent row
+        # (allocator in _serve_round_inner), the last row is a trash target
+        # for dead/pad slots, and NO emission/store program shape depends on
+        # the current cache batch size. Without this, emit programs keyed by
+        # (group size, live batch size) compiled mid-traffic — an open-loop
+        # run spent minutes inside XLA (measured p50 ~207 s from exactly
+        # that); with it the warmup ladder covers every reachable shape.
+        def _store(hist, lats, valid, offsets, allowed, rows):
             import jax.numpy as jnp
 
             mask = valid & (jnp.arange(lats.shape[1])[None] < allowed[:, None])
             latsm = lats * mask[:, :, None].astype(lats.dtype)
+            sub = hist[rows]
 
             def put(h, l, o):
                 return jax.lax.dynamic_update_slice(h, l, (o, 0))
 
-            return jax.vmap(put)(hist, latsm, offsets)
+            sub = jax.vmap(put)(sub, latsm, offsets)
+            return hist.at[rows].set(sub)
 
         self._store = jax.jit(_store, donate_argnums=(0,))
         self._emit_fns = {}
@@ -257,17 +267,19 @@ class XttsStreamPool:
         while b <= self.max_streams:
             ladder.append(b)
             b *= 2
+        B_MAX = _pow2_ceil(self.max_streams)
+        hist = jnp.zeros((B_MAX + 1, H_max, C), dt)  # FIXED shape, like serving
+        d_spk = int(a.d_vector_dim)
         for B in ladder:
             text = jnp.ones((B, bucket), jnp.int32)
             tl = jnp.full((B,), min(n_text, bucket), jnp.int32)
             cond = jnp.zeros((B, W, C), dt)
             cl = jnp.full((B,), W, jnp.int32)
-            spk = jnp.zeros((B, int(a.d_vector_dim)), dt)
+            spk = jnp.zeros((B, d_spk), dt)
             cache, plen, code = self._pf(m.params, cond, text, tl, cl)
             stopped = jnp.zeros((B,), bool)
             ast = jnp.zeros((B,), jnp.int32)
             rng = self._jax.random.PRNGKey(0)
-            hist = jnp.zeros((B, H_max, C), dt)
             i0 = 0
             for size in (self.first_chunk, self.chunk):
                 (cache, code, stopped, rng), (codes, lats, valid) = self._chunk_fn(size, W)(
@@ -276,15 +288,18 @@ class XttsStreamPool:
                 hist = self._store(
                     hist, lats, valid, jnp.zeros((B,), jnp.int32),
                     jnp.full((B,), size, jnp.int32),
+                    jnp.asarray(list(range(B)), jnp.int32),
                 )
                 i0 += size
             rows = jnp.zeros((B,), jnp.int32)
             for esize, first in ((self.first_chunk, True), (self.chunk, False)):
                 eptrs = jnp.full((B,), 0 if first else self.first_chunk, jnp.int32)
-                self._emit_fn(B, esize, first)(m.params, hist, rows, eptrs, spk).block_until_ready()
+                self._emit_fn(B, esize, first)(
+                    m.params, hist, rows, eptrs, jnp.zeros((B, d_spk), dt)
+                ).block_until_ready()
             # growth (B -> 2B) and compaction (B -> B/2) gathers
             for idx in ([0] * (2 * B), [0] * max(1, B // 2)):
-                self._gather_rows(cache, hist, code, stopped, tl, cl, ast, spk,
+                self._gather_rows(cache, code, stopped, tl, cl, ast, spk,
                                   jnp.asarray(idx, jnp.int32))
             # admission splices: every newcomer power-of-two k into batch B
             # (fresh prefill per k — the chunk programs donated the earlier
@@ -299,7 +314,8 @@ class XttsStreamPool:
                 (cache, hist, code, stopped, tl, cl, ast, spk) = self._splice(
                     cache, ncache, hist, code, ncode, stopped, tl,
                     jnp.ones((k,), jnp.int32), cl, jnp.full((k,), W, jnp.int32),
-                    ast, spk, jnp.zeros((k, int(a.d_vector_dim)), dt),
+                    ast, spk, jnp.zeros((k, d_spk), dt),
+                    jnp.asarray(list(range(k)), jnp.int32),
                     jnp.asarray(list(range(k)), jnp.int32), jnp.int32(i0),
                 )
             if verbose:
@@ -334,7 +350,7 @@ class XttsStreamPool:
             ovl = self.overlap
             L = esize if (first or not ovl) else ovl + esize
 
-            def run(p, hist, rows, eptrs, spk):
+            def run(p, hist, rows, eptrs, spk_g):
                 h = hist[rows]  # [k, H_max, C]
 
                 def win(hr, e):
@@ -342,8 +358,12 @@ class XttsStreamPool:
                     return jax.lax.dynamic_slice(hr, (start, 0), (L, hr.shape[1]))
 
                 x = jax.vmap(win)(h, eptrs)
+                # spk_g is the PER-GROUP [k, d] speaker batch built on host
+                # from each request's own embedding — indexing the round's
+                # [B, d] array here would couple this program's shape to the
+                # live batch size and reintroduce the compile explosion
                 wav = model.net.apply(
-                    {"params": p}, x, spk[rows], method=XttsNet.decode_latents
+                    {"params": p}, x, spk_g, method=XttsNet.decode_latents
                 )
                 return wav[:, :, 0]
 
@@ -486,13 +506,18 @@ class XttsStreamPool:
         # full budget still fits (audio positions are per-row RELATIVE, so
         # only the cache length binds, not the position-embedding table)
         cache_cap = int(model.args.kv_cache_len) - (W + bucket)
-        # device latent history: per-row valid latents, written at each row's
-        # own offset; +chunk headroom keeps every emission window in-bounds
-        # (dynamic_slice clamps, and a clamped start would misalign windows)
+        # device latent history: FIXED B_max+1 rows (one persistent row per
+        # request, last row = trash for dead/pad slots) so no emission/store
+        # program shape depends on the live batch size; +chunk headroom keeps
+        # every emission window in-bounds (dynamic_slice clamps, and a
+        # clamped start would misalign windows)
         dt = self._jax.tree_util.tree_leaves(model.params)[0].dtype
         C = int(model.args.gpt_n_model_channels)
         H_max = self.max_new_tokens + self.chunk
-        hist_dev = jnp.zeros((B, H_max, C), dt)
+        B_MAX = _pow2_ceil(self.max_streams)
+        hist_dev = jnp.zeros((B_MAX + 1, H_max, C), dt)
+        hist_free = list(range(B_MAX))
+        hrow = {}  # id(req) -> its persistent history row
 
         # host-side per-request bookkeeping
         done, eptr, emitted, budget, first_emit = {}, {}, {}, {}, {}
@@ -504,6 +529,7 @@ class XttsStreamPool:
             emitted[id(req)] = 0  # valid latents stored so far
             budget[id(req)] = self._budget(req)
             first_emit[id(req)] = True  # next emission is this row's first chunk
+            hrow[id(req)] = hist_free.pop()
 
         for r in batch:
             track(r)
@@ -519,7 +545,7 @@ class XttsStreamPool:
                  audio_start, spk, slots) = self._admit(
                     pending, slots, bucket, W, i0, cache_cap,
                     cache, hist_dev, code, stopped, text_lengths, cond_lengths,
-                    audio_start, spk, track, done, jnp,
+                    audio_start, spk, track, done, hrow, jnp,
                 )
                 just_admitted = self.admissions > adm0
             live = [s for s in slots if s is not None and not done[id(s)]]
@@ -547,8 +573,13 @@ class XttsStreamPool:
                 if s is not None and not done[id(s)] else 0
                 for s in slots
             ], np.int32)
+            hrows = np.array([
+                hrow[id(s)] if s is not None and not done[id(s)] else B_MAX
+                for s in slots
+            ], np.int32)
             hist_dev = self._store(
-                hist_dev, lats, valid, jnp.asarray(offsets), jnp.asarray(allowed)
+                hist_dev, lats, valid, jnp.asarray(offsets), jnp.asarray(allowed),
+                jnp.asarray(hrows),
             )
             # ONE host fetch per chunk (the old path pulled the full latent
             # block through numpy: 3 transfers per chunk)
@@ -563,9 +594,10 @@ class XttsStreamPool:
                 if nv < size or bool(stopped_np[i]) or emitted[id(req)] >= budget[id(req)]:
                     done[id(req)] = True
                     newly_done.append(req)
-            self._emit(slots, done, emitted, eptr, first_emit, hist_dev, spk, jnp)
+            self._emit(slots, done, emitted, eptr, first_emit, hist_dev, hrow, spk, jnp)
             for req in newly_done:
                 close(req)  # tail (if any) was just emitted above
+                hist_free.append(hrow[id(req)])  # row reusable by admissions
             i0 += size
             live_idx = [i for i, s in enumerate(slots) if s is not None and not done[id(s)]]
             if not live_idx:
@@ -583,21 +615,22 @@ class XttsStreamPool:
                     newB //= 2
                 dead_idx = [i for i in range(len(slots)) if i not in live_idx]
                 idx = (live_idx + dead_idx)[:newB]
-                (cache, hist_dev, code, stopped, text_lengths, cond_lengths,
+                (cache, code, stopped, text_lengths, cond_lengths,
                  audio_start, spk) = self._gather_rows(
-                    cache, hist_dev, code, stopped, text_lengths, cond_lengths,
+                    cache, code, stopped, text_lengths, cond_lengths,
                     audio_start, spk, jnp.asarray(idx, jnp.int32),
                 )
                 slots = [slots[i] for i in idx]
         # flush buffered tails of truncated rows, then close every stream
-        self._emit(slots, done, emitted, eptr, first_emit, hist_dev, spk, jnp, flush=True)
+        self._emit(slots, done, emitted, eptr, first_emit, hist_dev, hrow, spk, jnp,
+                   flush=True)
         for req in all_reqs:
             close(req)
 
     # -------------------------------------------------------------- admission
     def _admit(self, pending, slots, bucket, W, i0, cache_cap,
                cache, hist, code, stopped, text_lengths, cond_lengths,
-               audio_start, spk, track, done, jnp):
+               audio_start, spk, track, done, hrow, jnp):
         """Splice compatible pending requests into the live round at absolute
         step `i0`. Slots of finished rows are reused; the batch grows in
         power-of-two steps when no slot is free (bounded by max_streams)."""
@@ -614,9 +647,9 @@ class XttsStreamPool:
         while len(free) < len(ok) and len(slots) < _pow2_ceil(self.max_streams):
             B_old = len(slots)
             idx = list(range(B_old)) + [0] * B_old  # pad rows replicate row 0
-            (cache, hist, code, stopped, text_lengths, cond_lengths,
+            (cache, code, stopped, text_lengths, cond_lengths,
              audio_start, spk) = self._gather_rows(
-                cache, hist, code, stopped, text_lengths, cond_lengths,
+                cache, code, stopped, text_lengths, cond_lengths,
                 audio_start, spk, jnp.asarray(idx, jnp.int32),
             )
             slots = slots + [None] * B_old
@@ -631,20 +664,21 @@ class XttsStreamPool:
         ncache, _nplen, ncode, ntl, ncl, nspk = self._prefill_batch(
             take, _pow2_ceil(k), bucket, W, jnp
         )
+        for s_i, r in zip(slot_idx, take):
+            slots[s_i] = r
+            track(r)  # allocates r's history row (hrow)
+        nhrows = jnp.asarray([hrow[id(r)] for r in take], jnp.int32)
         (cache, hist, code, stopped, text_lengths, cond_lengths, audio_start,
          spk) = self._splice(
             cache, ncache, hist, code, ncode, stopped, text_lengths, ntl,
             cond_lengths, ncl, audio_start, spk, nspk,
-            jnp.asarray(slot_idx, jnp.int32), jnp.int32(i0),
+            jnp.asarray(slot_idx, jnp.int32), nhrows, jnp.int32(i0),
         )
-        for s, r in zip(slot_idx, take):
-            slots[s] = r
-            track(r)
         self.admissions += k
         return cache, hist, code, stopped, text_lengths, cond_lengths, audio_start, spk, slots
 
     # --------------------------------------------------------------- emission
-    def _emit(self, slots, done, emitted, eptr, first_emit, hist_dev, spk, jnp,
+    def _emit(self, slots, done, emitted, eptr, first_emit, hist_dev, hrow, spk, jnp,
               flush=False):
         """Phase-aligned audio emission: each row emits its stored valid
         latents in its own [first_chunk, chunk, ...] cadence with the same
@@ -679,15 +713,20 @@ class XttsStreamPool:
         for pi, plan in enumerate(plans):
             groups.setdefault((plan[2], plan[4]), []).append(pi)
         wavs = [None] * len(plans)
+        dt = hist_dev.dtype
+        d_spk = int(model.args.d_vector_dim)
         for (esize, is_first), idxs in groups.items():
             Bg = _pow2_ceil(len(idxs))
             rows = np.zeros((Bg,), np.int32)
             eptrs = np.zeros((Bg,), np.int32)
+            spk_g = np.zeros((Bg, d_spk), np.float32)
             for g, pi in enumerate(idxs):
-                rows[g] = plans[pi][0]
+                rows[g] = hrow[id(plans[pi][1])]
                 eptrs[g] = plans[pi][5]
+                spk_g[g] = np.asarray(plans[pi][1].spk, np.float32).reshape(-1)
             wav = np.asarray(self._emit_fn(Bg, esize, is_first)(
-                model.params, hist_dev, jnp.asarray(rows), jnp.asarray(eptrs), spk
+                model.params, hist_dev, jnp.asarray(rows), jnp.asarray(eptrs),
+                jnp.asarray(spk_g, dtype=dt),
             ), dtype=np.float32)
             lead = 0 if is_first else model._n_samples(self.overlap)
             for g, pi in enumerate(idxs):
