@@ -46,12 +46,17 @@ sampling (top_k>1) streams stay correct draws but are not bitwise-
 reproducible against a solo run (the shared batch PRNG differs).
 """
 
+import os
 import queue
 import threading
 import time
 from typing import Iterator, List, Optional
 
 import numpy as np
+
+# TPU_TTS_POOL_TRACE=1: print per-chunk phase timings (admit/chunk/store/
+# fetch/emit) to stderr — serving-loop diagnosis on real hardware
+_TRACE = os.environ.get("TPU_TTS_POOL_TRACE", "0") == "1"
 
 
 def _pow2_ceil(n: int) -> int:
@@ -321,6 +326,29 @@ class XttsStreamPool:
             if verbose:
                 print(f"[pool.warmup] B={B} done at {_time.monotonic()-t0:.1f}s",
                       file=_sys.stderr, flush=True)
+        # one REAL dry round through the serving path: the raw-program ladder
+        # above leaves a large one-time first-execution cost on the first
+        # live round (measured 44.6 s on a v5e tunnel — program load/device
+        # residency, not compilation); a dry round through submit() absorbs
+        # it here so the first real request is served at steady-state speed
+        rng = np.random.default_rng(0)
+        its = [
+            self.submit(
+                text_tokens=rng.integers(
+                    1, max(2, int(a.gpt_number_text_tokens) - 1), (min(n_text, bucket),)
+                ).astype(np.int32),
+                gpt_cond_latent=np.zeros((1, W, C), np.float32),
+                speaker_embedding=np.zeros((1, int(a.d_vector_dim)), np.float32),
+                max_tokens=self.first_chunk + self.chunk,
+            )
+            for _ in range(self.max_streams)
+        ]
+        for it in its:
+            for _ in it:
+                pass
+        if verbose:
+            print(f"[pool.warmup] dry round done at {_time.monotonic()-t0:.1f}s",
+                  file=_sys.stderr, flush=True)
         return _time.monotonic() - t0
 
     # ---------------------------------------------------------------- worker
@@ -536,6 +564,7 @@ class XttsStreamPool:
 
         i0 = 0
         while True:
+            _t0 = time.monotonic()
             just_admitted = False
             # ---- admission: splice compatible queued requests into free slots
             if self.admit_mid_round and not self._stop:
@@ -558,10 +587,12 @@ class XttsStreamPool:
             size = self.first_chunk if (i0 == 0 or just_admitted) else self.chunk
             if i0 + size > cache_cap:
                 break  # shared timeline exhausted (admission guard makes this rare)
+            _t1 = time.monotonic()
             (cache, code, stopped, rng), (codes, lats, valid) = self._chunk_fn(size, W)(
                 model.params, cache, prompt_len, code, stopped, rng,
                 jnp.int32(i0), text_lengths, cond_lengths, audio_start,
             )
+            _t2 = time.monotonic()
             # store each row's budget-capped valid latents at its own offset
             # (dead/pad rows get allowed=0 — they store only zeros); latents
             # past a row's budget never reach a decode window (their conv
@@ -581,10 +612,12 @@ class XttsStreamPool:
                 hist_dev, lats, valid, jnp.asarray(offsets), jnp.asarray(allowed),
                 jnp.asarray(hrows),
             )
+            _t3 = time.monotonic()
             # ONE host fetch per chunk (the old path pulled the full latent
             # block through numpy: 3 transfers per chunk)
             valid_h, stopped_np = self._jax.device_get((valid, stopped))
             valid_h = np.asarray(valid_h, dtype=bool)
+            _t4 = time.monotonic()
             newly_done = []
             for i, req in enumerate(slots):
                 if req is None or done[id(req)]:
@@ -594,7 +627,15 @@ class XttsStreamPool:
                 if nv < size or bool(stopped_np[i]) or emitted[id(req)] >= budget[id(req)]:
                     done[id(req)] = True
                     newly_done.append(req)
+            _t5 = time.monotonic()
             self._emit(slots, done, emitted, eptr, first_emit, hist_dev, hrow, spk, jnp)
+            if _TRACE:
+                import sys as _sys
+                print(f"[pool.trace] i0={i0} B={len(slots)} size={size} "
+                      f"admit={_t1-_t0:.3f} chunk_disp={_t2-_t1:.3f} "
+                      f"store={_t3-_t2:.3f} fetch={_t4-_t3:.3f} "
+                      f"emit={time.monotonic()-_t5:.3f} total={time.monotonic()-_t0:.3f}",
+                      file=_sys.stderr, flush=True)
             for req in newly_done:
                 close(req)  # tail (if any) was just emitted above
                 hist_free.append(hrow[id(req)])  # row reusable by admissions
