@@ -150,9 +150,20 @@ class XttsStreamPool:
         def _splice(cache, ncache, hist, code, ncode, stop, tl, ntl, cl, ncl,
                     ast, spk, nspk, slots, hrows, i0):
             k = slots.shape[0]
-            spliced = jax.tree.map(
-                lambda a, n: a.at[:, slots].set(n[:, :k]), cache, ncache
-            )
+
+            def upd(a, n):
+                # k chained dynamic-update-slices (one batch column each)
+                # instead of one scatter: XLA lowers DUS on the DONATED
+                # buffer to an in-place k-column write, where the scatter
+                # form serialized over the whole (B x 128 MB) cache —
+                # measured as the admission bottleneck in open-loop serving
+                for j in range(k):
+                    a = jax.lax.dynamic_update_slice_in_dim(
+                        a, n[:, j : j + 1], slots[j], axis=1
+                    )
+                return a
+
+            spliced = jax.tree.map(upd, cache, ncache)
             return (
                 spliced,
                 hist.at[hrows].set(0.0),
@@ -165,6 +176,24 @@ class XttsStreamPool:
             )
 
         self._splice = jax.jit(_splice, donate_argnums=(0, 2))
+
+        # batch growth B -> 2B: pad columns replicate column 0 — a cheap
+        # concat instead of a gather over the whole cache
+        def _grow(cache, code, stop, tl, cl, ast, spk):
+            import jax.numpy as jnp
+
+            g2 = lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[:, :1], a.shape[1], axis=1)], axis=1
+            )
+            g1 = lambda v: jnp.concatenate(
+                [v, jnp.repeat(v[:1], v.shape[0], axis=0)], axis=0
+            )
+            return (
+                jax.tree.map(g2, cache),
+                g1(code), g1(stop), g1(tl), g1(cl), g1(ast), g1(spk),
+            )
+
+        self._grow = jax.jit(_grow)
 
         # device-resident latent history (r5): each chunk's VALID latents are
         # scattered into a per-row [H_max, C] buffer at that row's write
@@ -302,10 +331,10 @@ class XttsStreamPool:
                 self._emit_fn(B, esize, first)(
                     m.params, hist, rows, eptrs, jnp.zeros((B, d_spk), dt)
                 ).block_until_ready()
-            # growth (B -> 2B) and compaction (B -> B/2) gathers
-            for idx in ([0] * (2 * B), [0] * max(1, B // 2)):
-                self._gather_rows(cache, code, stopped, tl, cl, ast, spk,
-                                  jnp.asarray(idx, jnp.int32))
+            # growth (B -> 2B) and compaction (B -> B/2) programs
+            self._grow(cache, code, stopped, tl, cl, ast, spk)
+            self._gather_rows(cache, code, stopped, tl, cl, ast, spk,
+                              jnp.asarray([0] * max(1, B // 2), jnp.int32))
             # admission splices: every newcomer power-of-two k into batch B
             # (fresh prefill per k — the chunk programs donated the earlier
             # caches, so saved references would be dead buffers)
@@ -687,11 +716,10 @@ class XttsStreamPool:
         # grow the batch (power-of-two steps) until the newcomers fit
         while len(free) < len(ok) and len(slots) < _pow2_ceil(self.max_streams):
             B_old = len(slots)
-            idx = list(range(B_old)) + [0] * B_old  # pad rows replicate row 0
             (cache, code, stopped, text_lengths, cond_lengths,
-             audio_start, spk) = self._gather_rows(
+             audio_start, spk) = self._grow(
                 cache, code, stopped, text_lengths, cond_lengths,
-                audio_start, spk, jnp.asarray(idx, jnp.int32),
+                audio_start, spk,
             )
             slots = slots + [None] * B_old
             free += list(range(B_old, 2 * B_old))
