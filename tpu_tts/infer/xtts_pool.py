@@ -736,12 +736,20 @@ class XttsStreamPool:
         for s_i, r in zip(slot_idx, take):
             slots[s_i] = r
             track(r)  # allocates r's history row (hrow)
-        nhrows = jnp.asarray([hrow[id(r)] for r in take], jnp.int32)
+        # pad the splice to the prefill's power-of-two batch so its program
+        # shape never depends on the raw newcomer count (an odd k would
+        # compile mid-traffic — measured as a 9 s admission stall). Pad
+        # entries repeat slot 0: the prefill's pad rows replicate request 0,
+        # so the duplicate writes are idempotent.
+        k_p2 = _pow2_ceil(k)
+        slots_pad = slot_idx + [slot_idx[0]] * (k_p2 - k)
+        hr = [hrow[id(r)] for r in take]
+        nhrows = jnp.asarray(hr + [hr[0]] * (k_p2 - k), jnp.int32)
         (cache, hist, code, stopped, text_lengths, cond_lengths, audio_start,
          spk) = self._splice(
             cache, ncache, hist, code, ncode, stopped, text_lengths, ntl,
             cond_lengths, ncl, audio_start, spk, nspk,
-            jnp.asarray(slot_idx, jnp.int32), nhrows, jnp.int32(i0),
+            jnp.asarray(slots_pad, jnp.int32), nhrows, jnp.int32(i0),
         )
         self.admissions += k
         return cache, hist, code, stopped, text_lengths, cond_lengths, audio_start, spk, slots
