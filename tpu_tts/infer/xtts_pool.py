@@ -355,23 +355,29 @@ class XttsStreamPool:
             if verbose:
                 print(f"[pool.warmup] B={B} done at {_time.monotonic()-t0:.1f}s",
                       file=_sys.stderr, flush=True)
-        # one REAL dry round through the serving path: the raw-program ladder
-        # above leaves a large one-time first-execution cost on the first
-        # live round (measured 44.6 s on a v5e tunnel — program load/device
-        # residency, not compilation); a dry round through submit() absorbs
-        # it here so the first real request is served at steady-state speed
+        # one REAL dry round through the serving path, INCLUDING a mid-round
+        # admission: the raw-program ladder above leaves large one-time
+        # first-execution costs on the first live round and the first
+        # admission splice (measured 44.6 s and 11.4 s on a v5e tunnel —
+        # program load/device residency, not compilation); exercising both
+        # here means the first real request is served at steady-state speed
         rng = np.random.default_rng(0)
-        its = [
-            self.submit(
+
+        def _submit_dry(budget):
+            return self.submit(
                 text_tokens=rng.integers(
                     1, max(2, int(a.gpt_number_text_tokens) - 1), (min(n_text, bucket),)
                 ).astype(np.int32),
                 gpt_cond_latent=np.zeros((1, W, C), np.float32),
                 speaker_embedding=np.zeros((1, int(a.d_vector_dim)), np.float32),
-                max_tokens=self.first_chunk + self.chunk,
+                max_tokens=budget,
             )
-            for _ in range(self.max_streams)
-        ]
+
+        half = max(1, self.max_streams // 2)
+        its = [_submit_dry(self.first_chunk + 3 * self.chunk) for _ in range(half)]
+        next(iter(its[0]))  # round is live — the rest arrive mid-round
+        its += [_submit_dry(self.first_chunk + self.chunk)
+                for _ in range(self.max_streams - half)]
         for it in its:
             for _ in it:
                 pass
