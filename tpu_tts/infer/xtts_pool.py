@@ -125,11 +125,23 @@ class XttsStreamPool:
         self.admissions = 0
         self._jax = jax
         self._net_cls = XttsNet
-        self._pf = jax.jit(
-            lambda p, c, t, tl, cl: model.net.apply(
-                {"params": p}, c, t, tl, cl, method=XttsNet.stream_prefill
-            )
-        )
+        self._pf_fns = {}
+
+        def _pf_for(cache_len=None):
+            # cache_len None -> full decode cache (round start); an int ->
+            # prompt-rows-only cache (admission prefill: ~300x less memory
+            # churn per admission, the splice copies only those rows)
+            if cache_len not in self._pf_fns:
+                self._pf_fns[cache_len] = jax.jit(
+                    lambda p, c, t, tl, cl: model.net.apply(
+                        {"params": p}, c, t, tl, cl, cache_len,
+                        method=XttsNet.stream_prefill,
+                    )
+                )
+            return self._pf_fns[cache_len]
+
+        self._pf_for = _pf_for
+        self._pf = _pf_for(None)
         # row-gather for compaction/growth: jit handles the (B_old, B_new)
         # shapes; no donation — the gathered cache has a different batch
         # size, so XLA could not reuse the buffer anyway (it would just warn)
@@ -152,14 +164,18 @@ class XttsStreamPool:
             k = slots.shape[0]
 
             def upd(a, n):
-                # k chained dynamic-update-slices (one batch column each)
+                # k chained dynamic-update-slices (one batch column each,
+                # PROMPT rows only — n comes from a prompt-length prefill)
                 # instead of one scatter: XLA lowers DUS on the DONATED
-                # buffer to an in-place k-column write, where the scatter
-                # form serialized over the whole (B x 128 MB) cache —
-                # measured as the admission bottleneck in open-loop serving
+                # buffer to an in-place partial-column write, where the
+                # scatter form serialized over the whole (B x 128 MB) cache —
+                # measured as the admission bottleneck in open-loop serving.
+                # The destination column's stale audio rows stay — the
+                # spliced row's audio_start key mask hides them.
+                zero = jnp_int0()
                 for j in range(k):
-                    a = jax.lax.dynamic_update_slice_in_dim(
-                        a, n[:, j : j + 1], slots[j], axis=1
+                    a = jax.lax.dynamic_update_slice(
+                        a, n[:, j : j + 1], (zero, slots[j], zero, zero)
                     )
                 return a
 
@@ -339,7 +355,7 @@ class XttsStreamPool:
             # (fresh prefill per k — the chunk programs donated the earlier
             # caches, so saved references would be dead buffers)
             for k in [x for x in ladder if x <= B]:
-                ncache, _np, _nc = self._pf(
+                ncache, _np, _nc = self._pf_for(W + bucket)(
                     m.params, jnp.zeros((k, W, C), dt), jnp.ones((k, bucket), jnp.int32),
                     jnp.full((k,), min(n_text, bucket), jnp.int32),
                     jnp.full((k,), W, jnp.int32),
@@ -505,7 +521,8 @@ class XttsStreamPool:
             self._serve_round(batch, bucket, pending, jnp)
 
     # ------------------------------------------------------------- one round
-    def _prefill_batch(self, reqs: List[_Request], B: int, bucket: int, W: int, jnp):
+    def _prefill_batch(self, reqs: List[_Request], B: int, bucket: int, W: int, jnp,
+                       cache_len: int = None):
         """Right-pad `reqs` to a [B, bucket] text / [B, W] cond batch
         (padding slots replicate row 0 — they are masked and marked done)
         and run the shared prefill program. Returns device state."""
@@ -530,7 +547,7 @@ class XttsStreamPool:
         spk = jnp.asarray(np.stack(spks), dtype=dt)
         text_lengths = jnp.asarray(text_lengths)
         cond_lengths = jnp.asarray(np.array(cond_lengths, dtype=np.int32))
-        cache, prompt_len, code = self._pf(
+        cache, prompt_len, code = self._pf_for(cache_len)(
             model.params, cond, jnp.asarray(text), text_lengths, cond_lengths
         )
         return cache, prompt_len, code, text_lengths, cond_lengths, spk
@@ -737,7 +754,7 @@ class XttsStreamPool:
         slot_idx = free[: len(take)]
         k = len(take)
         ncache, _nplen, ncode, ntl, ncl, nspk = self._prefill_batch(
-            take, _pow2_ceil(k), bucket, W, jnp
+            take, _pow2_ceil(k), bucket, W, jnp, cache_len=W + bucket
         )
         for s_i, r in zip(slot_idx, take):
             slots[s_i] = r
@@ -823,3 +840,9 @@ def jnp_take(a, idx, axis):
     import jax.numpy as jnp
 
     return jnp.take(a, idx, axis=axis)
+
+
+def jnp_int0():
+    import jax.numpy as jnp
+
+    return jnp.int32(0)

@@ -264,15 +264,21 @@ class XttsNet(nn.Module):
             jnp.swapaxes(valid, 0, 1),
         )
 
-    def stream_prefill(self, cond_latents, text_tokens, text_lengths=None, cond_lengths=None):
+    def stream_prefill(self, cond_latents, text_tokens, text_lengths=None, cond_lengths=None,
+                       cache_len: int = None):
         """Prefill-only program for incremental streaming: build the KV cache
         over the prompt and return the initial decode carry. With
         `text_lengths`, `text_tokens` is right-padded to a bucket and the
         pad rows are masked; `cond_lengths` does the same for a right-padded
-        conditioning track (see XttsGPT.prefill)."""
+        conditioning track (see XttsGPT.prefill). `cache_len` (static)
+        shrinks the allocated cache to just the prompt rows — the pool's
+        admission path splices ONLY those rows into a live round's cache
+        (the destination column's stale audio region is hidden by the
+        `audio_start` key mask), so per-admission allocation drops from the
+        full decode cache (~2 GB at B=16) to a few MB."""
         a = self.a
         B = text_tokens.shape[0]
-        cache = self.gpt.init_cache(B, a["kv_cache_len"])
+        cache = self.gpt.init_cache(B, cache_len or a["kv_cache_len"])
         cache, prompt_len, _ = self.gpt.prefill(
             cond_latents, text_tokens, cache,
             text_lengths=text_lengths, cond_lengths=cond_lengths,
