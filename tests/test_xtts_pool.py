@@ -252,6 +252,41 @@ def test_pool_openloop_poisson_drive(xtts_model):
     assert out["rounds_served"] < out["n_requests"], "requests must batch, not serialize"
 
 
+def test_pool_timeline_rebase_keeps_outputs_exact(xtts_model):
+    """A continuously-fed round eventually nears kv_cache_len on the shared
+    absolute timeline; the pool REBASES (block-moves the last
+    max_new_tokens+chunk audio rows down and shifts audio_start) instead of
+    draining. Requests decoded across a rebase must still match their solo
+    runs exactly, and the round must stay open (no admission blackout)."""
+    cond, spk = _cond(xtts_model, 21)
+    tok = np.arange(1, 7, dtype=np.int32)
+    xtts_model.bpe.encode = lambda text, lang: list(tok)
+    solo = np.concatenate(list(xtts_model.inference_stream(
+        "x", "en", gpt_cond_latent=cond, speaker_embedding=spk,
+        stream_chunk_size=8, first_chunk_size=4, max_new_tokens=20, top_k=1,
+    )))
+
+    # cache_cap = 128 - (4+32) = 92 absolute steps; each request advances the
+    # timeline by >= 20, so ~6 chained admissions force at least one rebase
+    pool = _pool(xtts_model, max_streams=2, gather_window_s=0.05, max_new_tokens=20)
+    try:
+        outs = []
+        prev = pool.submit(text_tokens=tok, gpt_cond_latent=cond, speaker_embedding=spk)
+        chunks = [next(prev)]  # round live
+        for _ in range(7):
+            nxt = pool.submit(text_tokens=tok, gpt_cond_latent=cond, speaker_embedding=spk)
+            chunks += list(prev)  # drain previous fully (keeps ordering simple)
+            outs.append(np.concatenate(chunks))
+            prev, chunks = nxt, [next(nxt)]
+        outs.append(np.concatenate(chunks + list(prev)))
+    finally:
+        pool.close()
+    assert pool.rounds_served <= 2, "rebase must keep the round open, not drain it"
+    for o in outs:
+        assert o.shape == solo.shape
+        np.testing.assert_allclose(o, solo, atol=2e-3)
+
+
 def test_pool_mid_chunk_budget_matches_single(xtts_model):
     """A max_tokens that ends MID-chunk must zero the beyond-budget latents
     BEFORE decoding (like the single-stream max_new_tokens path) — otherwise

@@ -193,6 +193,34 @@ class XttsStreamPool:
 
         self._splice = jax.jit(_splice, donate_argnums=(0, 2))
 
+        # timeline REBASE: the lockstep design writes all rows at one shared
+        # absolute cache index, so a long-lived round would exhaust
+        # kv_cache_len and stall admissions while it drains (measured ~10 s
+        # admission blackouts every ~1000 steps). Because every live row's
+        # RELATIVE history is <= max_new_tokens, shifting the last
+        # W_keep = max_new_tokens + chunk audio rows down to the prompt
+        # boundary (one contiguous block move, ~0.5 GB at B=16) frees the
+        # rest of the timeline; audio_start shifts with it and the causal
+        # limit hides the stale tail. Rounds become immortal under
+        # continuous traffic.
+        W_keep = self.max_new_tokens + self.chunk
+
+        def _rebase(cache, ast, plen, shift):
+            def mv(a):
+                import jax.numpy as jnp
+
+                zero = jnp.int32(0)
+                blk = jax.lax.dynamic_slice(
+                    a, (plen + shift, zero, zero, zero),
+                    (W_keep,) + a.shape[1:],
+                )
+                return jax.lax.dynamic_update_slice(a, blk, (plen, zero, zero, zero))
+
+            return jax.tree.map(mv, cache), ast - shift
+
+        self._rebase = jax.jit(_rebase, donate_argnums=(0,))
+        self._w_keep = W_keep
+
         # batch growth B -> 2B: pad columns replicate column 0 — a cheap
         # concat instead of a gather over the whole cache
         def _grow(cache, code, stop, tl, cl, ast, spk):
@@ -347,7 +375,8 @@ class XttsStreamPool:
                 self._emit_fn(B, esize, first)(
                     m.params, hist, rows, eptrs, jnp.zeros((B, d_spk), dt)
                 ).block_until_ready()
-            # growth (B -> 2B) and compaction (B -> B/2) programs
+            # growth (B -> 2B), compaction (B -> B/2) and rebase programs
+            cache, ast = self._rebase(cache, ast, plen, jnp.int32(0))
             self._grow(cache, code, stopped, tl, cl, ast, spk)
             self._gather_rows(cache, code, stopped, tl, cl, ast, spk,
                               jnp.asarray([0] * max(1, B // 2), jnp.int32))
@@ -638,7 +667,15 @@ class XttsStreamPool:
             # free to vary without touching any row's output cadence
             size = self.first_chunk if (i0 == 0 or just_admitted) else self.chunk
             if i0 + size > cache_cap:
-                break  # shared timeline exhausted (admission guard makes this rare)
+                shift = i0 - self._w_keep
+                if shift <= 0:
+                    break  # cache shorter than one budget window: drain
+                # rebase the shared timeline instead of draining the round:
+                # every live row's relative history fits in W_keep rows
+                cache, audio_start = self._rebase(
+                    cache, audio_start, prompt_len, jnp.int32(shift)
+                )
+                i0 = self._w_keep
             _t1 = time.monotonic()
             (cache, code, stopped, rng), (codes, lats, valid) = self._chunk_fn(size, W)(
                 model.params, cache, prompt_len, code, stopped, rng,
